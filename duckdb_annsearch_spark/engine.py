@@ -1,0 +1,509 @@
+"""AnnEngine — the session object exposing the reference's function surface.
+
+Maps the reference's SQL surface (``/root/reference/src/ann_extension.cpp:31-56``:
+``ann_search``, ``ann_search_batch``, ``ann_search_table``,
+``vector_distances``, ``hybrid_search``, ``ann_list``, ``ann_index_info``,
+``diskann_index_scan``, ``faiss_index_scan``, ``diskann_streaming_build`` plus
+CREATE/DROP INDEX, DELETE tombstones, VACUUM, index merge) onto DataFrames.
+
+Scale stance: every search returns a DataFrame; the only driver-side
+materialization anywhere is O(k) results, centroids, or a training sample —
+never the data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_annsearch_spark.catalog import ROW_ID, Catalog, IndexMeta
+from duckdb_annsearch_spark.functions.distance import metric_distance
+from duckdb_annsearch_spark.index.flat import FlatIndex
+from duckdb_annsearch_spark.index.graph import GraphIndex
+from duckdb_annsearch_spark.index.ivf import IvfFlatIndex
+from duckdb_annsearch_spark.operators.distances import detect_vector_column, vector_distances
+from duckdb_annsearch_spark.operators.topk import topk_brute_force
+
+# optimizer cost gates (src/ann_optimizer.cpp:459-472)
+MIN_TABLE_SIZE_FOR_INDEX = 50
+MAX_K_FRACTION_FLAT = 0.10
+MAX_K_FRACTION_GRAPH = 0.30
+# filtered-workload overfetch: "3x + 100" (README.md:164, src/ann_extension.cpp:57-60)
+DEFAULT_OVERFETCH_MULTIPLIER = 3
+OVERFETCH_BONUS = 100
+
+_INDEX_CLASSES = {
+    "flat": FlatIndex,
+    "ivfflat": IvfFlatIndex,
+    "diskann": GraphIndex,
+    "hnsw": GraphIndex,  # HNSW maps onto the same graph machinery (SURVEY §2.1 D2)
+}
+
+
+def _normalize_metric(metric: str) -> str:
+    m = metric.lower()
+    if m in ("l2", "euclidean"):
+        return "l2"
+    if m in ("ip", "inner_product", "innerproduct"):
+        return "ip"
+    if m in ("cosine", "cos"):
+        return "cosine"
+    raise ValueError(f"Unsupported metric: {metric} (expected L2, IP, or cosine)")
+
+
+class RegisteredTable:
+    def __init__(self, name: str, df: DataFrame, row_id: str):
+        self.name = name
+        self.df = df
+        self.row_id = row_id
+
+
+class AnnEngine:
+    def __init__(self, spark: SparkSession, workdir: str | None = None):
+        self.spark = spark
+        self.workdir = workdir or os.path.join(tempfile.gettempdir(), "ann_engine")
+        self.catalog = Catalog(spark, os.path.join(self.workdir, "_ann_catalog"))
+        self._tables: dict[str, RegisteredTable] = {}
+        from duckdb_annsearch_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+
+    # ------------------------------------------------------------------ tables
+    def register_table(self, name: str, df: DataFrame | str, row_id: str | None = None) -> DataFrame:
+        """Register a base relation. ``row_id`` names a stable unique BIGINT
+        key column — the engine's substitute for DuckDB's physical rowid
+        (SURVEY §1.1). Without one, a row_id is materialized (stable only for
+        deterministic single-source reads)."""
+        if isinstance(df, str):
+            df = self.spark.read.parquet(df)
+        if row_id is None:
+            df = df.withColumn(ROW_ID, F.monotonically_increasing_id())
+            row_id = ROW_ID
+        self._tables[name] = RegisteredTable(name, df, row_id)
+        return df
+
+    def table(self, name: str) -> RegisteredTable:
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} is not registered with the engine")
+        return self._tables[name]
+
+    # ------------------------------------------------------------- index DDL
+    def create_index(
+        self,
+        name: str,
+        table: str,
+        column: str | None = None,
+        engine: str = "diskann",
+        index_type: str | None = None,
+        metric: str = "l2",
+        if_not_exists: bool = False,
+        **params,
+    ):
+        """CREATE INDEX ... USING DISKANN/FAISS (col) WITH (...).
+
+        Validates the column is a float array ("must be FLOAT[N]",
+        ``src/diskann_index.cpp:82-84``) with one consistent dimension.
+        """
+        if self.catalog.exists(name):
+            if if_not_exists:
+                return self.get_index(name)
+            raise ValueError(f"Index with name {name!r} already exists")
+        t = self.table(table)
+        column = column or detect_vector_column(t.df)
+        field = dict((f.name, f.dataType) for f in t.df.schema.fields).get(column)
+        if field is None:
+            raise ValueError(f"column {column!r} not found on table {table!r}")
+        if not (
+            isinstance(field, T.ArrayType)
+            and isinstance(field.elementType, (T.FloatType, T.DoubleType))
+        ):
+            raise ValueError("ANN index column must be FLOAT[N] (array<float>)")
+
+        engine = engine.lower()
+        if engine == "diskann":
+            itype = "diskann"
+        elif engine == "faiss":
+            itype = (index_type or params.get("type") or "Flat").lower()
+            if itype not in ("flat", "ivfflat", "hnsw"):
+                raise ValueError(f"unknown FAISS index type {index_type!r}")
+        else:
+            raise ValueError(f"unknown index engine {engine!r} (diskann | faiss)")
+        params.pop("type", None)
+
+        # dimension: from metadata or a one-row probe (Spark arrays are not
+        # fixed-size; the engine owns the dimension — SURVEY §1.2)
+        dim = params.pop("dim", None)
+        if dim is None:
+            probe = (
+                t.df.where(F.col(column).isNotNull())
+                .select(F.size(F.col(column)).alias("d"))
+                .first()
+            )
+            if probe is None:
+                raise ValueError(f"cannot infer dimension: {table}.{column} has no rows")
+            dim = int(probe["d"])
+
+        meta = IndexMeta(
+            name=name,
+            engine=engine,
+            index_type=itype,
+            table_name=table,
+            column=column,
+            dim=dim,
+            metric=_normalize_metric(metric),
+            params=params,
+        )
+        cls = _INDEX_CLASSES[itype]
+        return cls.build(self.catalog, meta, t.df, t.row_id, column)
+
+    def get_index(self, name: str):
+        meta = self.catalog.load(name)
+        return _INDEX_CLASSES[meta.index_type](self.catalog, meta)
+
+    def drop_index(self, name: str, if_exists: bool = False) -> None:
+        if not self.catalog.exists(name):
+            if if_exists:
+                return
+            raise KeyError(f"ANN index {name!r} does not exist")
+        self.catalog.drop(name)
+
+    def delete(self, table: str, row_ids: Sequence[int] | DataFrame) -> None:
+        """DELETE propagation: tombstone the rows in every index on the table
+        (``src/diskann_index.cpp:363-385``)."""
+        for meta in self.catalog.for_table(table):
+            if isinstance(row_ids, DataFrame):
+                self.catalog.add_tombstones(meta.name, row_ids)
+            else:
+                self.catalog.add_tombstones(meta.name, list(row_ids))
+
+    def vacuum(self, name: str):
+        """Rebuild without deleted rows, then drop tombstones
+        (``src/diskann_index.cpp:701-741``)."""
+        idx = self.get_index(name)
+        meta = idx.meta
+        live = idx.live_artifact().select("row_id", "vector")
+        cls = _INDEX_CLASSES[meta.index_type]
+        # rebuild from the live artifact (column names row_id/vector)
+        new_meta = IndexMeta(
+            name=meta.name,
+            engine=meta.engine,
+            index_type=meta.index_type,
+            table_name=meta.table_name,
+            column=meta.column,
+            dim=meta.dim,
+            metric=meta.metric,
+            params=meta.params,
+        )
+        staged = live.cache()
+        staged.count()
+        self.catalog.drop(meta.name)
+        rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
+        staged.unpersist()
+        self.catalog.clear_tombstones(meta.name)
+        return rebuilt
+
+    def merge_index(self, target: str, source: str):
+        """Merge source index's live vectors into target and rebuild
+        (``src/diskann_index.cpp:655-699``)."""
+        tgt, src = self.get_index(target), self.get_index(source)
+        if tgt.meta.dim != src.meta.dim or tgt.meta.metric != src.meta.metric:
+            raise ValueError("cannot merge indexes with different dim/metric")
+        union = (
+            tgt.live_artifact()
+            .select("row_id", "vector")
+            .unionByName(src.live_artifact().select("row_id", "vector"))
+            .dropDuplicates(["row_id"])
+        )
+        cls = _INDEX_CLASSES[tgt.meta.index_type]
+        meta = tgt.meta
+        new_meta = IndexMeta(
+            name=meta.name,
+            engine=meta.engine,
+            index_type=meta.index_type,
+            table_name=meta.table_name,
+            column=meta.column,
+            dim=meta.dim,
+            metric=meta.metric,
+            params=meta.params,
+        )
+        staged = union.cache()
+        staged.count()
+        self.catalog.drop(meta.name)
+        rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
+        staged.unpersist()
+        return rebuilt
+
+    # --------------------------------------------------------------- listing
+    def ann_list(self) -> DataFrame:
+        """(name, engine, table_name) — ``src/ann_list.cpp:16-90``."""
+        rows = [(m.name, m.engine, m.table_name) for m in self.catalog.all()]
+        schema = "name string, engine string, table_name string"
+        return self.spark.createDataFrame(rows, schema).orderBy("name")
+
+    def ann_index_info(self) -> DataFrame:
+        """Diagnostics per index — ``src/ann_list.cpp:92-221``."""
+        rows = []
+        for m in self.catalog.all():
+            rows.append(
+                (
+                    m.name,
+                    m.engine,
+                    m.table_name,
+                    m.column,
+                    int(m.num_vectors),
+                    int(m.num_deleted),
+                    bool(m.quantized),
+                )
+            )
+        schema = (
+            "name string, engine string, table_name string, column string, "
+            "num_vectors long, num_deleted long, quantized boolean"
+        )
+        return self.spark.createDataFrame(rows, schema).orderBy("name")
+
+    # --------------------------------------------------------------- search
+    def index_scan(
+        self, name: str, query: Sequence[float], k: int, search_complexity: int | None = None
+    ) -> DataFrame:
+        """diskann_index_scan / faiss_index_scan: raw (row_id, distance)
+        (``src/diskann_functions.cpp:17-125``)."""
+        idx = self.get_index(name)
+        res = idx.search(list(query), k, search_complexity=search_complexity)
+        return res.select(F.col("row_id"), F.col("_distance").alias("distance"))
+
+    def ann_search(
+        self,
+        table: str,
+        index: str,
+        query: Sequence[float],
+        k: int,
+        search_complexity: int | None = None,
+        oversample: int = 1,
+    ) -> DataFrame:
+        """k-NN + row fetch: all table columns + ``_distance``, ascending.
+
+        Emits ``k * oversample`` results like the reference
+        (``src/ann_search.cpp:118-130`` — the scan drains every fetched
+        result, not just k)."""
+        t = self.table(table)
+        idx = self.get_index(index)
+        fetch_k = k * max(1, int(oversample))
+        hits = idx.search(list(query), fetch_k, search_complexity=search_complexity)
+        joined = t.df.join(
+            F.broadcast(hits.withColumnRenamed("row_id", t.row_id)), on=t.row_id, how="inner"
+        )
+        return joined.select(*t.df.columns, "_distance").orderBy(
+            F.col("_distance").asc(), F.col(t.row_id).asc()
+        )
+
+    def ann_search_batch(
+        self,
+        table: str,
+        index: str,
+        queries: list[Sequence[float]],
+        k: int,
+        search_complexity: int | None = None,
+    ) -> DataFrame:
+        """Multi-query batch: ``query_idx INT`` + table columns + ``_distance``
+        (``src/ann_search.cpp:202-388``)."""
+        t = self.table(table)
+        idx = self.get_index(index)
+        hits = idx.search_batch(
+            [list(q) for q in queries], k, search_complexity=search_complexity
+        )
+        joined = t.df.join(
+            hits.withColumnRenamed("row_id", t.row_id), on=t.row_id, how="inner"
+        )
+        return joined.select("query_idx", *t.df.columns, "_distance").orderBy(
+            F.col("query_idx").asc(), F.col("_distance").asc(), F.col(t.row_id).asc()
+        )
+
+    def ann_search_table(
+        self,
+        queries_df: DataFrame,
+        table: str,
+        index: str,
+        k: int,
+        search_complexity: int | None = None,
+        query_col: str | None = None,
+    ) -> DataFrame:
+        """Table-in/table-out search (``src/ann_search.cpp:390-691``):
+        output = input columns ++ base columns (name collisions prefixed
+        ``<table>_``) ++ ``_distance``.
+
+        Implemented as the SURVEY §3.2 translation: tag input rows, run the
+        distributed batch probe, join hits back to input rows and base rows.
+        Scales with both the query count and the base table — no driver
+        materialization."""
+        t = self.table(table)
+        idx = self.get_index(index)
+        qcol = query_col or detect_vector_column(queries_df)
+
+        tagged = queries_df.withColumn(
+            "__query_idx", F.monotonically_increasing_id()
+        ).cache()
+        queries = [
+            (int(r["__query_idx"]), [float(x) for x in (r[qcol] or [])])
+            for r in tagged.select("__query_idx", qcol).collect()
+        ]
+        # wrong-dim / null queries yield no hits (faiss_basic.test:262-269)
+        valid = [(i, q) for i, q in queries if len(q) == idx.meta.dim]
+        if valid:
+            from duckdb_annsearch_spark.index import kernels as _k
+
+            if hasattr(idx, "search_batch_indexed"):
+                hits = idx.search_batch_indexed(valid, k, search_complexity=search_complexity)
+            else:
+                remap = {pos: qi for pos, (qi, _) in enumerate(valid)}
+                hits = idx.search_batch(
+                    [q for _, q in valid], k, search_complexity=search_complexity
+                )
+                mapping = F.create_map(
+                    *[F.lit(x) for kv in remap.items() for x in kv]
+                )
+                hits = hits.withColumn("query_idx", mapping[F.col("query_idx")])
+        else:
+            hits = self.spark.createDataFrame(
+                [], "query_idx long, row_id long, _distance float"
+            )
+
+        base = t.df
+        base_cols = []
+        used = set(queries_df.columns) | {"__query_idx"}
+        for c in base.columns:
+            out_name = f"{table}_{c}" if c in used else c
+            base_cols.append(F.col(f"__base.{c}").alias(out_name))
+            used.add(out_name)
+
+        joined = (
+            tagged.alias("__q")
+            .join(
+                hits.withColumnRenamed("query_idx", "__query_idx"), on="__query_idx", how="inner"
+            )
+            .join(
+                base.alias("__base"),
+                F.col("row_id") == F.col(f"__base.{t.row_id}"),
+                "inner",
+            )
+        )
+        out = joined.select(
+            *[F.col(f"__q.{c}") for c in queries_df.columns], *base_cols, F.col("_distance")
+        ).orderBy(F.col("__query_idx").asc(), F.col("_distance").asc())
+        return out
+
+    def vector_distances(
+        self, df: DataFrame, query: Sequence[float], metric: str = "l2", vector_col: str | None = None
+    ) -> DataFrame:
+        return vector_distances(df, query, metric, vector_col)
+
+    # ---------------------------------------------------- optimizer-path topk
+    def topk(
+        self,
+        table: str,
+        query: Sequence[float],
+        k: int,
+        metric: str = "l2",
+        column: str | None = None,
+        explain: dict | None = None,
+    ) -> DataFrame:
+        """``SELECT * ... ORDER BY distance(col, q) LIMIT k`` with the
+        reference's optimizer decision (``src/ann_optimizer.cpp:348-530``):
+        use a metric-compatible index when the cost gates pass, else exact
+        brute force (Catalyst plans TakeOrderedAndProject).
+
+        ``explain``: pass a dict to capture the decision (the EXPLAIN
+        annotation parity — ``ann_optimizer.cpp:510-524``)."""
+        t = self.table(table)
+        metric = _normalize_metric(metric)
+        column = column or detect_vector_column(t.df)
+        decision = {"rewritten": False, "reason": None, "index": None}
+
+        candidates = [
+            m
+            for m in self.catalog.for_table(table)
+            if m.column == column and m.metric == metric and metric != "cosine"
+            # cosine never rewrites: no index type builds a cosine index
+            # (src/ann_optimizer.cpp:237-258)
+        ]
+        if candidates:
+            m = candidates[0]
+            n = max(m.num_vectors - m.num_deleted, 0)
+            frac = MAX_K_FRACTION_GRAPH if m.index_type in ("diskann", "hnsw") else MAX_K_FRACTION_FLAT
+            if n < MIN_TABLE_SIZE_FOR_INDEX:
+                decision["reason"] = f"table too small (N={n} < {MIN_TABLE_SIZE_FOR_INDEX})"
+            elif k > frac * n:
+                decision["reason"] = f"k={k} > {frac:.0%} of N={n}"
+            else:
+                decision.update(
+                    rewritten=True,
+                    index=m.name,
+                    reason=f"ANN_INDEX_SCAN (index: {m.name}, k: {k}, engine: {m.engine}, type: {m.index_type})",
+                )
+                if explain is not None:
+                    explain.update(decision)
+                idx = self.get_index(m.name)
+                hits = idx.search(list(query), k)
+                return (
+                    t.df.join(
+                        F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),
+                        on=t.row_id,
+                        how="inner",
+                    )
+                    .select(*t.df.columns, "_distance")
+                    .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
+                    .limit(k)
+                )
+        else:
+            decision["reason"] = "no metric-compatible index"
+        if explain is not None:
+            explain.update(decision)
+        return topk_brute_force(t.df, column, query, k, metric, tie_break=t.row_id)
+
+    def topk_filtered(
+        self,
+        table: str,
+        predicate,
+        query: Sequence[float],
+        k: int,
+        metric: str = "l2",
+        column: str | None = None,
+        overfetch_multiplier: int = DEFAULT_OVERFETCH_MULTIPLIER,
+    ) -> DataFrame:
+        """Filtered ANN: the reference skips the rewrite when a filter sits
+        between projection and scan and documents over-fetch "3x + 100"
+        (``README.md:164``). Spark-native version: over-fetch k·m+100 from the
+        index, apply the filter, limit k; exact brute force under the filter
+        when no index applies."""
+        t = self.table(table)
+        metric = _normalize_metric(metric)
+        column = column or detect_vector_column(t.df)
+        filtered = t.df.where(predicate)
+        candidates = [
+            m
+            for m in self.catalog.for_table(table)
+            if m.column == column and m.metric == metric
+        ]
+        if candidates:
+            m = candidates[0]
+            idx = self.get_index(m.name)
+            fetch_k = k * overfetch_multiplier + OVERFETCH_BONUS
+            hits = idx.search(list(query), fetch_k)
+            out = (
+                filtered.join(
+                    F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),
+                    on=t.row_id,
+                    how="inner",
+                )
+                .select(*t.df.columns, "_distance")
+                .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
+                .limit(k)
+            )
+            return out
+        return topk_brute_force(filtered, column, query, k, metric, tie_break=t.row_id)

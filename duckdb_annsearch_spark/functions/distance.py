@@ -1,0 +1,126 @@
+"""Vector distance functions as native Spark Column expressions.
+
+These are the six scalar distance functions the reference's optimizer
+recognizes (``/root/reference/src/ann_optimizer.cpp:386-389``):
+``array_distance``, ``list_distance``, ``array_inner_product``,
+``list_inner_product``, ``array_cosine_similarity``,
+``list_cosine_similarity`` — plus ``metric_distance``, the engine-internal
+``_distance`` semantics used by index search and ``vector_distances``
+(``/root/reference/rust_lib/src/distance.rs:13-25``,
+``/root/reference/src/ann_search.cpp:702-720``):
+
+* metric ``l2``  -> **squared** Euclidean distance (lower = closer)
+* metric ``ip``  -> **negated** dot product (lower = more similar)
+* metric ``cosine`` -> ``1 - cosine_similarity`` (lower = more similar)
+
+whereas ``array_distance``/``list_distance`` return **true** (sqrt) L2 — the
+reference reproduces both behaviors and so do we (see
+``/root/reference/test/sql/diskann_basic.test:28-43`` where the scalar
+function gives 0.70710677 but the index distance for orthogonal unit vectors
+is 2.0).
+
+All arithmetic is float32-faithful: element ops and accumulation happen on
+FLOAT columns (Spark keeps float+float = float), final results are FLOAT.
+Everything here is pure Catalyst expression — JVM-side, codegen'd,
+no Python in the loop — so it vectorizes inside WholeStageCodegen and scales
+with the cluster, unlike a UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+VectorLike = "Column | Sequence[float] | str"
+
+
+def vector_lit(vec: Sequence[float]) -> Column:
+    """A literal ARRAY<FLOAT> column from a Python sequence."""
+    return F.array(*[F.lit(float(v)) for v in vec]).cast("array<float>")
+
+
+def _as_vec(v) -> Column:
+    if isinstance(v, Column):
+        return v.cast("array<float>")
+    if isinstance(v, str):
+        return F.col(v).cast("array<float>")
+    return vector_lit(v)
+
+
+def _f32_zero() -> Column:
+    return F.lit(0.0).cast("float")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 in f32 (index `_distance` semantics for metric=l2)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        _f32_zero(),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), _f32_zero(), lambda acc, x: acc + x)
+
+
+def array_distance(a, b) -> Column:
+    """True L2 (Euclidean) distance, FLOAT result.
+
+    Parity: DuckDB's ``array_distance`` — ``array_distance([1,0,0],[0.5,0.5,0])
+    = 0.70710677`` (``/root/reference/test/sql/diskann_optimizer.test:26-34``).
+    """
+    a, b = _as_vec(a), _as_vec(b)
+    return F.sqrt(_sq_l2(a, b).cast("double")).cast("float")
+
+
+def list_distance(a, b) -> Column:
+    """Alias of :func:`array_distance` (DuckDB LIST vs ARRAY variants)."""
+    return array_distance(a, b)
+
+
+def array_inner_product(a, b) -> Column:
+    """Raw dot product (higher = more similar), FLOAT."""
+    return _dot(_as_vec(a), _as_vec(b))
+
+
+def list_inner_product(a, b) -> Column:
+    return array_inner_product(a, b)
+
+
+def array_cosine_similarity(a, b) -> Column:
+    """Cosine similarity in f32, FLOAT result."""
+    a, b = _as_vec(a), _as_vec(b)
+    num = _dot(a, b).cast("double")
+    den = F.sqrt(_sq_norm(a).cast("double")) * F.sqrt(_sq_norm(b).cast("double"))
+    return (num / den).cast("float")
+
+
+def list_cosine_similarity(a, b) -> Column:
+    return array_cosine_similarity(a, b)
+
+
+def _sq_norm(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), _f32_zero(), lambda acc, x: acc + x)
+
+
+def metric_distance(a, b, metric: str = "l2") -> Column:
+    """Engine-internal ``_distance``: squared-L2 / negated-IP / 1-cosine.
+
+    Matches the index/search distance semantics of the reference
+    (``rust_lib/src/distance.rs:13-25``): lower is always better.
+    """
+    a, b = _as_vec(a), _as_vec(b)
+    m = metric.lower()
+    if m in ("l2", "euclidean"):
+        return _sq_l2(a, b)
+    if m in ("ip", "inner_product", "innerproduct"):
+        return -_dot(a, b)
+    if m in ("cosine", "cos"):
+        return (F.lit(1.0) - array_cosine_similarity(a, b).cast("double")).cast("float")
+    raise ValueError(f"unknown metric {metric!r}; expected l2 | ip | cosine")
+
+
+METRICS = ("l2", "ip", "cosine")

@@ -1,0 +1,122 @@
+"""Shared index machinery: artifact IO, tombstone compensation, SQ8.
+
+Artifact layout (all index types): parquet rows
+``(label INT, row_id LONG, vector ARRAY<FLOAT> [, codes BINARY, neighbors
+ARRAY<INT>, cluster_id INT])``.  ``label`` is the dense internal id —
+the reference's label<->rowid bijection
+(``/root/reference/src/include/diskann_index.hpp:144-149``).
+
+SQ8 (``quantization='sq8'``): per-dimension min/scale, u8 codes, dequantize
+``(code/255)*scale + min`` — ``/root/reference/rust_lib/src/provider.rs:157-230``.
+Full-precision vectors are kept alongside codes (the reference keeps both,
+``provider.rs:25-31``); parquet column pruning means a quantized search reads
+only the codes column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.catalog import Catalog, IndexMeta
+from duckdb_annsearch_spark.index import kernels
+
+
+def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
+    """(label, row_id, vector) with a dense, deterministic label ordering.
+
+    Labels are assigned by row_id order — deterministic across runs, unlike
+    ``monotonically_increasing_id`` which depends on partition layout.
+    """
+    w = Window.orderBy(F.col(row_id_col).asc())
+    return df.select(
+        (F.row_number().over(w) - 1).cast("int").alias("label"),
+        F.col(row_id_col).cast("long").alias("row_id"),
+        F.col(vector_col).cast("array<float>").alias("vector"),
+    )
+
+
+def compute_sq8_stats(artifact: DataFrame, dim: int) -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, scales) via partial per-partition numpy reduce."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mins = np.full(dim, np.inf, dtype=np.float64)
+        maxs = np.full(dim, -np.inf, dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = kernels.stack_vectors(pdf["vector"], dim)
+            mins = np.minimum(mins, x.min(axis=0))
+            maxs = np.maximum(maxs, x.max(axis=0))
+            seen = True
+        if seen:
+            yield pd.DataFrame({"mins": [mins.tolist()], "maxs": [maxs.tolist()]})
+
+    parts = artifact.select("vector").mapInPandas(
+        partial, "mins array<double>, maxs array<double>"
+    ).collect()
+    mins = np.min([p["mins"] for p in parts], axis=0).astype(np.float32)
+    maxs = np.max([p["maxs"] for p in parts], axis=0).astype(np.float32)
+    scales = np.maximum(maxs - mins, 1e-12).astype(np.float32)
+    return mins.tolist(), scales.tolist()
+
+
+def add_sq8_codes(artifact: DataFrame, dim: int, mins: list[float], scales: list[float]) -> DataFrame:
+    mn = np.asarray(mins, dtype=np.float32)
+    sc = np.asarray(scales, dtype=np.float32)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = kernels.stack_vectors(pdf["vector"], dim)
+            q = np.clip(np.rint((x - mn) / sc * 255.0), 0, 255).astype(np.uint8)
+            pdf = pdf.copy()
+            pdf["codes"] = [q[i].tobytes() for i in range(q.shape[0])]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in artifact.schema.fields)
+    return artifact.mapInPandas(encode, schema + ", codes binary")
+
+
+class BaseIndex:
+    def __init__(self, catalog: Catalog, meta: IndexMeta):
+        self.catalog = catalog
+        self.meta = meta
+        self.spark = catalog.spark
+
+    # ---- artifact access ----
+    def artifact(self) -> DataFrame:
+        return self.spark.read.parquet(self.catalog.data_path(self.meta.name))
+
+    def live_artifact(self) -> DataFrame:
+        """Artifact minus tombstoned rows (reference over-fetch+filter,
+        ``src/diskann_index.cpp:558-592``, expressed as an anti-join)."""
+        art = self.artifact()
+        if self.meta.num_deleted > 0:
+            tomb = self.catalog.tombstones(self.meta.name)
+            art = art.join(F.broadcast(tomb), on="row_id", how="left_anti")
+        return art
+
+    def refresh(self) -> None:
+        self.meta = self.catalog.load(self.meta.name)
+
+    # ---- search surface (overridden) ----
+    def search(self, query: Sequence[float], k: int, **kw) -> DataFrame:
+        """(row_id, _distance) of the k nearest, ascending."""
+        return self.search_batch([list(query)], k, **kw).drop("query_idx")
+
+    def search_batch(self, queries: list[Sequence[float]], k: int, **kw) -> DataFrame:
+        raise NotImplementedError
+
+    def _dequant_args(self) -> dict | None:
+        if self.meta.quantized:
+            return {
+                "mins": self.meta.extra["sq8_mins"],
+                "scales": self.meta.extra["sq8_scales"],
+            }
+        return None

@@ -1,0 +1,201 @@
+"""DISKANN-equivalent graph index over Spark.
+
+Artifact: parquet ``(label int, row_id long, vector array<float>,
+neighbors array<int>)`` + entry point in the catalog metadata — the
+DataFrame rendering of the DANN v2 layout (flat vector block + fixed-width
+adjacency + entry points, ``/root/reference/rust_lib/src/file_format.rs:3-18``).
+
+Build: driver-side numpy Vamana for moderate N (the reference also builds
+in-RAM, single-threaded — ``src/diskann_index.cpp:202-300``); the
+out-of-core path (pilot sample + streamed inserts,
+``rust_lib/src/streaming_build.rs:42-122``) is exposed as
+``streaming_build`` and builds the pilot on a sample then inserts the
+remainder per partition.
+
+Search: executor-cached graph + greedy beam search with
+``L = max(k, search_complexity or build_complexity)``; batch queries run as
+``mapInPandas`` over the query set so probes distribute across the cluster.
+Tombstone compensation: over-fetch ``k + num_deleted`` then filter
+(``src/diskann_index.cpp:558-592``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.catalog import Catalog, IndexMeta
+from duckdb_annsearch_spark.index import cache as index_cache
+from duckdb_annsearch_spark.index import kernels
+from duckdb_annsearch_spark.index.base import BaseIndex, with_labels
+from duckdb_annsearch_spark.index.vamana import (
+    DEFAULT_ALPHA,
+    DEFAULT_BUILD_COMPLEXITY,
+    DEFAULT_MAX_DEGREE,
+    NO_NEIGHBOR,
+    VamanaGraph,
+    build_vamana,
+    pad_neighbors,
+)
+
+
+def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
+    """Load a graph artifact into numpy (pyarrow, no Spark needed — runs in
+    executor python workers)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by("label")
+    vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
+    nb_lists = t.column("neighbors").to_pylist()
+    neighbors = [
+        np.asarray([x for x in nb if x != NO_NEIGHBOR], dtype=np.int64)
+        if nb is not None
+        else np.empty(0, dtype=np.int64)
+        for nb in nb_lists
+    ]
+    row_ids = np.asarray(t.column("row_id").to_pylist(), dtype=np.int64)
+    meta = t.schema.metadata or {}
+    ep = int(meta.get(b"entry_point", b"0"))
+    metric = meta.get(b"metric", b"l2").decode()
+    return VamanaGraph(vectors, neighbors, ep, metric, row_ids), row_ids
+
+
+class GraphIndex(BaseIndex):
+    TYPE = "diskann"
+
+    @classmethod
+    def build(
+        cls,
+        catalog: Catalog,
+        meta: IndexMeta,
+        df: DataFrame,
+        row_id_col: str,
+        vector_col: str,
+    ) -> "GraphIndex":
+        p = meta.params
+        max_degree = int(p.get("max_degree", p.get("hnsw_m", DEFAULT_MAX_DEGREE)))
+        build_L = int(p.get("build_complexity", DEFAULT_BUILD_COMPLEXITY))
+        alpha = float(p.get("alpha", DEFAULT_ALPHA))
+        art = with_labels(df, row_id_col, vector_col)
+        rows = art.orderBy("label").collect()
+        vectors = np.asarray([r["vector"] for r in rows], dtype=np.float32)
+        row_ids = np.asarray([r["row_id"] for r in rows], dtype=np.int64)
+        g = build_vamana(vectors, meta.metric, max_degree, build_L, alpha)
+        cls._write_artifact(catalog, meta, g, row_ids, max_degree)
+        meta.extra["entry_point"] = g.entry_point
+        meta.num_vectors = int(vectors.shape[0])
+        catalog.save(meta)
+        return cls(catalog, meta)
+
+    @staticmethod
+    def _write_artifact(
+        catalog: Catalog,
+        meta: IndexMeta,
+        g: VamanaGraph,
+        row_ids: np.ndarray,
+        max_degree: int,
+    ) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+
+        n = g.vectors.shape[0]
+        padded = pad_neighbors(list(g.neighbors), max_degree) if n else np.zeros((0, max_degree))
+        table = pa.table(
+            {
+                "label": pa.array(np.arange(n, dtype=np.int32)),
+                "row_id": pa.array(row_ids.astype(np.int64)),
+                "vector": pa.array(
+                    [g.vectors[i] for i in range(n)], type=pa.list_(pa.float32())
+                ),
+                "neighbors": pa.array(
+                    [[int(x) for x in padded[i] if x != NO_NEIGHBOR] for i in range(n)],
+                    type=pa.list_(pa.int32()),
+                ),
+            }
+        ).replace_schema_metadata(
+            {"entry_point": str(g.entry_point), "metric": meta.metric}
+        )
+        path = catalog.data_path(meta.name)
+        os.makedirs(path, exist_ok=True)
+        # single-file artifact; at cluster scale this becomes partitioned
+        # subgraph files (see streaming_build)
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
+        pq.write_table(table, os.path.join(path, "graph.parquet"))
+
+    def artifact(self) -> DataFrame:
+        return self.spark.read.parquet(self.catalog.data_path(self.meta.name))
+
+    # ---- search ----
+    def _beam(self) -> int:
+        return int(self.meta.params.get("build_complexity", DEFAULT_BUILD_COMPLEXITY))
+
+    def _deleted_rowids(self) -> set[int]:
+        if self.meta.num_deleted <= 0:
+            return set()
+        return {
+            r["row_id"] for r in self.catalog.tombstones(self.meta.name).collect()
+        }
+
+    def search_batch(
+        self,
+        queries: list[Sequence[float]],
+        k: int,
+        search_complexity: int | None = None,
+        **kw,
+    ) -> DataFrame:
+        L = max(k, int(search_complexity or self._beam()))
+        deleted = self._deleted_rowids()
+        overfetch = k + len(deleted)
+        path = self.catalog.data_path(self.meta.name)
+        qpdf = pd.DataFrame(
+            {
+                "query_idx": np.arange(len(queries), dtype=np.int32),
+                "query": [np.asarray(q, dtype=np.float32) for q in queries],
+            }
+        )
+        qdf = self.spark.createDataFrame(qpdf)
+        n_parts = min(len(queries), 32) or 1
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            g, row_ids = index_cache.get_or_load(path, _load_graph)
+            for pdf in batches:
+                outs = []
+                for _, row in pdf.iterrows():
+                    labels, dists = g.beam_search(
+                        np.asarray(row["query"], dtype=np.float32),
+                        overfetch,
+                        max(L, overfetch),
+                    )
+                    rids = row_ids[labels]
+                    if deleted:
+                        keep = ~np.isin(rids, list(deleted))
+                        rids, dists = rids[keep], dists[keep]
+                    rids, dists = rids[:k], dists[:k]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_idx": np.full(
+                                    len(rids), row["query_idx"], dtype=np.int32
+                                ),
+                                "row_id": rids.astype(np.int64),
+                                "_distance": dists.astype(np.float32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return (
+            qdf.repartition(n_parts)
+            .mapInPandas(probe, kernels.PROBE_SCHEMA)
+        )
+
+    def search(self, query: Sequence[float], k: int, **kw) -> DataFrame:
+        return self.search_batch([list(query)], k, **kw).drop("query_idx")

@@ -1,0 +1,188 @@
+"""Pure-numpy Vamana (DiskANN-style) graph build + greedy beam search.
+
+Algorithm parity with the reference's patched Microsoft DiskANN crate:
+
+* insert = greedy search for visited set -> RobustPrune -> bidirectional
+  edges, re-pruning overfull neighbors
+  (``/root/reference/rust_lib/diskann-patch/src/graph/index.rs:348-478``);
+* RobustPrune with occlusion factor alpha
+  (``.../graph/index.rs:3185-3239``);
+* defaults max_degree(R)=64, build_complexity(L)=128, alpha=1.2
+  (``/root/reference/src/include/diskann_index.hpp:21-26``);
+* search beam width L = max(k, search_complexity or build_complexity)
+  (``/root/reference/rust_lib/src/index_manager.rs:344-349``);
+* entry point = medoid (closest point to the centroid).
+
+This module is plain library code that runs EITHER on the driver (small
+builds, single-query probes) or inside executor python workers
+(``mapInPandas`` batch probes with a process-level graph cache) — the same
+role the Rust core plays for the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_MAX_DEGREE = 64
+DEFAULT_BUILD_COMPLEXITY = 128
+DEFAULT_ALPHA = 1.2
+NO_NEIGHBOR = -1
+
+
+def _dists(metric: str, x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Distances from q (dim,) to rows of x (n, dim); lower = better."""
+    if metric == "ip":
+        return -(x @ q)
+    if metric == "cosine":
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        qn = q / max(np.linalg.norm(q), 1e-30)
+        return 1.0 - xn @ qn
+    d = x - q
+    return np.einsum("ij,ij->i", d, d)
+
+
+class VamanaGraph:
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        neighbors: list[np.ndarray] | np.ndarray,
+        entry_point: int,
+        metric: str = "l2",
+        row_ids: np.ndarray | None = None,
+    ):
+        self.vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        self.neighbors = neighbors  # list of int arrays, or padded 2-D array
+        self.entry_point = int(entry_point)
+        self.metric = metric
+        self.row_ids = row_ids
+
+    def _nbrs(self, label: int) -> np.ndarray:
+        nb = self.neighbors[label]
+        if isinstance(self.neighbors, np.ndarray):
+            return nb[nb != NO_NEIGHBOR]
+        return nb
+
+    def beam_search(
+        self, query: np.ndarray, k: int, L: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Greedy best-first search; returns (labels, distances) of top-k.
+
+        Mirrors the visited-set + bounded candidate pool loop of
+        ``rust_lib/src/provider.rs:442-518``.
+        """
+        L = max(L, k)
+        q = np.asarray(query, dtype=np.float32)
+        visited: set[int] = set()
+        ep = self.entry_point
+        d0 = float(_dists(self.metric, self.vectors[ep : ep + 1], q)[0])
+        # pool: sorted arrays of (dist, label), capped at L
+        pool_d = np.array([d0], dtype=np.float32)
+        pool_l = np.array([ep], dtype=np.int64)
+        expanded: set[int] = set()
+        while True:
+            # closest unexpanded candidate
+            nxt = -1
+            for i in range(len(pool_l)):
+                if pool_l[i] not in expanded:
+                    nxt = i
+                    break
+            if nxt < 0:
+                break
+            cur = int(pool_l[nxt])
+            expanded.add(cur)
+            nbrs = [n for n in self._nbrs(cur) if n not in visited]
+            if nbrs:
+                visited.update(nbrs)
+                nbrs = np.asarray(nbrs, dtype=np.int64)
+                nd = _dists(self.metric, self.vectors[nbrs], q)
+                pool_d = np.concatenate([pool_d, nd.astype(np.float32)])
+                pool_l = np.concatenate([pool_l, nbrs])
+                order = np.argsort(pool_d, kind="stable")[:L]
+                pool_d, pool_l = pool_d[order], pool_l[order]
+        top = min(k, len(pool_l))
+        return pool_l[:top], pool_d[:top]
+
+
+def robust_prune(
+    p: int,
+    candidates: np.ndarray,
+    cand_dists: np.ndarray,
+    vectors: np.ndarray,
+    alpha: float,
+    max_degree: int,
+    metric: str,
+) -> np.ndarray:
+    """DiskANN RobustPrune: pick closest, occlude its alpha-shadow, repeat."""
+    order = np.argsort(cand_dists, kind="stable")
+    cands = candidates[order]
+    cands = cands[cands != p]
+    dists = np.sort(cand_dists, kind="stable")[: len(cands) + 1][: len(cands)]
+    alive = np.ones(len(cands), dtype=bool)
+    out: list[int] = []
+    for i in range(len(cands)):
+        if not alive[i]:
+            continue
+        pstar = int(cands[i])
+        out.append(pstar)
+        if len(out) >= max_degree:
+            break
+        rest = np.where(alive)[0]
+        rest = rest[rest > i]
+        if len(rest) == 0:
+            continue
+        d_pstar = _dists(metric, vectors[cands[rest]], vectors[pstar])
+        # v is occluded when alpha * d(p*, v) <= d(p, v)
+        alive[rest[alpha * d_pstar <= dists[rest]]] = False
+    return np.asarray(out, dtype=np.int64)
+
+
+def build_vamana(
+    vectors: np.ndarray,
+    metric: str = "l2",
+    max_degree: int = DEFAULT_MAX_DEGREE,
+    build_complexity: int = DEFAULT_BUILD_COMPLEXITY,
+    alpha: float = DEFAULT_ALPHA,
+    seed: int = 42,
+) -> VamanaGraph:
+    """Sequential Vamana construction (the reference inserts one-by-one too —
+    ``src/diskann_index.cpp:202-300``)."""
+    x = np.ascontiguousarray(vectors, dtype=np.float32)
+    n = x.shape[0]
+    if n == 0:
+        return VamanaGraph(x, [], 0, metric)
+    mean = x.mean(axis=0)
+    medoid = int(np.argmin(_dists("l2", x, mean)))
+    g = VamanaGraph(x, [np.empty(0, dtype=np.int64) for _ in range(n)], medoid, metric)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n)
+    slack = int(max_degree * 1.3)  # graph slack 1.3x (defaults.rs:14-34)
+    for p in order:
+        p = int(p)
+        if p == medoid and len(g.neighbors[medoid]) == 0 and n > 1:
+            pass  # medoid participates like any node
+        labels, dists = g.beam_search(x[p], build_complexity, build_complexity)
+        if len(labels) == 0 or (len(labels) == 1 and labels[0] == p):
+            continue
+        nbrs = robust_prune(p, labels, dists, x, alpha, max_degree, metric)
+        g.neighbors[p] = nbrs
+        for nb in nbrs:
+            nb = int(nb)
+            cur = g.neighbors[nb]
+            if p in cur:
+                continue
+            cur = np.append(cur, p)
+            if len(cur) > slack:
+                cd = _dists(metric, x[cur], x[nb])
+                cur = robust_prune(nb, cur, cd, x, alpha, max_degree, metric)
+            g.neighbors[nb] = cur
+    return g
+
+
+def pad_neighbors(neighbors: list[np.ndarray], max_degree: int) -> np.ndarray:
+    """Fixed-width adjacency with -1 padding — the DANN file layout uses
+    u32::MAX sentinel padding (``rust_lib/src/file_format.rs:3-18``)."""
+    out = np.full((len(neighbors), max_degree), NO_NEIGHBOR, dtype=np.int64)
+    for i, nb in enumerate(neighbors):
+        m = min(len(nb), max_degree)
+        out[i, :m] = nb[:m]
+    return out

@@ -1,0 +1,119 @@
+"""ann_search_batch / ann_search_table / topk optimizer-gate semantics
+(reference test/sql/ann_search_table.test, diskann_optimizer.test,
+faiss_optimizer.test)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_vectors_df
+
+DOCS = [
+    (1, [1, 0, 0]),
+    (2, [0, 1, 0]),
+    (3, [0, 0, 1]),
+    (4, [0.5, 0.5, 0]),
+    (5, [0, 0.5, 0.5]),
+]
+
+
+def _setup(engine, index_type="Flat"):
+    df = make_vectors_df(engine.spark, DOCS, vec_col="embedding")
+    engine.register_table("docs", df, row_id="id")
+    engine.create_index("idx", "docs", "embedding", engine="faiss", index_type=index_type)
+    return df
+
+
+def test_batch_query_idx_semantics(engine):
+    _setup(engine)
+    res = engine.ann_search_batch(
+        "docs", "idx", [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], k=2
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_idx"], []).append(r["id"])
+    assert by_q[0] == [1, 4]
+    assert by_q[1] == [3, 5]
+
+
+def test_search_table_passthrough_and_dedup(engine):
+    _setup(engine)
+    qdf = engine.spark.createDataFrame(
+        [(101, "a", [1.0, 0.0, 0.0]), (102, "b", [0.0, 1.0, 0.0])],
+        "id int, tag string, q array<float>",
+    )
+    out = engine.ann_search_table(qdf, "docs", "idx", k=1)
+    # input cols pass through; base 'id' collides -> 'docs_id' prefix,
+    # non-colliding base cols keep their names (src/ann_search.cpp:505-527)
+    assert out.columns == ["id", "tag", "q", "docs_id", "embedding", "_distance"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[101]["docs_id"] == 1 and rows[101]["_distance"] == 0.0
+    assert rows[102]["docs_id"] == 2
+
+
+def test_search_table_autodetects_first_numeric_array(engine):
+    _setup(engine)
+    qdf = engine.spark.createDataFrame(
+        [("x", [1.0, 0.0, 0.0])], "name string, vec array<float>"
+    )
+    out = engine.ann_search_table(qdf, "docs", "idx", k=1).collect()
+    assert out[0]["id"] == 1  # no collision -> base 'id' keeps its name
+
+
+def test_topk_brute_force_no_index(engine):
+    df = make_vectors_df(engine.spark, DOCS, vec_col="embedding")
+    engine.register_table("docs", df, row_id="id")
+    info = {}
+    res = engine.topk("docs", [1.0, 0.0, 0.0], k=2, explain=info).collect()
+    assert not info["rewritten"] and "no metric-compatible index" in info["reason"]
+    assert [r["id"] for r in res] == [1, 4]
+
+
+def test_topk_gate_small_table_skips_index(engine):
+    _setup(engine)  # 5 rows < 50
+    info = {}
+    res = engine.topk("docs", [1.0, 0.0, 0.0], k=2, explain=info).collect()
+    assert not info["rewritten"] and "too small" in info["reason"]
+    assert [r["id"] for r in res] == [1, 4]
+
+
+def test_topk_gate_large_k_skips_index(engine):
+    rows = [(i, [float(i % 7), float(i % 5), float(i % 3)]) for i in range(100)]
+    df = make_vectors_df(engine.spark, rows, vec_col="embedding")
+    engine.register_table("big", df, row_id="id")
+    engine.create_index("bidx", "big", engine="faiss", index_type="Flat")
+    info = {}
+    engine.topk("big", [0.0, 0.0, 0.0], k=50, explain=info)  # 50 > 10% of 100
+    assert not info["rewritten"] and "10%" in info["reason"]
+    info2 = {}
+    engine.topk("big", [0.0, 0.0, 0.0], k=5, explain=info2)
+    assert info2["rewritten"] and "ANN_INDEX_SCAN" in info2["reason"]
+
+
+def test_topk_cosine_never_rewrites(engine):
+    rows = [(i, [float(i % 7) + 0.1, float(i % 5), float(i % 3)]) for i in range(100)]
+    df = make_vectors_df(engine.spark, rows, vec_col="embedding")
+    engine.register_table("big", df, row_id="id")
+    engine.create_index("bidx", "big", engine="faiss", index_type="Flat", metric="cosine")
+    info = {}
+    engine.topk("big", [1.0, 0.0, 0.0], k=5, metric="cosine", explain=info)
+    assert not info["rewritten"]  # src/ann_optimizer.cpp:237-258
+
+
+def test_topk_filtered_overfetch(engine):
+    rows = [(i, [float(i), 0.0, 0.0]) for i in range(100)]
+    df = make_vectors_df(engine.spark, rows, vec_col="embedding").withColumn(
+        "category", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    engine.register_table("prod", df, row_id="id")
+    engine.create_index("pidx", "prod", "embedding", engine="faiss", index_type="Flat")
+    res = engine.topk_filtered(
+        "prod", F.col("category") == "odd", [0.0, 0.0, 0.0], k=3
+    ).collect()
+    assert [r["id"] for r in res] == [1, 3, 5]
+
+
+def test_index_scan_raw(engine):
+    _setup(engine)
+    res = engine.index_scan("idx", [1.0, 0.0, 0.0], k=2).collect()
+    assert res[0]["row_id"] == 1 and res[0]["distance"] == 0.0
+    assert set(engine.index_scan("idx", [1.0, 0.0, 0.0], 2).columns) == {"row_id", "distance"}
