@@ -240,10 +240,107 @@ class AnnEngine:
         staged.unpersist()
         return rebuilt
 
+    # ------------------------------------------------------------ fts/hybrid
+    def create_fts_index(self, name: str, table: str, id_col: str, text_col: str):
+        """Engine-owned FTS artifact backing hybrid_search (the reference
+        requires DuckDB's FTS extension index — ours is postings+doclens
+        parquet; see operators/fts.py for the documented semantics)."""
+        from duckdb_annsearch_spark.operators.fts import build_fts_artifacts
+
+        if self.catalog.exists(name):
+            raise ValueError(f"Index with name {name!r} already exists")
+        t = self.table(table)
+        postings, doclens = build_fts_artifacts(t.df, id_col, text_col)
+        meta = IndexMeta(
+            name=name,
+            engine="fts",
+            index_type="fts",
+            table_name=table,
+            column=text_col,
+            dim=0,
+            metric="bm25",
+        )
+        base = self.catalog.data_path(name)
+        postings.write.mode("overwrite").parquet(os.path.join(base, "postings"))
+        doclens.write.mode("overwrite").parquet(os.path.join(base, "doclens"))
+        dl = self.spark.read.parquet(os.path.join(base, "doclens"))
+        agg = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+        meta.extra["n_docs"] = int(agg["n"])
+        meta.extra["avgdl"] = float(agg["avgdl"] or 0.0)
+        meta.num_vectors = int(agg["n"])
+        meta.extra["id_col"] = id_col
+        self.catalog.save(meta)
+        return meta
+
+    def _fts_for_table(self, table: str):
+        for m in self.catalog.for_table(table):
+            if m.engine == "fts":
+                return m
+        return None
+
+    def hybrid_search(
+        self,
+        table: str,
+        index: str,
+        vector_col: str,
+        id_col: str,
+        query_vec: Sequence[float],
+        query_text: str,
+        k: int = 20,
+        bm25_weight: float = 0.3,
+        vector_weight: float = 0.7,
+        bm25_candidates: int = 50,
+        vector_candidates: int = 50,
+        search_complexity: int | None = None,
+    ) -> DataFrame:
+        """BM25 + vector + weighted RRF (``src/ann_search.cpp:894-1163``).
+        Output: table columns + _rrf_score, _bm25_rank, _vector_rank."""
+        from duckdb_annsearch_spark.operators.fts import bm25_scores, tokenize_py
+        from duckdb_annsearch_spark.operators.hybrid import rank_by, rrf_fuse
+
+        t = self.table(table)
+        idx = self.get_index(index)
+
+        vec_hits = idx.search(list(query_vec), vector_candidates, search_complexity=search_complexity)
+        vec_ranked = rank_by(
+            vec_hits, [F.col("_distance").asc(), F.col("row_id").asc()], "_vector_rank"
+        ).select("row_id", "_vector_rank")
+
+        bm25_ranked = None
+        fts = self._fts_for_table(table)
+        terms = tokenize_py(query_text or "")
+        if fts is not None and terms:
+            base = self.catalog.data_path(fts.name)
+            postings = self.spark.read.parquet(os.path.join(base, "postings"))
+            doclens = self.spark.read.parquet(os.path.join(base, "doclens"))
+            scores = bm25_scores(
+                postings, doclens, fts.extra["n_docs"], fts.extra["avgdl"], terms
+            )
+            top = scores.orderBy(
+                F.col("_bm25_score").desc(), F.col("doc_id").asc()
+            ).limit(bm25_candidates)
+            bm25_ranked = rank_by(
+                top.withColumnRenamed("doc_id", "row_id"),
+                [F.col("_bm25_score").desc(), F.col("row_id").asc()],
+                "_bm25_rank",
+            ).select("row_id", "_bm25_rank")
+
+        fused = rrf_fuse(bm25_ranked, vec_ranked, k, bm25_weight, vector_weight)
+        out = t.df.join(
+            F.broadcast(fused.withColumnRenamed("row_id", t.row_id)), on=t.row_id, how="inner"
+        )
+        return out.select(
+            *t.df.columns, "_rrf_score", "_bm25_rank", "_vector_rank"
+        ).orderBy(F.col("_rrf_score").desc(), F.col(t.row_id).asc())
+
     # --------------------------------------------------------------- listing
     def ann_list(self) -> DataFrame:
         """(name, engine, table_name) — ``src/ann_list.cpp:16-90``."""
-        rows = [(m.name, m.engine, m.table_name) for m in self.catalog.all()]
+        rows = [
+            (m.name, m.engine, m.table_name)
+            for m in self.catalog.all()
+            if m.engine != "fts"
+        ]
         schema = "name string, engine string, table_name string"
         return self.spark.createDataFrame(rows, schema).orderBy("name")
 
@@ -251,6 +348,8 @@ class AnnEngine:
         """Diagnostics per index — ``src/ann_list.cpp:92-221``."""
         rows = []
         for m in self.catalog.all():
+            if m.engine == "fts":
+                continue
             rows.append(
                 (
                     m.name,

@@ -1,0 +1,34 @@
+"""LLM-training-data pipeline operators (beyond-reference scope, SURVEY §7.1
+M9): deduplication, text analysis, similarity self-join, multimodal columns.
+
+All operators are pure DataFrame transforms built from JVM-side expressions
+(no Python UDFs in the hot paths) so they scale with the cluster.
+"""
+
+from duckdb_annsearch_spark.pipeline.text import (
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+)
+from duckdb_annsearch_spark.pipeline.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_signatures,
+    lsh_duplicate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+__all__ = [
+    "detect_language",
+    "doc_fingerprint",
+    "quality_score",
+    "token_count",
+    "exact_duplicates",
+    "minhash_signatures",
+    "lsh_duplicate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "embedding_neardup_pairs",
+]

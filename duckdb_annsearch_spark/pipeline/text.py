@@ -1,0 +1,103 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Cross-engine determinism contract: every numeric here is reproducible in
+ANSI-ish SQL (the DuckDB oracle) — token hashing is md5-based
+(``conv(substr(md5(t),1,15),16,10)`` == DuckDB ``('0x'||substr(md5(t),1,15))
+::BIGINT``), accumulation uses exact integer arithmetic mod small primes,
+and floating-point scores are computed in double then rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.operators.fts import tokenize
+
+HASH_MOD = 2147483647  # 2^31 - 1
+FP_MOD = 1000000007
+
+# tiny marker-word lists per language (n-gram/stopword heuristic; deliberately
+# small so the SQL oracle can replicate them verbatim)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_hash(tok: Column) -> Column:
+    """Deterministic 60-bit token hash reproducible in DuckDB SQL."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punctuation token count (BPE-ish regex split)."""
+    return F.size(tokenize(text))
+
+
+def detect_language(text: Column) -> Column:
+    """Best-scoring language by marker-word hits; ties break in the fixed
+    order en > es > de > fr; no hits -> 'und' (undetermined)."""
+    toks = tokenize(text)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    best_score = None
+    # fold in fixed priority order: strictly-greater wins, so earlier
+    # languages win ties
+    for lang in ("en", "es", "de", "fr"):
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1] from length / punctuation /
+    stopword / digit ratios (double arithmetic, rounded to 6 so the SQL
+    oracle hash-matches)."""
+    n_chars = F.length(text).cast("double")
+    toks = tokenize(text)
+    n_tokens = F.size(toks).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ).cast("double")
+    n_digits = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    ).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+
+    len_score = F.least(n_tokens / 100.0, F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digits / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    raw = (
+        0.4 * len_score
+        + 0.3 * F.least(stop_ratio * 3.0, F.lit(1.0))
+        + 0.15 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + 0.15 * (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0)))
+    )
+    return F.round(raw, 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling hash over tokens:
+    ``acc = (acc*31 + token_hash % FP_MOD) % FP_MOD`` — a content
+    fingerprint that (unlike a set hash) distinguishes permutations."""
+    hashes = F.transform(tokenize(text), lambda t: token_hash(t) % FP_MOD)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % FP_MOD,
+    )

@@ -1,0 +1,115 @@
+"""Pipeline operators: dedup, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.pipeline import dedup as D
+from duckdb_annsearch_spark.pipeline import text as X
+from duckdb_annsearch_spark.pipeline import multimodal as M
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "el gato y el perro en la casa de los abuelos"),
+        (6, "numbers 123 456 789 and punctuation !!! ??? ..."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = D.exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["doc_ids"] == [1, 2] and out[0]["dup_count"] == 2
+    kept = D.dedup_exact(docs, "text", "doc_id").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3, 4, 5, 6]
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: r["minhash"] for r in D.minhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == D.DEFAULT_NUM_HASHES
+
+
+def test_lsh_pairs_find_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.lsh_duplicate_pairs(docs, "text", "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "text", "doc_id").collect()}
+    assert sh[1] == sh[2]
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham < ham_far
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out  # near dup above 0.5
+    assert (1, 4) not in out
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_neardup_pairs(df, "embedding", "vec_id", 0.99).collect()}
+    assert exact == {(1, 2)}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           D.embedding_neardup_pairs_lsh(df, "embedding", "vec_id", 0.99, n_planes=8).collect()}
+    assert lsh == {(1, 2)}  # identical-direction vectors share every plane sign
+
+
+def test_text_analysis(docs):
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tok"),
+        X.detect_language(F.col("text")).alias("lang"),
+        X.quality_score(F.col("text")).alias("q"),
+        X.doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1]["n_tok"] == 9
+    assert out[1]["lang"] == "en"
+    assert out[5]["lang"] == "es"
+    assert 0.0 <= out[1]["q"] <= 1.0
+    assert out[1]["fp"] == out[2]["fp"] and out[1]["fp"] != out[3]["fp"]
+    # fingerprint is order-sensitive
+    rev = docs.where("doc_id = 1").select(
+        X.doc_fingerprint(F.lit("dog lazy the over jumps fox brown quick the")).alias("fp")
+    ).first()["fp"]
+    assert rev != out[1]["fp"]
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", b"\x89PNGfake", {"w": "640"}),
+        (2, "audio", b"RIFFfake", {"sr": "16000"}),
+        (3, "image", None, None),
+    ]
+    media = M.make_media_df(spark, rows)
+    feats = M.extract_features(media).collect()
+    assert {r["media_id"] for r in feats} == {1, 2, 3}
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in feats)
+    # deterministic fake: same payload -> same features
+    again = M.extract_features(media).collect()
+    assert sorted(map(tuple, (r["feature"] for r in feats))) == sorted(
+        map(tuple, (r["feature"] for r in again))
+    )
+    resized = M.resize_images(media, 224, 224).collect()
+    assert all((r["meta"] or {}).get("resized") == "224x224" for r in resized)
+    frames = M.sample_frames(media, every_n=10).collect()
+    assert len(frames) == 9
+    assert {r["frame_idx"] for r in frames} == {0, 10, 20}
