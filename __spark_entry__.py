@@ -1,38 +1,841 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers the SURVEY.md §2 operator inventory; each entry has a
+DuckDB ``oracle_sql()`` twin unless the operator is inherently approximate
+(graph-index search), where the driver records a rows-only check.
+
+Cross-engine determinism rules used throughout (see
+duckdb_annsearch_spark/pipeline/text.py):
+  * float outputs are computed in DOUBLE with deterministic left-folds,
+    rounded to 6 decimals (both engines produce the correctly-rounded,
+    hence bit-identical, double) with -0.0 folded to +0.0;
+  * money aggregates use exact integer-cents BIGINT arithmetic (the money
+    columns are 2-decimal), divided back to doubles only at the end;
+  * hashes are md5-based: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+    DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``;
+  * every computed column is aliased identically in both engines;
+  * ties break on id columns in both engines.
 """
 
 from __future__ import annotations
 
+import random
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- constants
+
+HASH_MOD = 2147483647
+FP_MOD = 1000000007
+NUM_MINHASH = 16
+LSH_BANDS = 4
+SIMHASH_BITS = 32
+JACCARD_T = 0.5
+NEARDUP_T = 0.45
+HYBRID_TERMS = ["fast", "query", "join", "window", "sort"]
+
+_rng = random.Random(42)
+MINHASH_AB = [
+    (_rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD))
+    for _ in range(NUM_MINHASH)
+]
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+}
+
+# ---------------------------------------------------------------- helpers
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _read(spark, sf_dir, "embeddings").where(F.col("vec_id") == vec_id).first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_ENGINE_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _engine_for(spark: SparkSession, sf_dir: str):
+    """AnnEngine with Flat/IVF/graph/FTS indexes built once per process+sf."""
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    key = (id(spark), sf_dir)
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    eng = AnnEngine(spark, workdir=tempfile.mkdtemp(prefix="ann_entry_"))
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = _read(spark, sf_dir, "documents")
+    eng.register_table("embeddings", emb, row_id="vec_id")
+    chunks = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    eng.register_table("chunks", chunks, row_id="doc_id")
+    eng.create_index("emb_flat", "embeddings", "embedding", engine="faiss", index_type="Flat")
+    eng.create_index(
+        "emb_ivf", "embeddings", "embedding", engine="faiss", index_type="IVFFlat",
+        ivf_nlist=8, nprobe=8,
+    )
+    eng.create_index("emb_graph", "embeddings", "embedding", engine="diskann")
+    eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text")
+    _ENGINE_CACHE[key] = eng
+    return eng
+
+
+def _dec(col, prec=18, scale=6):
+    """Canonical float output: round in double — both engines produce the
+    correctly-rounded (hence bit-identical) double, which any reasonable
+    value-hash canonicalization then agrees on. ``+ 0.0`` folds -0.0 to
+    +0.0 (DuckDB's 1.0 - x can yield -0.0 where Spark yields 0.0)."""
+    return F.round(col.cast("double"), scale) + F.lit(0.0)
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents from a 2-decimal DOUBLE column — identical
+    BIGINT in Spark and DuckDB, so money sums are exact in both."""
+    return F.round(col.cast("double") * 100).cast("long")
+
+
+def _f64(col):
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col
+
+
+def _fold_sum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+def _sqdist64(vec_col: str, q: list[float]):
+    qc = F.array(*[F.lit(float(v)) for v in q]).cast("array<double>")
+    return _fold_sum(
+        F.zip_with(_f64(vec_col), qc, lambda x, y: (x - y) * (x - y))
+    )
+
+
+def _dot64(vec_col: str, q: list[float]):
+    qc = F.array(*[F.lit(float(v)) for v in q]).cast("array<double>")
+    return _fold_sum(F.zip_with(_f64(vec_col), qc, lambda x, y: x * y))
+
+
+def _norm64(arr):
+    return F.sqrt(_fold_sum(F.transform(arr, lambda x: x * x)))
+
+
+# DuckDB SQL fragments -------------------------------------------------------
+
+_SQL_TOKS = "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
+_SQL_HASH = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def _sql_sqdist(e: str, q: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({e})+1), "
+        f"i -> ({e}[i]::DOUBLE - {q}[i]::DOUBLE) * ({e}[i]::DOUBLE - {q}[i]::DOUBLE)))"
+    )
+
+
+def _sql_dot(e: str, q: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({e})+1), "
+        f"i -> {e}[i]::DOUBLE * {q}[i]::DOUBLE))"
+    )
+
+
+def _sql_norm(e: str) -> str:
+    return f"sqrt(list_sum(list_transform({e}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+_SQL_SHINGLES = (
+    "CASE WHEN len({tk}) >= 3 THEN list_distinct(list_transform("
+    "range(1, len({tk}) - 1), i -> {tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2]"
+    ")) ELSE [] END"
+)
+
+
+def _sql_minhash_sig() -> str:
+    """sig as comma-joined string over the shared (a,b) parameter list."""
+    toks = _SQL_TOKS.format(t="text")
+    sh = _SQL_SHINGLES.format(tk="tk")
+    h = _SQL_HASH.format(s="s") + f" % {HASH_MOD}"
+    parts = [
+        f"coalesce(list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {HASH_MOD})), {HASH_MOD})::VARCHAR"
+        for a, b in MINHASH_AB
+    ]
+    joined = " || ',' || ".join(parts)
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS tk FROM documents),
+    sh AS (SELECT doc_id, {sh} AS shs FROM tok),
+    hh AS (SELECT doc_id, list_transform(shs, s -> {h}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, {joined} AS minhash FROM hh)
+    """
+
+
+# ---------------------------------------------------------------- queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact top-10 nearest neighbors in the embeddings table
+    (the reference's headline query, README.md:16)."""
+    sf_dir = "/root/testdata/sf0.001"
+    q = _qvec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    d = _sqdist64("embedding", q)
+    return (
+        emb.select("vec_id", d.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_d")).alias("_distance"))
+    )
+
+
+# ---- ANN / vector search ----
+
+
+def q_topk_l2(spark, sf_dir):
+    q = _qvec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    d = _sqdist64("embedding", q)
+    return (
+        emb.select("vec_id", d.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_d")).alias("_distance"))
+    )
+
+
+def q_topk_ip(spark, sf_dir):
+    q = _qvec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    d = -_dot64("embedding", q)
+    return (
+        emb.select("vec_id", d.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_d")).alias("_distance"))
+    )
+
+
+def q_topk_cosine(spark, sf_dir):
+    q = _qvec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    arr = _f64("embedding")
+    qn = sum(x * x for x in q) ** 0.5
+    d = F.lit(1.0) - _dot64("embedding", q) / (_norm64(arr) * F.lit(qn))
+    return (
+        emb.select("vec_id", d.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_d")).alias("_distance"))
+    )
+
+
+def q_vector_distances(spark, sf_dir):
+    q = _qvec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", _dec(_sqdist64("embedding", q)).alias("_distance")
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """ann_search_table semantics by pure composition: 5 query rows x base,
+    rank per query (SURVEY §2.2 S5)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    d = _fold_sum(
+        F.zip_with(
+            _f64("embedding"), F.col("qv").cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .select("qid", "vec_id", d.alias("_d"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", "vec_id", "rank")
+    )
+
+
+def q_ann_search_flat(spark, sf_dir):
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "emb_flat", q, k=10)
+    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    return hits.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def q_ann_batch_flat(spark, sf_dir):
+    eng = _engine_for(spark, sf_dir)
+    qs = [_qvec(spark, sf_dir, i) for i in (0, 1, 2)]
+    hits = eng.ann_search_batch("embeddings", "emb_flat", qs, k=5)
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("_distance").asc(), F.col("vec_id").asc()
+    )
+    return hits.select(
+        "query_idx", "vec_id", F.row_number().over(w).alias("rank")
+    )
+
+
+def q_ivf_full_probe(spark, sf_dir):
+    """IVFFlat with nprobe == nlist is exhaustive -> exact, oracle-checkable."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "emb_ivf", q, k=10)
+    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    return hits.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def q_graph_topk(spark, sf_dir):
+    """DiskANN graph search — approximate; no oracle (rows-only check)."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "emb_graph", q, k=10)
+    return hits.select("vec_id")
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """BM25 + f64 vector ranks + weighted RRF (engine FTS + rrf_fuse)."""
+    from duckdb_annsearch_spark.operators.hybrid import rrf_fuse
+
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    t = eng.table("chunks")
+    d = _sqdist64("embedding", q)
+    vec_ranked = (
+        t.df.select(F.col("doc_id").alias("row_id"), F.round(d, 9).alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("row_id").asc())
+        .limit(50)
+        .withColumn(
+            "_vector_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("_d").asc(), F.col("row_id").asc())
+            ),
+        )
+        .select("row_id", "_vector_rank")
+    )
+    import os
+
+    from duckdb_annsearch_spark.operators.fts import bm25_scores
+
+    fts = eng.catalog.load("chunks_fts")
+    base = eng.catalog.data_path("chunks_fts")
+    postings = spark.read.parquet(os.path.join(base, "postings"))
+    doclens = spark.read.parquet(os.path.join(base, "doclens"))
+    scores = bm25_scores(
+        postings, doclens, fts.extra["n_docs"], fts.extra["avgdl"], HYBRID_TERMS
+    )
+    bm25_ranked = (
+        scores.withColumn("_s", F.round(F.col("_bm25_score"), 9))
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn(
+            "_bm25_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select(F.col("doc_id").alias("row_id"), "_bm25_rank")
+    )
+    fused = rrf_fuse(bm25_ranked, vec_ranked, 10, 0.3, 0.7)
+    return fused.select(
+        F.col("row_id").alias("doc_id"),
+        "_bm25_rank",
+        "_vector_rank",
+        _dec(F.col("_rrf_score").cast("double")).alias("_rrf_score"),
+    )
+
+
+# ---- dedup / text pipeline ----
+
+
+def q_dedup_exact(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.dedup import dedup_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("doc_id")
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.dedup import minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", NUM_MINHASH)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col("minhash")[i].cast("string") for i in range(NUM_MINHASH)]
+        ).alias("minhash"),
+    )
+
+
+def q_lsh_pairs(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.dedup import lsh_duplicate_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return lsh_duplicate_pairs(docs, "text", "doc_id", NUM_MINHASH, LSH_BANDS)
+
+
+def q_simhash(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.dedup import simhash
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", SIMHASH_BITS)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", JACCARD_T)
+    return out.select("doc_a", "doc_b", _dec(F.col("jaccard"), 9, 6).alias("jaccard"))
+
+
+def q_neardup_embeddings(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, "embedding", "vec_id", NEARDUP_T)
+    return out.select("id_a", "id_b", _dec(F.col("cos"), 9, 6).alias("cos"))
+
+
+def q_langid(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.text import detect_language
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language(F.col("text")).alias("lang"))
+
+
+def q_doc_stats(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        _dec(quality_score(F.col("text")), 9, 6).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+# ---- relational shell (Spark built-ins; SURVEY §2.4) ----
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary in exact integer-cents arithmetic
+    (all money columns are 2-decimal; sums are exact BIGINT in both engines,
+    divided back to doubles only at the end)."""
+    li = _read(spark, sf_dir, "lineitem")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_pct)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_pct) * (100 + tax_pct)).cast("double") / 1000000).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev_u = _cents(F.col("l_extendedprice")) * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum(rev_u).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "revenue")
+    )
+
+
+def _read_events(spark, sf_dir):
+    # the events parquet uses TIMESTAMP(NANOS) which Spark only reads via
+    # the legacy nanos-as-long conf; queries below use integer nanos directly
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_top_by_user(spark, sf_dir):
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("value").cast("double").alias("value"))
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap splits sessions (window lag +
+    running sum — the Spark shape of stateful session assignment).
+    ``ts`` arrives as LONG nanos (see _read_events); gap compares micros."""
+    ev = _read_events(spark, sf_dir)
+    ts_us = (F.col("ts").cast("long") / 1000).cast("long")
+    ev = ev.withColumn("_us", ts_us)
+    w = Window.partitionBy("user_id").orderBy(F.col("_us").asc(), F.col("event_id").asc())
+    gap = F.when(F.col("_us") - F.lag(F.col("_us")).over(w) > 1800000000, 1).otherwise(0)
+    sess = F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select("event_id", "user_id", sess.cast("long").alias("session_seq"))
+
+
+def q_event_type_stats(spark, sf_dir):
+    ev = _read_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "topk_l2": q_topk_l2,
+        "topk_ip": q_topk_ip,
+        "topk_cosine": q_topk_cosine,
+        "vector_distances": q_vector_distances,
+        "knn_join": q_knn_join,
+        "ann_search_flat": q_ann_search_flat,
+        "ann_batch_flat": q_ann_batch_flat,
+        "ivf_full_probe": q_ivf_full_probe,
+        "graph_topk": q_graph_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "neardup_embeddings": q_neardup_embeddings,
+        "langid": q_langid,
+        "doc_stats": q_doc_stats,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "events_top_by_user": q_events_top_by_user,
+        "events_sessionize": q_events_sessionize,
+        "event_type_stats": q_event_type_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------- oracles
+
+
+def _brute_topk_sql(dist_expr: str, k: int = 10) -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, {dist_expr} AS _d FROM embeddings e, q)
+    SELECT vec_id, CAST(round(_d, 6) + 0.0 AS DOUBLE) AS _distance
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT {k}
     """
-    return {}
+
+
+def _brute_rank_sql(k: int = 10) -> str:
+    d = _sql_sqdist("e.embedding", "q.qv")
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, {d} AS _d FROM embeddings e, q)
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sq = _sql_sqdist("e.embedding", "q.qv")
+    dot = _sql_dot("e.embedding", "q.qv")
+    cos_d = f"(1.0 - {dot} / ({_sql_norm('e.embedding')} * {_sql_norm('q.qv')}))"
+    toks = _SQL_TOKS.format(t="text")
+    oracles: dict[str, str] = {}
+
+    oracles["topk_l2"] = _brute_topk_sql(sq)
+    oracles["topk_ip"] = _brute_topk_sql(f"-({dot})")
+    oracles["topk_cosine"] = _brute_topk_sql(cos_d)
+    oracles["vector_distances"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id, CAST(round({sq}, 6) + 0.0 AS DOUBLE) AS _distance
+    FROM embeddings e, q
     """
-    return {}
+    d_qe = _sql_sqdist("e.embedding", "f.embedding")
+    oracles["knn_join"] = f"""
+    WITH pairs AS (
+      SELECT f.vec_id AS qid, e.vec_id AS vec_id, {d_qe} AS _d
+      FROM embeddings f CROSS JOIN embeddings e WHERE f.vec_id < 5
+    )
+    SELECT qid, vec_id, CAST(rn AS INT) AS rank FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY _d ASC, vec_id ASC) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    """
+    oracles["ann_search_flat"] = _brute_rank_sql(10)
+    d_qf = _sql_sqdist("e.embedding", "f.embedding")
+    oracles["ann_batch_flat"] = f"""
+    WITH pairs AS (
+      SELECT f.vec_id AS query_idx, e.vec_id AS vec_id, {d_qf} AS _d
+      FROM embeddings f CROSS JOIN embeddings e WHERE f.vec_id < 3
+    )
+    SELECT CAST(query_idx AS INT) AS query_idx, vec_id, CAST(rn AS INT) AS rank FROM (
+      SELECT query_idx, vec_id,
+             row_number() OVER (PARTITION BY query_idx ORDER BY _d ASC, vec_id ASC) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """
+    oracles["ivf_full_probe"] = _brute_rank_sql(10)
+    # graph_topk: no oracle — approximate (driver records rows-only check)
+
+    qterms = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+    oracles["hybrid_rrf"] = f"""
+    WITH chunks AS (
+      SELECT d.doc_id AS doc_id, d.text AS text, e.embedding AS embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vd AS (SELECT c.doc_id, round({_sql_sqdist('c.embedding', 'q.qv')}, 9) AS _d
+           FROM chunks c, q),
+    vtop AS (SELECT doc_id, _d FROM vd ORDER BY _d ASC, doc_id ASC LIMIT 50),
+    vrank AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY _d ASC, doc_id ASC) AS INT) AS _vector_rank FROM vtop),
+    tok AS (SELECT doc_id, unnest({toks}) AS term FROM chunks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+              WHERE term IN ({qterms}) GROUP BY 1),
+    sc AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                 * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    ),
+    btop AS (SELECT doc_id, round(s, 9) AS _s FROM sc ORDER BY round(s, 9) DESC, doc_id ASC LIMIT 50),
+    brank AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY _s DESC, doc_id ASC) AS INT) AS _bm25_rank FROM btop),
+    fused AS (
+      SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
+             coalesce(b._bm25_rank, 0) AS _bm25_rank,
+             coalesce(v._vector_rank, 0) AS _vector_rank,
+             (CASE WHEN coalesce(b._bm25_rank,0) > 0 THEN 0.3 / (60 + b._bm25_rank) ELSE 0 END
+            + CASE WHEN coalesce(v._vector_rank,0) > 0 THEN 0.7 / (60 + v._vector_rank) ELSE 0 END)::FLOAT AS _rrf_score
+      FROM vrank v FULL OUTER JOIN brank b USING (doc_id)
+    )
+    SELECT doc_id, _bm25_rank, _vector_rank,
+           CAST(round(_rrf_score::DOUBLE, 6) + 0.0 AS DOUBLE) AS _rrf_score
+    FROM fused ORDER BY _rrf_score DESC, doc_id ASC LIMIT 10
+    """
+
+    oracles["dedup_exact"] = """
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """
+
+    oracles["minhash_sigs"] = (
+        _sql_minhash_sig() + "SELECT doc_id, minhash FROM sigs"
+    )
+
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"sig[{i + 1}]::VARCHAR" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_exprs.append(f"({cols})")
+    sig_list = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {HASH_MOD})), {HASH_MOD})"
+        for a, b in MINHASH_AB
+    )
+    toks_d = _SQL_TOKS.format(t="text")
+    sh_d = _SQL_SHINGLES.format(tk="tk")
+    h_d = _SQL_HASH.format(s="s") + f" % {HASH_MOD}"
+    oracles["lsh_pairs"] = f"""
+    WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    sh AS (SELECT doc_id, {sh_d} AS shs FROM tok),
+    hh AS (SELECT doc_id, list_transform(shs, s -> {h_d}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, [{sig_list}] AS sig FROM hh),
+    bands AS (
+      SELECT doc_id, band, bh FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {', '.join(f'({i}, {e})' for i, e in enumerate(band_exprs))}) AS t(band, bh))
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    bitsum = (
+        "list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+    sim_terms = " + ".join(
+        f"CASE WHEN {bitsum.format(b=b)} > 0 THEN {2**b}::BIGINT ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    oracles["simhash"] = f"""
+    WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    hh AS (SELECT doc_id, list_transform(tk, t -> {_SQL_HASH.format(s='t')} % {HASH_MOD}) AS hs FROM tok)
+    SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM hh
+    """
+
+    oracles["jaccard_pairs"] = f"""
+    WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    sh AS (SELECT doc_id, {sh_d} AS shs FROM tok),
+    ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 6) + 0.0 AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 6) >= {JACCARD_T}
+    """
+
+    cos_ab = (
+        f"({_sql_dot('a.embedding', 'b.embedding')} / "
+        f"({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}))"
+    )
+    oracles["neardup_embeddings"] = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round({cos_ab}, 6) + 0.0 AS DOUBLE) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({cos_ab}, 6) >= {NEARDUP_T}
+    """
+
+    def marker_count(lang):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return f"len(list_filter(tk, t -> list_contains([{markers}], t)))"
+
+    oracles["langid"] = f"""
+    WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    s AS (SELECT doc_id,
+      {marker_count('en')} AS en, {marker_count('es')} AS es,
+      {marker_count('de')} AS de, {marker_count('fr')} AS fr FROM tok)
+    SELECT doc_id, CASE
+      WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+      WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+      WHEN es >= de AND es >= fr THEN 'es'
+      WHEN de >= fr THEN 'de'
+      ELSE 'fr' END AS lang
+    FROM s
+    """
+
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    oracles["doc_stats"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, {toks_d} AS tk,
+             length(text)::DOUBLE AS n_chars,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS n_digits
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, tk, n_chars, n_punct, n_digits,
+             len(tk)::DOUBLE AS n_tokens,
+             len(list_filter(tk, t -> list_contains([{stop}], t)))::DOUBLE AS n_stop
+      FROM base
+    )
+    SELECT doc_id,
+      CAST(n_tokens AS INT) AS n_tokens,
+      CAST(round(
+        0.4 * least(n_tokens / 100.0, 1.0)
+      + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 3.0, 1.0)
+      + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END * 5.0, 1.0))
+      + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0 END * 5.0, 1.0))
+      , 6) + 0.0 AS DOUBLE) AS quality,
+      list_reduce(
+        list_prepend(0::BIGINT, list_transform(tk, t -> ({_SQL_HASH.format(s='t')} % {FP_MOD})::BIGINT)),
+        (acc, h) -> (acc * 31 + h) % {FP_MOD}
+      ) AS fingerprint
+    FROM m
+    """
+
+    oracles["pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(l_quantity::BIGINT) AS BIGINT) AS sum_qty,
+      CAST(sum(round(l_extendedprice * 100)::BIGINT) AS DOUBLE) / 100 AS sum_base_price,
+      CAST(sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+      CAST(sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT) * (100 + round(l_tax * 100)::BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+    oracles["top_orders"] = """
+    SELECT o_orderkey,
+      CAST(sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """
+
+    oracles["events_top_by_user"] = """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+    oracles["events_sessionize"] = """
+    SELECT event_id, user_id,
+      CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) > 1800000000
+             THEN 1 ELSE 0 END AS gap
+      FROM events
+    )
+    """
+
+    oracles["event_type_stats"] = """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      CAST(sum(round(value * 100)::BIGINT) AS DOUBLE) / 100 AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+    return oracles

@@ -106,12 +106,18 @@ def _sq_norm(a: Column) -> Column:
     return F.aggregate(F.transform(a, lambda x: x * x), _f32_zero(), lambda acc, x: acc + x)
 
 
-def metric_distance(a, b, metric: str = "l2") -> Column:
+def metric_distance(a, b, metric: str = "l2", precision: str = "f32") -> Column:
     """Engine-internal ``_distance``: squared-L2 / negated-IP / 1-cosine.
 
     Matches the index/search distance semantics of the reference
     (``rust_lib/src/distance.rs:13-25``): lower is always better.
+
+    ``precision='f64'`` computes with double accumulation and a
+    deterministic left-fold — bit-reproducible by engines that fold the
+    same way (used by the DuckDB-oracle correctness queries).
     """
+    if precision == "f64":
+        return _metric_distance_f64(a, b, metric)
     a, b = _as_vec(a), _as_vec(b)
     m = metric.lower()
     if m in ("l2", "euclidean"):
@@ -120,6 +126,33 @@ def metric_distance(a, b, metric: str = "l2") -> Column:
         return -_dot(a, b)
     if m in ("cosine", "cos"):
         return (F.lit(1.0) - array_cosine_similarity(a, b).cast("double")).cast("float")
+    raise ValueError(f"unknown metric {metric!r}; expected l2 | ip | cosine")
+
+
+def _as_vec_f64(v) -> Column:
+    if isinstance(v, Column):
+        return v.cast("array<double>")
+    if isinstance(v, str):
+        return F.col(v).cast("array<double>")
+    return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _metric_distance_f64(a, b, metric: str) -> Column:
+    a, b = _as_vec_f64(a), _as_vec_f64(b)
+    m = metric.lower()
+    if m in ("l2", "euclidean"):
+        return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+    dot = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    if m in ("ip", "inner_product", "innerproduct"):
+        return -dot
+    if m in ("cosine", "cos"):
+        na = F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+        nb = F.sqrt(_fold_sum(F.transform(b, lambda x: x * x)))
+        return F.lit(1.0) - dot / (na * nb)
     raise ValueError(f"unknown metric {metric!r}; expected l2 | ip | cosine")
 
 

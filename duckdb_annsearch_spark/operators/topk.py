@@ -25,6 +25,7 @@ def topk_brute_force(
     k: int,
     metric: str = "l2",
     tie_break: str | Column | None = None,
+    precision: str = "f32",
 ) -> DataFrame:
     """All columns of ``df`` + ``_distance FLOAT``, k nearest, sorted ascending.
 
@@ -33,7 +34,7 @@ def topk_brute_force(
     """
     q = vector_lit(query)
     dim = len(query)
-    dist = metric_distance(F.col(vector_col), q, metric).alias("_distance")
+    dist = metric_distance(F.col(vector_col), q, metric, precision).alias("_distance")
     scored = df.where(
         F.col(vector_col).isNotNull() & (F.size(F.col(vector_col)) == dim)
     ).withColumn("_distance", dist)

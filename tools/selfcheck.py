@@ -1,0 +1,118 @@
+"""Self-check harness mimicking the driver's CORRECTNESS gate:
+runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the same sf, compares row count + sorted column names + an
+order-insensitive canonical value hash.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_value(v) -> str:
+    import decimal
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def df_hash(pdf) -> tuple[int, list[str], str]:
+    cols = sorted(pdf.columns)
+    rows = [
+        "|".join(canon_value(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    ]
+    rows.sort()
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(pdf), cols, h
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from duckdb_annsearch_spark.session import get_spark
+
+    spark = get_spark("selfcheck", 8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            results[name] = ("SPARK_ERROR", str(e)[:300])
+            print(f"[{name}] SPARK ERROR: {str(e)[:300]}")
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            results[name] = ("ROWS_ONLY", len(spark_pdf))
+            print(f"[{name}] rows-only: {len(spark_pdf)} rows ({t1-t0:.1f}s)")
+            continue
+        try:
+            ora_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = ("ORACLE_ERROR", str(e)[:300])
+            print(f"[{name}] ORACLE ERROR: {str(e)[:300]}")
+            continue
+        sn, sc, sh = df_hash(spark_pdf)
+        on, oc, oh = df_hash(ora_pdf)
+        ok = (sn, sc, sh) == (on, oc, oh)
+        status = "OK" if ok else "MISMATCH"
+        results[name] = (status, (sn, on, sc == oc, sh == oh))
+        print(
+            f"[{name}] {status}: rows {sn}/{on} cols_match={sc == oc} "
+            f"hash {'=' if sh == oh else '!='} ({t1-t0:.1f}s)"
+        )
+        if not ok:
+            if sc != oc:
+                print(f"    spark cols: {sc}\n    oracle cols: {oc}")
+            if sn and on:
+                import pandas as pd
+
+                scols = sorted(spark_pdf.columns)
+                a = spark_pdf[scols].astype(str).sort_values(scols).head(5)
+                b = ora_pdf[sorted(ora_pdf.columns)].astype(str).sort_values(sorted(ora_pdf.columns)).head(5)
+                print("    spark head:", a.to_dict("records")[:3])
+                print("    oracle head:", b.to_dict("records")[:3])
+
+    bad = {k: v for k, v in results.items() if v[0] not in ("OK", "ROWS_ONLY")}
+    print(f"\n{len(results) - len(bad)}/{len(results)} OK; failures: {sorted(bad)}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
