@@ -445,33 +445,16 @@ class AnnEngine:
         idx = self.get_index(index)
         qcol = query_col or detect_vector_column(queries_df)
 
-        tagged = queries_df.withColumn(
-            "__query_idx", F.monotonically_increasing_id()
-        ).cache()
-        queries = [
-            (int(r["__query_idx"]), [float(x) for x in (r[qcol] or [])])
-            for r in tagged.select("__query_idx", qcol).collect()
-        ]
-        # wrong-dim / null queries yield no hits (faiss_basic.test:262-269)
-        valid = [(i, q) for i, q in queries if len(q) == idx.meta.dim]
-        if valid:
-            from duckdb_annsearch_spark.index import kernels as _k
-
-            if hasattr(idx, "search_batch_indexed"):
-                hits = idx.search_batch_indexed(valid, k, search_complexity=search_complexity)
-            else:
-                remap = {pos: qi for pos, (qi, _) in enumerate(valid)}
-                hits = idx.search_batch(
-                    [q for _, q in valid], k, search_complexity=search_complexity
-                )
-                mapping = F.create_map(
-                    *[F.lit(x) for kv in remap.items() for x in kv]
-                )
-                hits = hits.withColumn("query_idx", mapping[F.col("query_idx")])
-        else:
-            hits = self.spark.createDataFrame(
-                [], "query_idx long, row_id long, _distance float"
-            )
+        # the query set never reaches the driver: tag rows, run the
+        # query-distributed probe (wrong-dim / null queries yield no hits —
+        # faiss_basic.test:262-269 — enforced inside the probe)
+        tagged = queries_df.withColumn("__query_idx", F.monotonically_increasing_id())
+        hits = idx.search_batch_df(
+            tagged.select("__query_idx", F.col(qcol).cast("array<float>").alias("query")),
+            k,
+            idx_col="__query_idx",
+            search_complexity=search_complexity,
+        )
 
         base = t.df
         base_cols = []
@@ -483,9 +466,7 @@ class AnnEngine:
 
         joined = (
             tagged.alias("__q")
-            .join(
-                hits.withColumnRenamed("query_idx", "__query_idx"), on="__query_idx", how="inner"
-            )
+            .join(hits, on="__query_idx", how="inner")
             .join(
                 base.alias("__base"),
                 F.col("row_id") == F.col(f"__base.{t.row_id}"),

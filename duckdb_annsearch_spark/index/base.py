@@ -83,6 +83,21 @@ def add_sq8_codes(artifact: DataFrame, dim: int, mins: list[float], scales: list
     return artifact.mapInPandas(encode, schema + ", codes binary")
 
 
+def topk_per_query(hits: DataFrame, k: int, idx_col: str = "query_idx") -> DataFrame:
+    """Exact global top-k per query from per-partition partial top-ks.
+
+    Only ``nq * k * n_partitions`` candidate rows reach this shuffle — the
+    reduce side of the reference's per-query result list."""
+    w = Window.partitionBy(idx_col).orderBy(
+        F.col("_distance").asc(), F.col("row_id").asc()
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 class BaseIndex:
     def __init__(self, catalog: Catalog, meta: IndexMeta):
         self.catalog = catalog
@@ -112,6 +127,36 @@ class BaseIndex:
 
     def search_batch(self, queries: list[Sequence[float]], k: int, **kw) -> DataFrame:
         raise NotImplementedError
+
+    def search_batch_df(
+        self,
+        queries_df: DataFrame,
+        k: int,
+        query_col: str = "query",
+        idx_col: str = "query_idx",
+        **kw,
+    ) -> DataFrame:
+        """Distributed-batch search over a *DataFrame* of queries.
+
+        ``queries_df`` must carry ``(idx_col BIGINT, query_col ARRAY<FLOAT>)``.
+        Returns ``(idx_col, row_id, _distance)`` — exact top-k per query.
+        Unlike ``search_batch`` (queries in driver memory, data-parallel probe)
+        this keeps the query set distributed: each executor task probes the
+        artifact for its slice of queries, so the operator scales with BOTH
+        the base table and the query table — the Spark rendering of the
+        reference's streaming in-out protocol (``src/ann_search.cpp:390-691``).
+        Wrong-dimension / null query vectors produce no output rows
+        (``test/sql/edge_cases.test`` semantics).
+        """
+        raise NotImplementedError
+
+    def _deleted_rowid_array(self) -> "np.ndarray":
+        """Tombstoned row_ids as a (small, broadcastable) numpy array —
+        the closure-side rendering of over-fetch + filter compensation."""
+        if self.meta.num_deleted <= 0:
+            return np.empty(0, dtype=np.int64)
+        rows = self.catalog.tombstones(self.meta.name).collect()
+        return np.asarray([r["row_id"] for r in rows], dtype=np.int64)
 
     def _dequant_args(self) -> dict | None:
         if self.meta.quantized:

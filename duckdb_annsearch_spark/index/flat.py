@@ -9,12 +9,15 @@ map-side bounded top-k, no full shuffle.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 
 from duckdb_annsearch_spark.catalog import Catalog, IndexMeta
-from duckdb_annsearch_spark.index import kernels
+from duckdb_annsearch_spark.index import kernels, scan
 from duckdb_annsearch_spark.index.base import (
     BaseIndex,
     add_sq8_codes,
@@ -58,4 +61,60 @@ class FlatIndex(BaseIndex):
             self.meta.dim,
             vector_col="codes" if dq else "vector",
             dequantize=dq,
+        )
+
+    def search_batch_df(
+        self,
+        queries_df: DataFrame,
+        k: int,
+        query_col: str = "query",
+        idx_col: str = "query_idx",
+        **kw,
+    ) -> DataFrame:
+        """Query-distributed exact search: each task streams the artifact
+        through pyarrow for its slice of queries (one GEMM per batch pair)."""
+        dq = self._dequant_args()
+        path = self.catalog.data_path(self.meta.name)
+        dim, metric = self.meta.dim, self.meta.metric
+        vcol = "codes" if dq else "vector"
+        deleted = self._deleted_rowid_array()
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                valid = [
+                    (int(pdf[idx_col].iloc[i]), np.asarray(v, dtype=np.float32))
+                    for i, v in enumerate(pdf[query_col])
+                    if v is not None and len(v) == dim
+                ]
+                if not valid:
+                    continue
+                qarr = np.stack([q for _, q in valid])
+                top = scan.RunningTopK(len(valid), k)
+                for rid, x in scan.iter_vector_batches(path, dim, vcol, dq):
+                    if deleted.size:
+                        keep = ~np.isin(rid, deleted)
+                        rid, x = rid[keep], x[keep]
+                    if rid.size:
+                        top.update_batch(
+                            kernels.pairwise_distances(qarr, x, metric), rid
+                        )
+                outs = []
+                for qi, (orig_idx, _) in enumerate(valid):
+                    r, d = top.result(qi)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                idx_col: np.full(len(r), orig_idx, dtype=np.int64),
+                                "row_id": r,
+                                "_distance": d.astype(np.float32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return queries_df.select(idx_col, query_col).mapInPandas(
+            probe, f"{idx_col} long, row_id long, _distance float"
         )

@@ -143,46 +143,47 @@ class GraphIndex(BaseIndex):
             r["row_id"] for r in self.catalog.tombstones(self.meta.name).collect()
         }
 
-    def search_batch(
+    def search_batch_df(
         self,
-        queries: list[Sequence[float]],
+        queries_df: DataFrame,
         k: int,
+        query_col: str = "query",
+        idx_col: str = "query_idx",
         search_complexity: int | None = None,
         **kw,
     ) -> DataFrame:
+        """Query-distributed beam search: the graph loads once per python
+        worker (process-level cache) and each task probes for its own slice
+        of queries."""
         L = max(k, int(search_complexity or self._beam()))
-        deleted = self._deleted_rowids()
-        overfetch = k + len(deleted)
+        deleted = self._deleted_rowid_array()
+        overfetch = k + deleted.size
         path = self.catalog.data_path(self.meta.name)
-        qpdf = pd.DataFrame(
-            {
-                "query_idx": np.arange(len(queries), dtype=np.int32),
-                "query": [np.asarray(q, dtype=np.float32) for q in queries],
-            }
-        )
-        qdf = self.spark.createDataFrame(qpdf)
-        n_parts = min(len(queries), 32) or 1
+        dim = self.meta.dim
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             g, row_ids = index_cache.get_or_load(path, _load_graph)
             for pdf in batches:
                 outs = []
-                for _, row in pdf.iterrows():
+                for i in range(len(pdf)):
+                    v = pdf[query_col].iloc[i]
+                    if v is None or len(v) != dim:
+                        continue
                     labels, dists = g.beam_search(
-                        np.asarray(row["query"], dtype=np.float32),
+                        np.asarray(v, dtype=np.float32),
                         overfetch,
                         max(L, overfetch),
                     )
                     rids = row_ids[labels]
-                    if deleted:
-                        keep = ~np.isin(rids, list(deleted))
+                    if deleted.size:
+                        keep = ~np.isin(rids, deleted)
                         rids, dists = rids[keep], dists[keep]
                     rids, dists = rids[:k], dists[:k]
                     outs.append(
                         pd.DataFrame(
                             {
-                                "query_idx": np.full(
-                                    len(rids), row["query_idx"], dtype=np.int32
+                                idx_col: np.full(
+                                    len(rids), int(pdf[idx_col].iloc[i]), dtype=np.int64
                                 ),
                                 "row_id": rids.astype(np.int64),
                                 "_distance": dists.astype(np.float32),
@@ -192,9 +193,30 @@ class GraphIndex(BaseIndex):
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
+        return queries_df.select(idx_col, query_col).mapInPandas(
+            probe, f"{idx_col} long, row_id long, _distance float"
+        )
+
+    def search_batch(
+        self,
+        queries: list[Sequence[float]],
+        k: int,
+        search_complexity: int | None = None,
+        **kw,
+    ) -> DataFrame:
+        qpdf = pd.DataFrame(
+            {
+                "query_idx": np.arange(len(queries), dtype=np.int64),
+                "query": [np.asarray(q, dtype=np.float32) for q in queries],
+            }
+        )
+        qdf = self.spark.createDataFrame(qpdf)
+        n_parts = min(len(queries), 32) or 1
         return (
-            qdf.repartition(n_parts)
-            .mapInPandas(probe, kernels.PROBE_SCHEMA)
+            self.search_batch_df(
+                qdf.repartition(n_parts), k, search_complexity=search_complexity
+            )
+            .withColumn("query_idx", F.col("query_idx").cast("int"))
         )
 
     def search(self, query: Sequence[float], k: int, **kw) -> DataFrame:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.catalog import Catalog, IndexMeta
-from duckdb_annsearch_spark.index import kernels
+from duckdb_annsearch_spark.index import kernels, scan
 from duckdb_annsearch_spark.index.base import BaseIndex, with_labels
 
 DEFAULT_NLIST = 100
@@ -180,3 +180,94 @@ class IvfFlatIndex(BaseIndex):
             .where(F.col("__rn") <= k)
             .drop("__rn")
         )
+
+    def search_batch_df(
+        self,
+        queries_df: DataFrame,
+        k: int,
+        query_col: str = "query",
+        idx_col: str = "query_idx",
+        nprobe: int | None = None,
+        **kw,
+    ) -> DataFrame:
+        """Query-distributed IVF probe: each task resolves its queries' nprobe
+        cells against the (small, closure-shipped) centroid table and reads
+        ONLY those hive partitions via pyarrow — per-task partition pruning,
+        the executor-side twin of the inverted-list read."""
+        nprobe = int(nprobe or self.meta.params.get("nprobe", DEFAULT_NPROBE))
+        cent = np.asarray(self.meta.extra["centroids"], dtype=np.float32)
+        nprobe = min(max(1, nprobe), cent.shape[0])
+        path = self.catalog.data_path(self.meta.name)
+        dim, metric = self.meta.dim, self.meta.metric
+        deleted = self._deleted_rowid_array()
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                valid = [
+                    (int(pdf[idx_col].iloc[i]), np.asarray(v, dtype=np.float32))
+                    for i, v in enumerate(pdf[query_col])
+                    if v is not None and len(v) == dim
+                ]
+                if not valid:
+                    continue
+                qarr = np.stack([q for _, q in valid])
+                dc = kernels.pairwise_distances(qarr, cent, metric)
+                cells = [kernels.local_topk(dc[i], nprobe) for i in range(len(valid))]
+                cell_queries: dict[int, list[int]] = {}
+                for qi, cc in enumerate(cells):
+                    for c in cc:
+                        cell_queries.setdefault(int(c), []).append(qi)
+                top = scan.RunningTopK(len(valid), k)
+                all_cells = sorted(cell_queries)
+                for rid, x, cid in _iter_cell_batches(path, dim, all_cells):
+                    if deleted.size:
+                        keep = ~np.isin(rid, deleted)
+                        rid, x = rid[keep], x[keep]
+                    qids = cell_queries.get(cid)
+                    if not qids or rid.size == 0:
+                        continue
+                    d = kernels.pairwise_distances(qarr[qids], x, metric)
+                    for row, qi in enumerate(qids):
+                        top.update(qi, d[row], rid)
+                outs = []
+                for qi, (orig_idx, _) in enumerate(valid):
+                    r, d = top.result(qi)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                idx_col: np.full(len(r), orig_idx, dtype=np.int64),
+                                "row_id": r,
+                                "_distance": d.astype(np.float32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return queries_df.select(idx_col, query_col).mapInPandas(
+            probe, f"{idx_col} long, row_id long, _distance float"
+        )
+
+
+def _iter_cell_batches(path: str, dim: int, cells: list[int]):
+    """Yield (row_ids, X, cluster_id) per batch from the probed hive cells."""
+    import pyarrow.dataset as ds
+
+    data = ds.dataset(path, format="parquet", partitioning="hive")
+    flt = ds.field("cluster_id").isin([int(c) for c in cells])
+    for batch in data.to_batches(
+        columns=["row_id", "vector", "cluster_id"], filter=flt,
+        batch_size=scan.DEFAULT_BATCH_ROWS,
+    ):
+        if batch.num_rows == 0:
+            continue
+        rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = scan._fixed_matrix(batch.column("vector"), dim)
+        cids = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        # a record batch can straddle cells only if pyarrow merges fragments;
+        # split defensively by cluster_id
+        for cid in np.unique(cids):
+            m = cids == cid
+            yield rid[m], x[m], int(cid)

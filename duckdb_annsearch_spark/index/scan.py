@@ -1,0 +1,107 @@
+"""Executor-side artifact scanning for query-distributed probes.
+
+When the *query set* is the big side (``ann_search_table`` over a large
+query table), each executor task owns a slice of queries and streams the
+index artifact through pyarrow — batch-at-a-time, bounded memory — running
+one float32 GEMM per (query-batch x artifact-batch).  This is the transpose
+of ``kernels.probe_partitions`` (artifact-parallel, queries broadcast); the
+engine picks per call-site.  Mirrors the reference's chunked in-out scan
+loop (``/root/reference/src/ann_search.cpp:560-685``) with Arrow record
+batches standing in for DataChunks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+
+DEFAULT_BATCH_ROWS = 8192
+
+
+def iter_vector_batches(
+    path: str,
+    dim: int,
+    vector_col: str = "vector",
+    dequantize: dict | None = None,
+    cluster_ids: list[int] | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield ``(row_ids int64[n], X float32[n, dim])`` batches from a parquet
+    artifact directory.  ``cluster_ids`` prunes hive-partitioned IVF cells —
+    the pyarrow twin of Spark partition pruning.  SQ8 artifacts pass
+    ``dequantize={'mins', 'scales'}`` and read only the codes column
+    (column pruning keeps quantized scans at 1/4 the bytes)."""
+    import pyarrow.dataset as ds
+
+    part = "hive" if cluster_ids is not None else None
+    data = ds.dataset(path, format="parquet", partitioning=part)
+    flt = None
+    if cluster_ids is not None:
+        flt = ds.field("cluster_id").isin([int(c) for c in cluster_ids])
+    cols = ["row_id", vector_col]
+    if dequantize is not None:
+        mins = np.asarray(dequantize["mins"], dtype=np.float32)
+        scales = np.asarray(dequantize["scales"], dtype=np.float32)
+    for batch in data.to_batches(columns=cols, filter=flt, batch_size=batch_rows):
+        if batch.num_rows == 0:
+            continue
+        rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column(vector_col)
+        if dequantize is not None:
+            codes = np.stack(
+                [np.frombuffer(b.as_py(), dtype=np.uint8) for b in col]
+            ).astype(np.float32)
+            x = codes / 255.0 * scales + mins
+        else:
+            x = _fixed_matrix(col, dim)
+        yield rid, x
+
+
+def _fixed_matrix(col, dim: int) -> np.ndarray:
+    """Arrow list column -> (n, dim) float32; null/ragged rows become zero
+    vectors (the reference zeroes its gather buffer for bad rows)."""
+    import pyarrow.compute as pc
+
+    try:
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        if flat.shape[0] == len(col) * dim and not col.null_count:
+            return np.ascontiguousarray(
+                flat.reshape(len(col), dim).astype(np.float32)
+            )
+    except Exception:
+        pass
+    out = np.zeros((len(col), dim), dtype=np.float32)
+    for i, v in enumerate(col.to_pylist()):
+        if v is not None:
+            a = np.asarray(v, dtype=np.float32)
+            if a.shape == (dim,):
+                out[i] = a
+    return out
+
+
+class RunningTopK:
+    """Streaming per-query top-k merge across artifact batches."""
+
+    def __init__(self, nq: int, k: int):
+        self.k = k
+        self.d = [np.empty(0, dtype=np.float32) for _ in range(nq)]
+        self.r = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+
+    def update(self, qi: int, dists: np.ndarray, rids: np.ndarray) -> None:
+        k = self.k
+        d = np.concatenate([self.d[qi], dists.astype(np.float32)])
+        r = np.concatenate([self.r[qi], rids])
+        if d.shape[0] > k:
+            part = np.argpartition(d, k)[:k]
+            d, r = d[part], r[part]
+        # keep sorted (distance, row_id) so emission order is deterministic
+        order = np.lexsort((r, d))
+        self.d[qi], self.r[qi] = d[order], r[order]
+
+    def update_batch(self, d_matrix: np.ndarray, rids: np.ndarray) -> None:
+        for qi in range(d_matrix.shape[0]):
+            self.update(qi, d_matrix[qi], rids)
+
+    def result(self, qi: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.r[qi], self.d[qi]

@@ -117,3 +117,50 @@ def test_index_scan_raw(engine):
     res = engine.index_scan("idx", [1.0, 0.0, 0.0], k=2).collect()
     assert res[0]["row_id"] == 1 and res[0]["distance"] == 0.0
     assert set(engine.index_scan("idx", [1.0, 0.0, 0.0], 2).columns) == {"row_id", "distance"}
+
+
+def test_search_table_over_ivf_index(engine):
+    """search_batch_df's executor-side cell pruning returns the same rows as
+    an exact search when every cell is probed."""
+    df = make_vectors_df(engine.spark, DOCS, vec_col="embedding")
+    engine.register_table("docs", df, row_id="id")
+    engine.create_index(
+        "ivf", "docs", "embedding", engine="faiss", index_type="IVFFlat",
+        ivf_nlist=2, nprobe=2,
+    )
+    qdf = engine.spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 0.0, 1.0])], "qid int, vec array<float>"
+    )
+    res = engine.ann_search_table(qdf, "docs", "ivf", k=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    assert by_q[100] == [1, 4]
+    assert by_q[200] == [3, 5]
+
+
+def test_search_table_over_sq8_flat(engine):
+    """Quantized artifacts are probed via the codes column (dequantize on
+    read) on the query-distributed path too."""
+    df = make_vectors_df(engine.spark, DOCS, vec_col="embedding")
+    engine.register_table("docs", df, row_id="id")
+    engine.create_index(
+        "q8", "docs", "embedding", engine="faiss", index_type="Flat",
+        quantization="sq8",
+    )
+    qdf = engine.spark.createDataFrame([(7, [1.0, 0.0, 0.0])], "qid int, vec array<float>")
+    res = engine.ann_search_table(qdf, "docs", "q8", k=1).collect()
+    assert len(res) == 1 and res[0]["id"] == 1
+
+
+def test_search_table_graph_null_query_skipped(engine):
+    df = make_vectors_df(engine.spark, DOCS, vec_col="embedding")
+    engine.register_table("docs", df, row_id="id")
+    engine.create_index("g", "docs", "embedding", engine="diskann")
+    qdf = engine.spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "qid int, vec array<float>",
+    )
+    res = engine.ann_search_table(qdf, "docs", "g", k=1).collect()
+    assert [r["qid"] for r in res] == [1]
+    assert res[0]["id"] == 1
