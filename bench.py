@@ -53,6 +53,12 @@ def main():
 
     timings = {}
     t_start = time.time()
+    # warm the engine (Flat/IVF/graph/FTS index builds) as its own entry so
+    # search timings measure search, not DDL
+    t0 = time.time()
+    entrymod._engine_for(spark, sf_dir)
+    timings["index_build"] = round(time.time() - t0, 3)
+    print(f"# index_build: {timings['index_build']}s", file=sys.stderr)
     for name in bench_queries:
         fn = qs[name]
         t0 = time.time()

@@ -75,6 +75,9 @@ class Catalog:
     def tombstone_path(self, name: str) -> str:
         return os.path.join(self.index_dir(name), "tombstones")
 
+    def delta_path(self, name: str) -> str:
+        return os.path.join(self.index_dir(name), "delta")
+
     # ---- metadata CRUD ----
     def exists(self, name: str) -> bool:
         return os.path.exists(self.meta_path(name))
@@ -145,4 +148,31 @@ class Catalog:
         shutil.rmtree(self.tombstone_path(name), ignore_errors=True)
         meta = self.load(name)
         meta.num_deleted = 0
+        self.save(meta)
+
+    # ---- delta (incremental appends, reference D3 ``BoundIndex::Append``) ----
+    def delta(self, name: str) -> DataFrame | None:
+        """Unindexed tail appended since the last build/compaction, or None."""
+        path = self.delta_path(name)
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return self.spark.read.parquet(path)
+        return None
+
+    def add_delta(self, name: str, rows: DataFrame) -> int:
+        """Append (row_id, vector) rows; returns new delta row count."""
+        meta = self.load(name)
+        rows.select(
+            F.col("row_id").cast("long"), F.col("vector").cast("array<float>")
+        ).write.mode("append").parquet(self.delta_path(name))
+        n = self.delta(name).count()
+        meta.extra["delta_rows"] = n
+        self.save(meta)
+        return n
+
+    def clear_delta(self, name: str) -> None:
+        shutil.rmtree(self.delta_path(name), ignore_errors=True)
+        meta = self.load(name)
+        meta.extra.pop("delta_rows", None)
         self.save(meta)

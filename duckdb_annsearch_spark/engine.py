@@ -174,6 +174,27 @@ class AnnEngine:
             raise KeyError(f"ANN index {name!r} does not exist")
         self.catalog.drop(name)
 
+    def insert(self, table: str, rows: DataFrame) -> None:
+        """INSERT propagation (``BoundIndex::Append``,
+        ``src/diskann_index.cpp:316-361``): new rows land in each index's
+        delta parquet — the unindexed tail — which searches brute-force and
+        merge into the top-k until ``vacuum``/``merge_index`` compacts.
+
+        ``rows`` must carry the table's full schema (the reference's INSERT
+        grows the table and its indexes together)."""
+        t = self.table(table)
+        t.df = t.df.unionByName(rows.select(*t.df.columns))
+        for meta in self.catalog.for_table(table):
+            if meta.engine == "fts":
+                continue
+            self.catalog.add_delta(
+                meta.name,
+                rows.select(
+                    F.col(t.row_id).alias("row_id"),
+                    F.col(meta.column).alias("vector"),
+                ),
+            )
+
     def delete(self, table: str, row_ids: Sequence[int] | DataFrame) -> None:
         """DELETE propagation: tombstone the rows in every index on the table
         (``src/diskann_index.cpp:363-385``)."""
@@ -188,7 +209,7 @@ class AnnEngine:
         (``src/diskann_index.cpp:701-741``)."""
         idx = self.get_index(name)
         meta = idx.meta
-        live = idx.live_artifact().select("row_id", "vector")
+        live = idx.live_rows()  # artifact ∪ delta, minus tombstones
         cls = _INDEX_CLASSES[meta.index_type]
         # rebuild from the live artifact (column names row_id/vector)
         new_meta = IndexMeta(
@@ -216,9 +237,8 @@ class AnnEngine:
         if tgt.meta.dim != src.meta.dim or tgt.meta.metric != src.meta.metric:
             raise ValueError("cannot merge indexes with different dim/metric")
         union = (
-            tgt.live_artifact()
-            .select("row_id", "vector")
-            .unionByName(src.live_artifact().select("row_id", "vector"))
+            tgt.live_rows()
+            .unionByName(src.live_rows())
             .dropDuplicates(["row_id"])
         )
         cls = _INDEX_CLASSES[tgt.meta.index_type]
@@ -366,6 +386,16 @@ class AnnEngine:
             "num_vectors long, num_deleted long, quantized boolean"
         )
         return self.spark.createDataFrame(rows, schema).orderBy("name")
+
+    def faiss_gpu_info(self) -> DataFrame:
+        """GPU availability probe (``src/faiss_fn_gpu.cpp:9-56``).  This
+        engine's "accelerator" is the cluster itself — distance kernels run
+        as numpy GEMMs across executors — so the GPU probe always reports
+        unavailable, with the execution backend named in ``device``."""
+        master = self.spark.conf.get("spark.master", "")
+        return self.spark.createDataFrame(
+            [(False, f"cpu[{master}]")], "available boolean, device string"
+        )
 
     # --------------------------------------------------------------- search
     def index_scan(

@@ -32,12 +32,44 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
 
     Labels are assigned by row_id order — deterministic across runs, unlike
     ``monotonically_increasing_id`` which depends on partition layout.
+
+    Distributed two-phase numbering: range-partition + sort by row_id, number
+    within each partition, then add per-partition offsets (tiny driver-side
+    cumsum).  A single global ``row_number`` window would funnel the whole
+    table through one partition — a non-starter at 100 TB.
     """
-    w = Window.orderBy(F.col(row_id_col).asc())
-    return df.select(
-        (F.row_number().over(w) - 1).cast("int").alias("label"),
+    base = df.select(
         F.col(row_id_col).cast("long").alias("row_id"),
         F.col(vector_col).cast("array<float>").alias("vector"),
+    )
+    # explicit partition count: AQE must not re-coalesce between the count
+    # job and the numbering job, or the offsets would disagree
+    n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    srt = (
+        base.repartitionByRange(n_parts, "row_id")
+        .sortWithinPartitions("row_id")
+        .withColumn("__part", F.spark_partition_id())
+    )
+    counts = {
+        r["__part"]: r["cnt"]
+        for r in srt.groupBy("__part").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    # rows within a range partition all sort before the next partition's, so
+    # rn-1+offset is a dense global ordering by row_id
+    off_map = F.create_map(
+        *[F.lit(x) for p in sorted(counts) for x in (p, offsets[p])]
+    )
+    w = Window.partitionBy("__part").orderBy(F.col("row_id").asc())
+    return srt.select(
+        (F.row_number().over(w) - 1 + off_map[F.col("__part")])
+        .cast("int")
+        .alias("label"),
+        "row_id",
+        "vector",
     )
 
 
@@ -120,13 +152,44 @@ class BaseIndex:
     def refresh(self) -> None:
         self.meta = self.catalog.load(self.meta.name)
 
-    # ---- search surface (overridden) ----
+    def live_rows(self) -> DataFrame:
+        """All live (row_id, vector) rows: artifact ∪ delta, minus
+        tombstones — the input for vacuum/merge rebuilds."""
+        rows = self.artifact().select("row_id", "vector")
+        d = self.catalog.delta(self.meta.name)
+        if d is not None:
+            rows = rows.unionByName(d.select("row_id", "vector"))
+        if self.meta.num_deleted > 0:
+            tomb = self.catalog.tombstones(self.meta.name)
+            rows = rows.join(F.broadcast(tomb), on="row_id", how="left_anti")
+        return rows
+
+    # ---- search surface ----
+    # Subclasses implement _search_batch_impl / _search_batch_df_impl; the
+    # public methods add append-delta compensation: rows inserted since the
+    # last build live in a side parquet and are brute-force searched and
+    # merged into the top-k — the reference's "index delta = unindexed tail"
+    # semantics for ``BoundIndex::Append`` (src/diskann_index.cpp:316-361).
     def search(self, query: Sequence[float], k: int, **kw) -> DataFrame:
         """(row_id, _distance) of the k nearest, ascending."""
         return self.search_batch([list(query)], k, **kw).drop("query_idx")
 
     def search_batch(self, queries: list[Sequence[float]], k: int, **kw) -> DataFrame:
-        raise NotImplementedError
+        hits = self._search_batch_impl(queries, k, **kw)
+        d = self.catalog.delta(self.meta.name)
+        if d is None:
+            return hits
+        if self.meta.num_deleted > 0:
+            tomb = self.catalog.tombstones(self.meta.name)
+            d = d.join(F.broadcast(tomb), on="row_id", how="left_anti")
+        extra = kernels.probe_partitions(
+            d,
+            [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+            k,
+            self.meta.metric,
+            self.meta.dim,
+        )
+        return topk_per_query(hits.unionByName(extra), k)
 
     def search_batch_df(
         self,
@@ -148,6 +211,31 @@ class BaseIndex:
         Wrong-dimension / null query vectors produce no output rows
         (``test/sql/edge_cases.test`` semantics).
         """
+        hits = self._search_batch_df_impl(queries_df, k, query_col, idx_col, **kw)
+        if self.catalog.delta(self.meta.name) is None:
+            return hits
+        from duckdb_annsearch_spark.index import scan
+
+        extra = scan.probe_path_df(
+            queries_df,
+            self.catalog.delta_path(self.meta.name),
+            k,
+            self.meta.dim,
+            self.meta.metric,
+            deleted=self._deleted_rowid_array(),
+            query_col=query_col,
+            idx_col=idx_col,
+        )
+        return topk_per_query(hits.unionByName(extra), k, idx_col=idx_col)
+
+    def _search_batch_impl(
+        self, queries: list[Sequence[float]], k: int, **kw
+    ) -> DataFrame:
+        raise NotImplementedError
+
+    def _search_batch_df_impl(
+        self, queries_df: DataFrame, k: int, query_col: str, idx_col: str, **kw
+    ) -> DataFrame:
         raise NotImplementedError
 
     def _deleted_rowid_array(self) -> "np.ndarray":

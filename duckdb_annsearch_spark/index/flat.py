@@ -51,7 +51,7 @@ class FlatIndex(BaseIndex):
         catalog.save(meta)
         return idx
 
-    def search_batch(self, queries: list[Sequence[float]], k: int, **kw) -> DataFrame:
+    def _search_batch_impl(self, queries: list[Sequence[float]], k: int, **kw) -> DataFrame:
         dq = self._dequant_args()
         return kernels.probe_partitions(
             self.live_artifact(),
@@ -63,7 +63,7 @@ class FlatIndex(BaseIndex):
             dequantize=dq,
         )
 
-    def search_batch_df(
+    def _search_batch_df_impl(
         self,
         queries_df: DataFrame,
         k: int,

@@ -143,7 +143,7 @@ class GraphIndex(BaseIndex):
             r["row_id"] for r in self.catalog.tombstones(self.meta.name).collect()
         }
 
-    def search_batch_df(
+    def _search_batch_df_impl(
         self,
         queries_df: DataFrame,
         k: int,
@@ -197,7 +197,7 @@ class GraphIndex(BaseIndex):
             probe, f"{idx_col} long, row_id long, _distance float"
         )
 
-    def search_batch(
+    def _search_batch_impl(
         self,
         queries: list[Sequence[float]],
         k: int,
@@ -213,11 +213,10 @@ class GraphIndex(BaseIndex):
         qdf = self.spark.createDataFrame(qpdf)
         n_parts = min(len(queries), 32) or 1
         return (
-            self.search_batch_df(
-                qdf.repartition(n_parts), k, search_complexity=search_complexity
+            self._search_batch_df_impl(
+                qdf.repartition(n_parts), k, "query", "query_idx",
+                search_complexity=search_complexity,
             )
             .withColumn("query_idx", F.col("query_idx").cast("int"))
         )
 
-    def search(self, query: Sequence[float], k: int, **kw) -> DataFrame:
-        return self.search_batch([list(query)], k, **kw).drop("query_idx")

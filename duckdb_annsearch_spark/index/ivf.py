@@ -126,7 +126,7 @@ class IvfFlatIndex(BaseIndex):
         d = kernels.pairwise_distances(queries, cent, self.meta.metric)  # (nq, nlist)
         return [kernels.local_topk(d[i], nprobe) for i in range(d.shape[0])]
 
-    def search_batch(
+    def _search_batch_impl(
         self, queries: list[Sequence[float]], k: int, nprobe: int | None = None, **kw
     ) -> DataFrame:
         nprobe = int(nprobe or self.meta.params.get("nprobe", DEFAULT_NPROBE))
@@ -181,7 +181,7 @@ class IvfFlatIndex(BaseIndex):
             .drop("__rn")
         )
 
-    def search_batch_df(
+    def _search_batch_df_impl(
         self,
         queries_df: DataFrame,
         k: int,

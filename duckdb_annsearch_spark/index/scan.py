@@ -80,6 +80,66 @@ def _fixed_matrix(col, dim: int) -> np.ndarray:
     return out
 
 
+def probe_path_df(
+    queries_df,
+    path: str,
+    k: int,
+    dim: int,
+    metric: str,
+    vector_col: str = "vector",
+    dequantize: dict | None = None,
+    deleted: np.ndarray | None = None,
+    query_col: str = "query",
+    idx_col: str = "query_idx",
+):
+    """Query-distributed exact probe of a parquet vector directory: each task
+    streams the files through pyarrow for its slice of queries (one GEMM per
+    batch pair).  Returns ``(idx_col long, row_id long, _distance float)``."""
+    import pandas as pd
+
+    from duckdb_annsearch_spark.index import kernels
+
+    dele = deleted if deleted is not None and deleted.size else None
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            valid = [
+                (int(pdf[idx_col].iloc[i]), np.asarray(v, dtype=np.float32))
+                for i, v in enumerate(pdf[query_col])
+                if v is not None and len(v) == dim
+            ]
+            if not valid:
+                continue
+            qarr = np.stack([q for _, q in valid])
+            top = RunningTopK(len(valid), k)
+            for rid, x in iter_vector_batches(path, dim, vector_col, dequantize):
+                if dele is not None:
+                    keep = ~np.isin(rid, dele)
+                    rid, x = rid[keep], x[keep]
+                if rid.size:
+                    top.update_batch(kernels.pairwise_distances(qarr, x, metric), rid)
+            outs = []
+            for qi, (orig_idx, _) in enumerate(valid):
+                r, d = top.result(qi)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            idx_col: np.full(len(r), orig_idx, dtype=np.int64),
+                            "row_id": r,
+                            "_distance": d.astype(np.float32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return queries_df.select(idx_col, query_col).mapInPandas(
+        probe, f"{idx_col} long, row_id long, _distance float"
+    )
+
+
 class RunningTopK:
     """Streaming per-query top-k merge across artifact batches."""
 

@@ -40,16 +40,17 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams joined by single spaces."""
+    """Distinct word k-grams joined by single spaces.
+
+    Built from k-1 ``zip_with`` concats of shifted token arrays — O(k)
+    array ops per row instead of one ``slice`` per gram position."""
     toks = tokenize(text)
     n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array())
+    grams = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
+    grams = F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(F.array())
     return F.array_distinct(grams)
 
 
@@ -84,22 +85,33 @@ def minhash_signatures(
 
     ``sig_i = min over shingles s of (a_i * h(s) + b_i) mod (2^31-1)``;
     empty-shingle docs get sig_i = 2^31-1 sentinel. Pure per-row expression —
-    map-only, no shuffle."""
+    map-only, no shuffle.
+
+    Computed as ONE fold over the shingle array updating all ``num_hashes``
+    mins at once, so the (md5-based) shingle hash is evaluated exactly once
+    per shingle — per-hash-function projections would be collapsed by
+    Catalyst into ``num_hashes`` copies of the whole hash expression."""
     params = _minhash_params(num_hashes)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
     sh = word_shingles(F.col(text_col), shingle_k)
+    # materialize integer hashes first: h is a lambda VARIABLE in the fold
+    # below, so md5 runs exactly once per shingle
     hashes = F.transform(sh, lambda s: token_hash(s) % HASH_MOD)
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD)
-                ),
-                F.lit(HASH_MOD),
-            ).cast("long")
-            for a, b in params
-        ]
+    init = F.array_repeat(F.lit(HASH_MOD).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashes, init, lambda acc, h: _min_update(acc, h, a_arr, b_arr)
     )
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
+
+
+def _min_update(acc: Column, h: Column, a_arr: Column, b_arr: Column) -> Column:
+    """elementwise min(acc_i, (a_i*h + b_i) mod M) — h evaluated once."""
+    return F.zip_with(
+        F.zip_with(a_arr, b_arr, lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
+        acc,
+        lambda ab, m: F.least(m, (ab["a"] * h + ab["b"]) % HASH_MOD),
+    )
 
 
 def lsh_duplicate_pairs(
@@ -115,7 +127,9 @@ def lsh_duplicate_pairs(
     all-pairs."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # persist: both sides of the self-join read this tiny (n_docs x bands)
+    # relation; without it the whole signature pipeline runs twice
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -181,12 +195,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
     threshold. Posting-list self-join: cost Σ_shingle df², not n²."""
+    # persist: the shingle arrays feed three consumers (sizes + both join
+    # sides); recomputing the gram expression per consumer dominates cost
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
+    ).persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # join on an 8-byte hash of the shingle, not the string itself — the
+    # posting-list shuffle moves fixed-width keys (collision odds ~2^-64
+    # only perturb the candidate count, which the exact jaccard filter
+    # re-checks via set sizes)
+    exploded = sh.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("shingle"))
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(
@@ -234,14 +256,45 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cos) exact all-pairs above a cosine threshold.
 
-    Broadcast the (small or pre-bucketed) side; for 100 TB inputs run
-    :func:`embedding_neardup_pairs_lsh` first and feed each bucket here."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    Two stages: (1) candidate generation — each task GEMMs its partition of
+    rows against the full matrix (driver-collected once, broadcast) with a
+    float-error margin, emitting only ids; (2) exact verify — candidates
+    join their vectors back and the deterministic double left-fold cosine
+    (oracle-reproducible) applies the threshold.  All-vs-all is inherently
+    O(n²) flops, but the flops run as numpy GEMM distributed across input
+    partitions instead of per-pair codegen folds.  For inputs too big to
+    broadcast use :func:`embedding_neardup_pairs_lsh`."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    all_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms = np.maximum(norms, 1e-300)
+    bc = df.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
+    margin = float(threshold) - 1e-6
+
+    def candidates(batches):
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_a = pdf[id_col].to_numpy().astype(np.int64)
+            a = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cos = (a @ mat_b.T) / np.maximum(np.linalg.norm(a, axis=1), 1e-300)[:, None] / norms_b[None, :]
+            ii, jj = np.nonzero((cos >= margin) & (ids_a[:, None] < ids_b[None, :]))
+            if len(ii):
+                yield pd.DataFrame({"id_a": ids_a[ii], "id_b": ids_b[jj]})
+
+    cand = df.select(id_col, vec_col).mapInPandas(candidates, "id_a long, id_b long")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = F.round(_cos_double(F.col("va"), F.col("vb")), 6)
     return (
-        pairs.withColumn("cos", cos)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
