@@ -260,6 +260,68 @@ class AnnEngine:
         staged.unpersist()
         return rebuilt
 
+    def streaming_build(
+        self,
+        name: str,
+        table: str,
+        column: str | None = None,
+        metric: str = "l2",
+        sample_size: int | None = None,
+        partition_rows: int | None = None,
+        if_not_exists: bool = False,
+        **params,
+    ) -> dict:
+        """Two-pass out-of-core DiskANN build
+        (``src/diskann_functions.cpp:127-211``): pilot graph from a
+        ``max(sqrt(N), 1000)`` stride sample, then partition-parallel
+        streaming inserts — the scale path for graph indexes; the input is
+        any registered table rather than a packed binary file.  Returns
+        ``{num_vectors, dimension, sample_size}`` like the reference's
+        result row and registers index ``name`` (searchable exactly like a
+        ``create_index`` DISKANN index)."""
+        from duckdb_annsearch_spark.index.streaming_build import (
+            DEFAULT_PARTITION_ROWS,
+            streaming_build,
+        )
+
+        if self.catalog.exists(name):
+            if if_not_exists:
+                meta = self.catalog.load(name)
+                return {
+                    "num_vectors": meta.num_vectors,
+                    "dimension": meta.dim,
+                    "sample_size": meta.extra.get("sample_size", 0),
+                }
+            raise ValueError(f"Index with name {name!r} already exists")
+        t = self.table(table)
+        column = column or detect_vector_column(t.df)
+        probe = (
+            t.df.where(F.col(column).isNotNull())
+            .select(F.size(F.col(column)).alias("d"))
+            .first()
+        )
+        if probe is None:
+            raise ValueError(f"cannot infer dimension: {table}.{column} has no rows")
+        meta = IndexMeta(
+            name=name,
+            engine="diskann",
+            index_type="diskann",
+            table_name=table,
+            column=column,
+            dim=int(probe["d"]),
+            metric=_normalize_metric(metric),
+            params=params,
+        )
+        return streaming_build(
+            self.catalog,
+            meta,
+            t.df,
+            t.row_id,
+            column,
+            sample_size=sample_size,
+            partition_rows=partition_rows or DEFAULT_PARTITION_ROWS,
+        )
+
     # ------------------------------------------------------------ fts/hybrid
     def create_fts_index(self, name: str, table: str, id_col: str, text_col: str):
         """Engine-owned FTS artifact backing hybrid_search (the reference

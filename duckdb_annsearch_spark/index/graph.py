@@ -59,9 +59,20 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
         for nb in nb_lists
     ]
     row_ids = np.asarray(t.column("row_id").to_pylist(), dtype=np.int64)
-    meta = t.schema.metadata or {}
-    ep = int(meta.get(b"entry_point", b"0"))
-    metric = meta.get(b"metric", b"l2").decode()
+    # entry point + metric: sidecar json (Spark-written multi-file artifacts
+    # from streaming_build) or parquet footer metadata (driver-written)
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_graph_meta.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            side = json.load(f)
+        ep, metric = int(side["entry_point"]), side["metric"]
+    else:
+        meta = t.schema.metadata or {}
+        ep = int(meta.get(b"entry_point", b"0"))
+        metric = meta.get(b"metric", b"l2").decode()
     return VamanaGraph(vectors, neighbors, ep, metric, row_ids), row_ids
 
 

@@ -1,0 +1,258 @@
+"""Distributed two-pass DiskANN-style build — the Spark rendering of the
+reference's larger-than-RAM streaming build
+(``/root/reference/rust_lib/src/streaming_build.rs:42-122``,
+``src/diskann_functions.cpp:127-211``):
+
+  pass 1: build a pilot Vamana graph from a deterministic stride sample of
+          ``max(sqrt(N), 1000)`` rows (driver-side, like the reference);
+  pass 2: stream the remaining rows through insert — here one Spark
+          partition at a time, in parallel: every partition gets the pilot
+          graph (broadcast), inserts its rows locally (greedy search +
+          RobustPrune + backedges), and emits its subgraph plus backedge
+          patches for pilot nodes;
+  merge:  pilot-node adjacency = RobustPrune over (base edges ∪ all
+          partitions' patches), computed as a DataFrame job (explode →
+          join dst vectors → applyInPandas per node).
+
+The result is one graph artifact whose quality matches the reference's
+two-pass recipe: pilot nodes act as global connectors, partition inserts
+attach the long tail.  Recall gate ≥ 0.7 (diskann_streaming.test:44-49).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.catalog import Catalog, IndexMeta
+from duckdb_annsearch_spark.index.base import with_labels
+from duckdb_annsearch_spark.index.vamana import (
+    DEFAULT_ALPHA,
+    DEFAULT_BUILD_COMPLEXITY,
+    DEFAULT_MAX_DEGREE,
+    VamanaGraph,
+    _dists,
+    build_vamana,
+    robust_prune,
+)
+
+DEFAULT_PARTITION_ROWS = 50_000
+
+VERTEX_SCHEMA = (
+    "label int, row_id long, vector array<float>, neighbors array<int>, "
+    "is_patch boolean"
+)
+
+
+def default_sample_size(n: int) -> int:
+    """max(sqrt(N), 1000) — streaming_build.rs:60-66."""
+    return min(n, max(int(math.sqrt(n)), 1000))
+
+
+def streaming_build(
+    catalog: Catalog,
+    meta: IndexMeta,
+    df: DataFrame,
+    row_id_col: str,
+    vector_col: str,
+    sample_size: int | None = None,
+    partition_rows: int = DEFAULT_PARTITION_ROWS,
+) -> dict:
+    p = meta.params
+    max_degree = int(p.get("max_degree", DEFAULT_MAX_DEGREE))
+    build_L = int(p.get("build_complexity", DEFAULT_BUILD_COMPLEXITY))
+    alpha = float(p.get("alpha", DEFAULT_ALPHA))
+    metric = meta.metric
+    dim = meta.dim
+    spark = catalog.spark
+
+    art = with_labels(df, row_id_col, vector_col).persist()
+    n = art.count()
+    m = sample_size or default_sample_size(n)
+    m = min(m, n)
+
+    # ---- pass 1: deterministic stride sample -> driver pilot build
+    stride = n / m
+    pilot_labels = sorted({min(int(i * stride), n - 1) for i in range(m)})
+    pilot_rows = (
+        art.where(F.col("label").isin(pilot_labels)).orderBy("label").collect()
+    )
+    pilot_global = np.asarray([r["label"] for r in pilot_rows], dtype=np.int64)
+    pilot_vecs = np.asarray([r["vector"] for r in pilot_rows], dtype=np.float32)
+    pilot_rowids = np.asarray([r["row_id"] for r in pilot_rows], dtype=np.int64)
+    g = build_vamana(pilot_vecs, metric, max_degree, build_L, alpha)
+    entry_global = int(pilot_global[g.entry_point])
+
+    pilot_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "label": pilot_global.astype(np.int32),
+                "row_id": pilot_rowids,
+                "vector": [pilot_vecs[i] for i in range(len(pilot_global))],
+                "neighbors": [
+                    pilot_global[g.neighbors[i]].astype(np.int32)
+                    for i in range(len(pilot_global))
+                ],
+                "is_patch": [False] * len(pilot_global),
+            }
+        ),
+        VERTEX_SCHEMA,
+    )
+
+    rest = art.where(~F.col("label").isin(pilot_labels))
+    n_rest = n - len(pilot_global)
+    if n_rest > 0:
+        # ---- pass 2: partition-parallel streaming inserts against the pilot
+        bc = spark.sparkContext.broadcast(
+            (pilot_vecs, [g.neighbors[i] for i in range(len(pilot_global))],
+             pilot_global, g.entry_point)
+        )
+        n_parts = max(1, min(2048, -(-n_rest // partition_rows)))
+        n_parts = max(n_parts, spark.sparkContext.defaultParallelism)
+
+        def insert_partition(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            pv, pn, pglobal, entry_local = bc.value
+            pdfs = [b for b in batches if len(b)]
+            if not pdfs:
+                return
+            part = pd.concat(pdfs, ignore_index=True)
+            local_vecs = np.asarray(
+                [np.asarray(v, dtype=np.float32) for v in part["vector"]]
+            )
+            npilot, nlocal = pv.shape[0], len(part)
+            x = np.vstack([pv, local_vecs])
+            nbrs = [np.asarray(nb, dtype=np.int64) for nb in pn] + [
+                np.empty(0, dtype=np.int64) for _ in range(nlocal)
+            ]
+            lg = VamanaGraph(x, nbrs, entry_local, metric)
+            slack = int(max_degree * 1.3)
+            touched_pilot: set[int] = set()
+            for i in range(nlocal):
+                pos = npilot + i
+                labels, dists = lg.beam_search(x[pos], build_L, build_L)
+                if len(labels) == 0:
+                    continue
+                out = robust_prune(pos, labels, dists, x, alpha, max_degree, metric)
+                lg.neighbors[pos] = out
+                for nb in out:
+                    nb = int(nb)
+                    cur = lg.neighbors[nb]
+                    if pos in cur:
+                        continue
+                    cur = np.append(cur, pos)
+                    if len(cur) > slack:
+                        cd_ = _dists(metric, x[cur], x[nb])
+                        cur = robust_prune(nb, cur, cd_, x, alpha, max_degree, metric)
+                    lg.neighbors[nb] = cur
+                    if nb < npilot:
+                        touched_pilot.add(nb)
+
+            def to_global(positions: np.ndarray) -> np.ndarray:
+                out = np.empty(len(positions), dtype=np.int64)
+                for j, q in enumerate(positions):
+                    out[j] = pglobal[q] if q < npilot else int(
+                        part["label"].iloc[q - npilot]
+                    )
+                return out
+
+            rows = {
+                "label": part["label"].to_numpy(np.int32),
+                "row_id": part["row_id"].to_numpy(np.int64),
+                "vector": [local_vecs[i] for i in range(nlocal)],
+                "neighbors": [
+                    to_global(lg.neighbors[npilot + i]).astype(np.int32)
+                    for i in range(nlocal)
+                ],
+                "is_patch": [False] * nlocal,
+            }
+            yield pd.DataFrame(rows)
+            if touched_pilot:
+                tp = sorted(touched_pilot)
+                yield pd.DataFrame(
+                    {
+                        "label": [int(pglobal[q]) for q in tp],
+                        "row_id": [-1] * len(tp),
+                        "vector": [None] * len(tp),
+                        "neighbors": [
+                            to_global(lg.neighbors[q]).astype(np.int32) for q in tp
+                        ],
+                        "is_patch": [True] * len(tp),
+                    }
+                )
+
+        inserted = rest.repartition(n_parts).mapInPandas(
+            insert_partition, VERTEX_SCHEMA
+        )
+    else:
+        inserted = spark.createDataFrame([], VERTEX_SCHEMA)
+
+    # ---- merge: pilot adjacency = RobustPrune(base ∪ patches) per node.
+    # Edge volume is O(N * degree); everything below is joins + one grouped
+    # prune — no driver materialization.
+    inserted = inserted.persist()
+    locals_df = inserted.where(~F.col("is_patch"))
+    patches = inserted.where(F.col("is_patch"))
+
+    edges = (
+        patches.select("label", F.explode("neighbors").alias("dst"))
+        .unionByName(pilot_df.select("label", F.explode("neighbors").alias("dst")))
+        .distinct()
+    )
+    verts = locals_df.select(
+        F.col("label").alias("dst"), F.col("vector").alias("dst_vec")
+    ).unionByName(
+        pilot_df.select(F.col("label").alias("dst"), F.col("vector").alias("dst_vec"))
+    )
+    cand = edges.join(verts, "dst")
+
+    pv_by_label = {int(l): pilot_vecs[i] for i, l in enumerate(pilot_global)}
+    bc_pv = spark.sparkContext.broadcast(pv_by_label)
+
+    def prune_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = int(pdf["label"].iloc[0])
+        pvec = bc_pv.value[src]
+        cands = pdf["dst"].to_numpy(np.int64)
+        vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["dst_vec"]])
+        d = _dists(metric, vecs, pvec)
+        # robust_prune indexes a label->vector array; build a local view
+        local_ids = np.arange(len(cands), dtype=np.int64)
+        keep = robust_prune(-1, local_ids, d, vecs, alpha, max_degree, metric)
+        return pd.DataFrame(
+            {"label": [src], "neighbors": [cands[keep].astype(np.int32)]}
+        )
+
+    pruned = cand.groupBy("label").applyInPandas(
+        prune_group, "label int, neighbors array<int>"
+    )
+    pilot_final = pilot_df.drop("neighbors").join(pruned, "label", "left").select(
+        "label",
+        "row_id",
+        "vector",
+        F.coalesce("neighbors", F.array().cast("array<int>")).alias("neighbors"),
+    )
+
+    final = locals_df.select("label", "row_id", "vector", "neighbors").unionByName(
+        pilot_final
+    )
+    path = catalog.data_path(meta.name)
+    final.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_graph_meta.json"), "w") as f:
+        json.dump({"entry_point": entry_global, "metric": metric}, f)
+
+    inserted.unpersist()
+    art.unpersist()
+    meta.extra["entry_point"] = entry_global
+    meta.extra["sample_size"] = len(pilot_global)
+    meta.num_vectors = n
+    catalog.save(meta)
+    return {"num_vectors": n, "dimension": dim, "sample_size": len(pilot_global)}

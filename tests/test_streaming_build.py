@@ -1,0 +1,62 @@
+"""Two-pass streaming build parity (reference
+test/sql/diskann_streaming.test:11-131 and streaming_build.test:8-37):
+recall >= 7/10 vs brute force, sample-size semantics, error cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def rows():
+    rng = np.random.RandomState(42)
+    return [(i, rng.rand(4).astype("float32").tolist()) for i in range(200)]
+
+
+def _brute_top10(rows, q):
+    q = np.asarray(q, dtype=np.float32)
+    d = [(float(np.sum((np.asarray(v, dtype=np.float32) - q) ** 2)), i) for i, v in rows]
+    return {i for _, i in sorted(d)[:10]}
+
+
+def test_streaming_build_recall_and_meta(engine, rows):
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("docs", df, row_id="id")
+    # small pilot + small partitions to force the real two-pass path
+    info = engine.streaming_build(
+        "sb", "docs", "embedding", sample_size=32, partition_rows=40
+    )
+    assert info == {"num_vectors": 200, "dimension": 4, "sample_size": 32}
+    idx = engine.get_index("sb")
+    assert idx.meta.num_vectors == 200
+
+    # artifact invariants: every row present exactly once, labels dense
+    art = idx.artifact()
+    assert art.count() == 200
+    assert art.select("label").distinct().count() == 200
+    assert art.agg(F.max("label")).first()[0] == 199
+
+    for qid in (0, 7, 42):
+        q = rows[qid][1]
+        got = {r["row_id"] for r in idx.search(q, 10, search_complexity=128).collect()}
+        assert len(got & _brute_top10(rows, q)) >= 7, f"recall too low for q{qid}"
+
+
+def test_streaming_build_small_table_all_pilot(engine, rows):
+    df = engine.spark.createDataFrame(rows[:50], "id long, embedding array<float>")
+    engine.register_table("small", df, row_id="id")
+    info = engine.streaming_build("sb_small", "small", "embedding")
+    # sample covers the whole table -> pure pilot build
+    assert info["sample_size"] == 50 and info["num_vectors"] == 50
+    got = engine.get_index("sb_small").search(rows[3][1], 1).collect()
+    assert got[0]["row_id"] == 3
+
+
+def test_streaming_build_duplicate_name_rejected(engine, rows):
+    df = engine.spark.createDataFrame(rows[:50], "id long, embedding array<float>")
+    engine.register_table("d2", df, row_id="id")
+    engine.streaming_build("dup", "d2", "embedding")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.streaming_build("dup", "d2", "embedding")
+    info = engine.streaming_build("dup", "d2", "embedding", if_not_exists=True)
+    assert info["num_vectors"] == 50
