@@ -1,0 +1,21 @@
+"""Structured Streaming surface.
+
+The reference's only "streaming" notions are the chunk-at-a-time in-out
+table function (``ann_search_table``) and the two-pass out-of-core build
+(SURVEY §2.4) — it has no watermarks/windows/stateful operators.  This
+package is the engine's beyond-reference streaming story, built on
+Structured Streaming:
+
+* :func:`search.ann_search_stream` — continuous ANN search over an
+  unbounded query stream (the streaming twin of ``ann_search_table``);
+* :mod:`events` — watermarked windowed aggregation and session windows
+  over event streams.
+"""
+
+from duckdb_annsearch_spark.streaming.events import (
+    sessionize_stream,
+    windowed_event_counts,
+)
+from duckdb_annsearch_spark.streaming.search import ann_search_stream
+
+__all__ = ["ann_search_stream", "windowed_event_counts", "sessionize_stream"]

@@ -1,0 +1,92 @@
+"""Structured Streaming surface: streaming ANN search micro-batches match
+the batch path; watermarked window/session aggs match their batch twins."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.streaming import (
+    ann_search_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(stream_df, spark, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_ann_search_stream_matches_batch(engine, tmp_path):
+    spark = engine.spark
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    engine.register_table("embeddings", emb, row_id="vec_id")
+    engine.create_index("sf", "embeddings", "embedding", engine="faiss", index_type="Flat")
+
+    qdir = str(tmp_path / "queries")
+    emb.limit(5).selectExpr("vec_id as qid", "embedding as qvec").write.parquet(qdir)
+    schema = spark.read.parquet(qdir).schema
+    stream = spark.readStream.schema(schema).parquet(qdir)
+
+    out = ann_search_stream(engine, stream, "embeddings", "sf", k=3,
+                            query_col="qvec", id_col="qid")
+    got = _run_to_memory(out, spark, "ann_stream")
+    rows = got.select("qid", "vec_id", "_distance").collect()
+    assert len(rows) == 15
+    # top hit per query is the query itself
+    best = {r["qid"]: r["vec_id"] for r in rows if r["_distance"] < 1e-6}
+    assert best == {i: i for i in range(5)}
+
+
+def test_streaming_requires_stream(engine):
+    emb = engine.spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    engine.register_table("embeddings", emb, row_id="vec_id")
+    engine.create_index("sf2", "embeddings", "embedding", engine="faiss", index_type="Flat")
+    with pytest.raises(ValueError, match="streaming"):
+        ann_search_stream(engine, emb, "embeddings", "sf2", 3, "embedding", "vec_id")
+
+
+def _staged_events(spark, tmp_path):
+    """Spark-written copy with microsecond timestamps: the raw testdata uses
+    TIMESTAMP(NANOS), which Spark only reads via the nanos-as-long legacy
+    conf and the streaming source rejects outright."""
+    path = str(tmp_path / "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        ).write.parquet(path)
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    return spark.read.parquet(path), path
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    events, path = _staged_events(spark, tmp_path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    batch = windowed_event_counts(events, "6 hours").orderBy("window_start", "event_type")
+    streamed = _run_to_memory(
+        windowed_event_counts(stream, "6 hours"), spark, "wincounts", "complete"
+    ).orderBy("window_start", "event_type")
+    assert [tuple(r) for r in streamed.collect()] == [tuple(r) for r in batch.collect()]
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    events, path = _staged_events(spark, tmp_path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    batch = sessionize_stream(events, "45 minutes").orderBy("user_id", "session_start")
+    streamed = _run_to_memory(
+        sessionize_stream(stream, "45 minutes"), spark, "sessions", "complete"
+    ).orderBy("user_id", "session_start")
+    assert [tuple(r) for r in streamed.collect()] == [tuple(r) for r in batch.collect()]
