@@ -13,9 +13,15 @@ Structured Streaming:
 """
 
 from duckdb_annsearch_spark.streaming.events import (
+    running_user_totals,
     sessionize_stream,
     windowed_event_counts,
 )
 from duckdb_annsearch_spark.streaming.search import ann_search_stream
 
-__all__ = ["ann_search_stream", "windowed_event_counts", "sessionize_stream"]
+__all__ = [
+    "ann_search_stream",
+    "windowed_event_counts",
+    "sessionize_stream",
+    "running_user_totals",
+]

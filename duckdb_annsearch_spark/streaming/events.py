@@ -45,6 +45,49 @@ def windowed_event_counts(
     )
 
 
+def running_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value), re-emitted every micro-batch the user
+    appears in.  State is two scalars per user — bounded, watermark-evicted.
+    In batch mode the same totals come from a plain groupBy (the oracle
+    shape)."""
+    if not events.isStreaming:
+        return events.groupBy(user_col).agg(
+            F.count("*").alias("n_events"), F.sum(value_col).alias("total_value")
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{user_col} long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -90,3 +90,29 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         sessionize_stream(stream, "45 minutes"), spark, "sessions", "complete"
     ).orderBy("user_id", "session_start")
     assert [tuple(r) for r in streamed.collect()] == [tuple(r) for r in batch.collect()]
+
+
+def test_running_user_totals_state_across_batches(spark, tmp_path):
+    from duckdb_annsearch_spark.streaming import running_user_totals
+
+    events, path = _staged_events(spark, tmp_path)
+    # force multiple micro-batches so state must carry across them
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory").queryName("usertotals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("usertotals").toPandas()
+    # last emission per user == batch-mode totals
+    final = got.groupby("user_id").last().reset_index()
+    expect = running_user_totals(events).toPandas().sort_values("user_id")
+    final = final.sort_values("user_id")
+    assert list(final["user_id"]) == list(expect["user_id"])
+    assert list(final["n_events"]) == list(expect["n_events"])
+    assert max(abs(final["total_value"].to_numpy() - expect["total_value"].to_numpy())) < 1e-6
