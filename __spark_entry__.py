@@ -530,6 +530,52 @@ def q_top_orders(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3 shape: customer ⋈ orders ⋈ lineitem, revenue per order.
+    Three-way equi-join — Catalyst broadcasts the filtered small sides."""
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    rev_c = _cents(F.col("l_extendedprice")) * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_c).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_customer_running_revenue(spark, sf_dir):
+    """Per-customer running order total (window cumulative sum) — the
+    window-function member of the relational shell."""
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total_c = F.sum(_cents(F.col("o_totalprice"))).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (total_c.cast("double") / 100).alias("running_total"),
+    )
+
+
 def _read_events(spark, sf_dir):
     # the events parquet uses TIMESTAMP(NANOS) which Spark only reads via
     # the legacy nanos-as-long conf; queries below use integer nanos directly
@@ -600,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
+        "shipping_priority": q_shipping_priority,
+        "customer_running_revenue": q_customer_running_revenue,
         "events_top_by_user": q_events_top_by_user,
         "events_sessionize": q_events_sessionize,
         "event_type_stats": q_event_type_stats,
@@ -890,6 +938,30 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY o_orderkey, o_orderdate
     ORDER BY revenue DESC, o_orderkey ASC
     LIMIT 10
+    """
+
+    oracles["shipping_priority"] = """
+    SELECT l_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      o_orderpriority,
+      CAST(sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS DOUBLE) / 10000 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """
+
+    oracles["customer_running_revenue"] = """
+    SELECT o_custkey, o_orderkey,
+      CAST(sum(round(o_totalprice * 100)::BIGINT)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_total
+    FROM orders WHERE o_custkey < 100
     """
 
     oracles["events_top_by_user"] = """
