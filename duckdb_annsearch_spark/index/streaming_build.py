@@ -111,9 +111,16 @@ def streaming_build(
     n_rest = n - len(pilot_global)
     if n_rest > 0:
         # ---- pass 2: partition-parallel streaming inserts against the pilot
+        # ship the pilot adjacency as ONE padded int64 matrix: pickling a
+        # single array is far cheaper than a python list of per-node arrays
+        # (paid once per executor worker)
+        from duckdb_annsearch_spark.index.vamana import NO_NEIGHBOR, pad_neighbors
+
+        packed = pad_neighbors(
+            [g.neighbors[i] for i in range(len(pilot_global))], max_degree
+        )
         bc = spark.sparkContext.broadcast(
-            (pilot_vecs, [g.neighbors[i] for i in range(len(pilot_global))],
-             pilot_global, g.entry_point)
+            (pilot_vecs, packed, pilot_global, g.entry_point)
         )
         n_parts = max(1, min(2048, -(-n_rest // partition_rows)))
         n_parts = max(n_parts, spark.sparkContext.defaultParallelism)
@@ -121,7 +128,7 @@ def streaming_build(
         def insert_partition(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
-            pv, pn, pglobal, entry_local = bc.value
+            pv, pn_packed, pglobal, entry_local = bc.value
             pdfs = [b for b in batches if len(b)]
             if not pdfs:
                 return
@@ -131,7 +138,7 @@ def streaming_build(
             )
             npilot, nlocal = pv.shape[0], len(part)
             x = np.vstack([pv, local_vecs])
-            nbrs = [np.asarray(nb, dtype=np.int64) for nb in pn] + [
+            nbrs = [row[row != -1] for row in pn_packed] + [
                 np.empty(0, dtype=np.int64) for _ in range(nlocal)
             ]
             lg = VamanaGraph(x, nbrs, entry_local, metric)
@@ -218,22 +225,33 @@ def streaming_build(
     pv_by_label = {int(l): pilot_vecs[i] for i, l in enumerate(pilot_global)}
     bc_pv = spark.sparkContext.broadcast(pv_by_label)
 
-    def prune_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        src = int(pdf["label"].iloc[0])
-        pvec = bc_pv.value[src]
-        cands = pdf["dst"].to_numpy(np.int64)
-        vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["dst_vec"]])
-        d = _dists(metric, vecs, pvec)
-        # robust_prune indexes a label->vector array; build a local view
-        local_ids = np.arange(len(cands), dtype=np.int64)
-        keep = robust_prune(-1, local_ids, d, vecs, alpha, max_degree, metric)
-        return pd.DataFrame(
-            {"label": [src], "neighbors": [cands[keep].astype(np.int32)]}
-        )
-
-    pruned = cand.groupBy("label").applyInPandas(
-        prune_group, "label int, neighbors array<int>"
+    # batch the per-node prune: aggregate each pilot node's candidate list,
+    # then prune many nodes per Arrow batch (a per-group applyInPandas would
+    # pay python-call overhead once per pilot node)
+    cand_g = cand.groupBy("label").agg(
+        F.collect_list(F.struct("dst", "dst_vec")).alias("cands")
     )
+
+    def prune_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pv = bc_pv.value
+        for pdf in batches:
+            labels, out_nb = [], []
+            for i in range(len(pdf)):
+                src = int(pdf["label"].iloc[i])
+                cc = pdf["cands"].iloc[i]
+                cands = np.asarray([c["dst"] for c in cc], dtype=np.int64)
+                vecs = np.asarray(
+                    [np.asarray(c["dst_vec"], dtype=np.float32) for c in cc]
+                )
+                d = _dists(metric, vecs, pv[src])
+                local_ids = np.arange(len(cands), dtype=np.int64)
+                keep = robust_prune(-1, local_ids, d, vecs, alpha, max_degree, metric)
+                labels.append(src)
+                out_nb.append(cands[keep].astype(np.int32))
+            if labels:
+                yield pd.DataFrame({"label": labels, "neighbors": out_nb})
+
+    pruned = cand_g.mapInPandas(prune_batch, "label int, neighbors array<int>")
     pilot_final = pilot_df.drop("neighbors").join(pruned, "label", "left").select(
         "label",
         "row_id",

@@ -1,0 +1,49 @@
+"""End-to-end training-corpus preparation: the composition the pipeline
+operators exist for (SURVEY §7.1 M9) — language filter → quality floor →
+deduplication — in one partition-parallel pass shape.
+
+Each stage is a declarative DataFrame transform: langid and quality are
+per-row expressions (map-only), exact dedup is one hash-keyed window,
+MinHash-LSH dedup drops every member of a duplicate cluster except its
+smallest id (connected components approximated by min-pair propagation:
+b is dropped whenever some a<b shares an LSH band AND verified jaccard ≥
+threshold — the standard candidate+verify contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.pipeline.dedup import (
+    dedup_exact,
+    ngram_jaccard_pairs,
+)
+from duckdb_annsearch_spark.pipeline.text import detect_language, quality_score
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    dedup: str = "exact",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Filtered + deduplicated corpus, original schema plus ``lang`` and
+    ``quality`` columns.  ``dedup``: 'exact' | 'near' | 'none'."""
+    out = df.withColumn("lang", detect_language(F.col(text_col))).withColumn(
+        "quality", F.round(quality_score(F.col(text_col)), 6)
+    )
+    if langs:
+        out = out.where(F.col("lang").isin(list(langs)))
+    out = out.where(F.col("quality") >= min_quality)
+    if dedup == "exact":
+        out = dedup_exact(out, text_col, id_col)
+    elif dedup == "near":
+        pairs = ngram_jaccard_pairs(out, text_col, id_col, jaccard_threshold)
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        out = out.join(F.broadcast(losers), on=id_col, how="left_anti")
+    elif dedup != "none":
+        raise ValueError(f"unknown dedup mode {dedup!r}")
+    return out

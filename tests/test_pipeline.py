@@ -113,3 +113,50 @@ def test_multimodal_plumbing(spark):
     frames = M.sample_frames(media, every_n=10).collect()
     assert len(frames) == 9
     assert {r["frame_idx"] for r in frames} == {0, 10, 20}
+
+
+def test_knn_join_operator(spark):
+    from duckdb_annsearch_spark.operators.knn import knn_join
+
+    left = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])], "lid long, v array<float>"
+    )
+    right = spark.createDataFrame(
+        [(10, [0.1, 0.0]), (11, [4.9, 5.0]), (12, [9.0, 9.0])],
+        "rid long, w array<float>",
+    )
+    got = knn_join(left, right, "lid", "v", "rid", "w", k=1).collect()
+    by = {r["lid"]: r["rid"] for r in got}
+    assert by == {1: 10, 2: 11}
+
+
+def test_prepare_corpus_exact(spark):
+    from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and that is fine"),
+        (2, "the quick brown fox jumps over the lazy dog and that is fine"),  # dup
+        (3, "el rapido zorro de la casa y los perros en el jardin grande"),   # es
+        (4, "zz"),                                                            # low quality
+        (5, "the data for the model is that good and the text is clean for training"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, dedup="exact")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 5]
+    assert set(out.columns) >= {"doc_id", "text", "lang", "quality"}
+
+
+def test_prepare_corpus_near(spark):
+    from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy dog while the sun shines on the hill"
+    rows = [
+        (1, base),
+        (2, base + " today"),  # near-dup of 1
+        (3, "the completely different text talks about the spark engine and the cluster for training data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, dedup="near", jaccard_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3]
