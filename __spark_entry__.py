@@ -463,6 +463,37 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents' text bytes as an opaque
+    BINARY payload -> Arrow-batched decode/feature-extract (the stubbed
+    decode is md5-deterministic, so the byte features are oracle-exact)."""
+    from duckdb_annsearch_spark.pipeline.multimodal import FEATURE_DIM, extract_features
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    byte_strs = [
+        F.round(F.col("feature")[i] * 255).cast("int").cast("string")
+        for i in range(FEATURE_DIM)
+    ]
+    return feats.select(
+        "media_id", F.concat_ws(",", *byte_strs).alias("feature_bytes")
+    )
+
+
+def q_prepare_corpus(spark, sf_dir):
+    """Composed training-data pipeline: langid -> quality floor -> exact
+    dedup (pipeline/corpus.py), keeping (doc_id, lang, quality)."""
+    from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    out = prepare_corpus(docs, langs=("en",), min_quality=0.3, dedup="exact")
+    return out.select("doc_id", "lang", _dec(F.col("quality"), 9, 6).alias("quality"))
+
+
 def q_langid(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.text import detect_language
 
@@ -642,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "neardup_embeddings": q_neardup_embeddings,
+        "media_features": q_media_features,
+        "prepare_corpus": q_prepare_corpus,
         "langid": q_langid,
         "doc_stats": q_doc_stats,
         "pricing_summary": q_pricing_summary,
@@ -786,6 +819,14 @@ def oracle_sql() -> dict[str, str]:
     FROM fused ORDER BY _rrf_score DESC, doc_id ASC LIMIT 10
     """
 
+    oracles["media_features"] = """
+    SELECT doc_id AS media_id,
+      array_to_string(list_transform(range(0, 16),
+        i -> (('0x' || substr(md5(text), (2*i+1)::INT, 2))::INT)::VARCHAR), ',')
+        AS feature_bytes
+    FROM documents
+    """
+
     oracles["dedup_exact"] = """
     SELECT doc_id FROM (
       SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
@@ -913,6 +954,43 @@ def oracle_sql() -> dict[str, str]:
         (acc, h) -> (acc * 31 + h) % {FP_MOD}
       ) AS fingerprint
     FROM m
+    """
+
+    oracles["prepare_corpus"] = f"""
+    WITH tok AS (SELECT doc_id, text, {toks_d} AS tk FROM documents),
+    lng AS (SELECT doc_id,
+      {marker_count('en')} AS en, {marker_count('es')} AS es,
+      {marker_count('de')} AS de, {marker_count('fr')} AS fr FROM tok),
+    lang AS (SELECT doc_id, CASE
+      WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+      WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+      WHEN es >= de AND es >= fr THEN 'es'
+      WHEN de >= fr THEN 'de'
+      ELSE 'fr' END AS lang FROM lng),
+    m AS (
+      SELECT doc_id, tk,
+             length(text)::DOUBLE AS n_chars,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS n_digits,
+             len(tk)::DOUBLE AS n_tokens,
+             len(list_filter(tk, t -> list_contains([{stop}], t)))::DOUBLE AS n_stop
+      FROM tok
+    ),
+    q AS (SELECT doc_id, CAST(round(
+        0.4 * least(n_tokens / 100.0, 1.0)
+      + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 3.0, 1.0)
+      + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END * 5.0, 1.0))
+      + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0 END * 5.0, 1.0))
+      , 6) + 0.0 AS DOUBLE) AS quality FROM m),
+    kept AS (
+      SELECT d.doc_id, d.text, l.lang, q.quality
+      FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+      WHERE l.lang = 'en' AND q.quality >= 0.3
+    )
+    SELECT doc_id, lang, quality FROM (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM kept
+    ) WHERE rn = 1
     """
 
     oracles["pricing_summary"] = """
