@@ -46,11 +46,30 @@ from duckdb_annsearch_spark.index.vamana import (
 
 def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     """Load a graph artifact into numpy (pyarrow, no Spark needed — runs in
-    executor python workers)."""
+    executor python workers).  Quantized artifacts (SQ8 codes + per-dim
+    min/scale in the sidecar) are dequantized on load, so searches see the
+    same approximated values the reference computes on the fly
+    (``rust_lib/src/provider.rs:161-210``)."""
+    import json
+    import os
+
     import pyarrow.parquet as pq
 
     t = pq.read_table(path).sort_by("label")
-    vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
+    side = {}
+    sidecar = os.path.join(path, "_graph_meta.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            side = json.load(f)
+    if "sq8_mins" in side and "codes" in t.column_names:
+        mins = np.asarray(side["sq8_mins"], dtype=np.float32)
+        scales = np.asarray(side["sq8_scales"], dtype=np.float32)
+        codes = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
+        ).astype(np.float32)
+        vectors = codes / 255.0 * scales + mins
+    else:
+        vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
     nb_lists = t.column("neighbors").to_pylist()
     neighbors = [
         np.asarray([x for x in nb if x != NO_NEIGHBOR], dtype=np.int64)
@@ -61,13 +80,7 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     row_ids = np.asarray(t.column("row_id").to_pylist(), dtype=np.int64)
     # entry point + metric: sidecar json (Spark-written multi-file artifacts
     # from streaming_build) or parquet footer metadata (driver-written)
-    import json
-    import os
-
-    sidecar = os.path.join(path, "_graph_meta.json")
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            side = json.load(f)
+    if side:
         ep, metric = int(side["entry_point"]), side["metric"]
     else:
         meta = t.schema.metadata or {}
@@ -97,6 +110,16 @@ class GraphIndex(BaseIndex):
         vectors = np.asarray([r["vector"] for r in rows], dtype=np.float32)
         row_ids = np.asarray([r["row_id"] for r in rows], dtype=np.int64)
         g = build_vamana(vectors, meta.metric, max_degree, build_L, alpha)
+        if p.get("quantization") == "sq8":
+            # per-dim min/scale + u8 codes (diskann_quantization.test:24-90);
+            # full precision kept alongside (provider.rs:25-31)
+            mins = vectors.min(axis=0) if len(vectors) else np.zeros(meta.dim)
+            maxs = vectors.max(axis=0) if len(vectors) else np.ones(meta.dim)
+            scales = np.maximum(maxs - mins, 1e-12).astype(np.float32)
+            mins = mins.astype(np.float32)
+            meta.quantized = True
+            meta.extra["sq8_mins"] = mins.tolist()
+            meta.extra["sq8_scales"] = scales.tolist()
         cls._write_artifact(catalog, meta, g, row_ids, max_degree)
         meta.extra["entry_point"] = g.entry_point
         meta.num_vectors = int(vectors.shape[0])
@@ -117,19 +140,28 @@ class GraphIndex(BaseIndex):
 
         n = g.vectors.shape[0]
         padded = pad_neighbors(list(g.neighbors), max_degree) if n else np.zeros((0, max_degree))
-        table = pa.table(
-            {
-                "label": pa.array(np.arange(n, dtype=np.int32)),
-                "row_id": pa.array(row_ids.astype(np.int64)),
-                "vector": pa.array(
-                    [g.vectors[i] for i in range(n)], type=pa.list_(pa.float32())
-                ),
-                "neighbors": pa.array(
-                    [[int(x) for x in padded[i] if x != NO_NEIGHBOR] for i in range(n)],
-                    type=pa.list_(pa.int32()),
-                ),
-            }
-        ).replace_schema_metadata(
+        cols = {
+            "label": pa.array(np.arange(n, dtype=np.int32)),
+            "row_id": pa.array(row_ids.astype(np.int64)),
+            "vector": pa.array(
+                [g.vectors[i] for i in range(n)], type=pa.list_(pa.float32())
+            ),
+            "neighbors": pa.array(
+                [[int(x) for x in padded[i] if x != NO_NEIGHBOR] for i in range(n)],
+                type=pa.list_(pa.int32()),
+            ),
+        }
+        side = {"entry_point": g.entry_point, "metric": meta.metric}
+        if meta.quantized:
+            mins = np.asarray(meta.extra["sq8_mins"], dtype=np.float32)
+            scales = np.asarray(meta.extra["sq8_scales"], dtype=np.float32)
+            q = np.clip(
+                np.rint((g.vectors - mins) / scales * 255.0), 0, 255
+            ).astype(np.uint8)
+            cols["codes"] = pa.array([q[i].tobytes() for i in range(n)], type=pa.binary())
+            side["sq8_mins"] = mins.tolist()
+            side["sq8_scales"] = scales.tolist()
+        table = pa.table(cols).replace_schema_metadata(
             {"entry_point": str(g.entry_point), "metric": meta.metric}
         )
         path = catalog.data_path(meta.name)
@@ -139,6 +171,10 @@ class GraphIndex(BaseIndex):
         for f in os.listdir(path):
             os.remove(os.path.join(path, f))
         pq.write_table(table, os.path.join(path, "graph.parquet"))
+        import json
+
+        with open(os.path.join(path, "_graph_meta.json"), "w") as f:
+            json.dump(side, f)
 
     def artifact(self) -> DataFrame:
         return self.spark.read.parquet(self.catalog.data_path(self.meta.name))

@@ -262,10 +262,22 @@ def streaming_build(
     final = locals_df.select("label", "row_id", "vector", "neighbors").unionByName(
         pilot_final
     )
+    side = {"entry_point": entry_global, "metric": metric}
+    if p.get("quantization") == "sq8":
+        from duckdb_annsearch_spark.index.base import add_sq8_codes, compute_sq8_stats
+
+        final = final.persist()
+        mins, scales = compute_sq8_stats(final, dim)
+        final = add_sq8_codes(final, dim, mins, scales)
+        meta.quantized = True
+        meta.extra["sq8_mins"] = mins
+        meta.extra["sq8_scales"] = scales
+        side["sq8_mins"] = mins
+        side["sq8_scales"] = scales
     path = catalog.data_path(meta.name)
     final.write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "_graph_meta.json"), "w") as f:
-        json.dump({"entry_point": entry_global, "metric": metric}, f)
+        json.dump(side, f)
 
     inserted.unpersist()
     art.unpersist()

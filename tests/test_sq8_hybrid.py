@@ -106,3 +106,36 @@ def test_hybrid_doc_only_in_bm25_list(engine):
     ).collect()
     rows = {r["id"]: r for r in out}
     assert rows[4]["_bm25_rank"] >= 1 and rows[4]["_vector_rank"] == 0
+
+
+def test_sq8_on_diskann_graph(engine):
+    """The reference's SQ8 lives on the DISKANN index
+    (diskann_quantization.test:24-90): quantized flag set, top-1 exact-match
+    parity, distances approximate full precision."""
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.rand(4).astype(np.float32).tolist()) for i in range(60)]
+    df = make_vectors_df(engine.spark, rows, dim=4)
+    engine.register_table("gq", df, row_id="id")
+    engine.create_index("gq8", "gq", engine="diskann", quantization="sq8")
+    info = {r["name"]: r for r in engine.ann_index_info().collect()}
+    assert info["gq8"]["quantized"] is True
+    for probe_id in (0, 17, 42):
+        q = rows[probe_id][1]
+        res = engine.ann_search("gq", "gq8", q, k=1).collect()
+        assert res[0]["id"] == probe_id
+        # quantization error bounded: ~ (scale/255)^2 * dim
+        assert res[0]["_distance"] < 1e-3
+
+
+def test_sq8_on_streaming_build(engine):
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.rand(4).astype(np.float32).tolist()) for i in range(120)]
+    df = make_vectors_df(engine.spark, rows, dim=4)
+    engine.register_table("sq", df, row_id="id")
+    engine.streaming_build(
+        "sbq8", "sq", sample_size=32, partition_rows=40, quantization="sq8"
+    )
+    idx = engine.get_index("sbq8")
+    assert idx.meta.quantized is True
+    res = idx.search(rows[7][1], 1).collect()
+    assert res[0]["row_id"] == 7 and res[0]["_distance"] < 1e-3
