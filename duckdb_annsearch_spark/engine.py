@@ -268,6 +268,7 @@ class AnnEngine:
         metric: str = "l2",
         sample_size: int | None = None,
         partition_rows: int | None = None,
+        shards: int | None = None,
         if_not_exists: bool = False,
         **params,
     ) -> dict:
@@ -278,9 +279,15 @@ class AnnEngine:
         any registered table rather than a packed binary file.  Returns
         ``{num_vectors, dimension, sample_size}`` like the reference's
         result row and registers index ``name`` (searchable exactly like a
-        ``create_index`` DISKANN index)."""
+        ``create_index`` DISKANN index).
+
+        ``shards=N`` switches to the fully-distributed sharded build: N
+        independent subgraphs built in parallel with no driver-side work,
+        searched by per-shard fan-out + merge — the path for graphs too
+        big for one worker's memory."""
         from duckdb_annsearch_spark.index.streaming_build import (
             DEFAULT_PARTITION_ROWS,
+            sharded_build,
             streaming_build,
         )
 
@@ -312,6 +319,8 @@ class AnnEngine:
             metric=_normalize_metric(metric),
             params=params,
         )
+        if shards:
+            return sharded_build(self.catalog, meta, t.df, t.row_id, column, shards)
         return streaming_build(
             self.catalog,
             meta,

@@ -89,6 +89,36 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     return VamanaGraph(vectors, neighbors, ep, metric, row_ids), row_ids
 
 
+def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
+    """Load one shard subgraph: labels are GLOBAL (non-dense within the
+    shard), so remap neighbors/entry to local positions via searchsorted
+    over the shard's sorted label set."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(shard_dir).sort_by("label")
+    glabels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
+    row_ids = np.asarray(t.column("row_id").to_pylist(), dtype=np.int64)
+    nb_lists = t.column("neighbors").to_pylist()
+    neighbors = [
+        np.searchsorted(glabels, np.asarray(nb, dtype=np.int64))
+        if nb
+        else np.empty(0, dtype=np.int64)
+        for nb in nb_lists
+    ]
+    entry_global = int(t.column("entry").to_pylist()[0]) if len(glabels) else 0
+    ep = int(np.searchsorted(glabels, entry_global))
+    metric = "l2"
+    import json
+    import os
+
+    sidecar = os.path.join(os.path.dirname(shard_dir), "_graph_meta.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            metric = json.load(f).get("metric", "l2")
+    return VamanaGraph(vectors, neighbors, ep, metric, row_ids), row_ids
+
+
 class GraphIndex(BaseIndex):
     TYPE = "diskann"
 
@@ -201,7 +231,11 @@ class GraphIndex(BaseIndex):
     ) -> DataFrame:
         """Query-distributed beam search: the graph loads once per python
         worker (process-level cache) and each task probes for its own slice
-        of queries."""
+        of queries.  Sharded artifacts fan out (query x shard) and merge."""
+        if self.meta.extra.get("shards"):
+            return self._sharded_search_df(
+                queries_df, k, query_col, idx_col, search_complexity
+            )
         L = max(k, int(search_complexity or self._beam()))
         deleted = self._deleted_rowid_array()
         overfetch = k + deleted.size
@@ -243,6 +277,75 @@ class GraphIndex(BaseIndex):
         return queries_df.select(idx_col, query_col).mapInPandas(
             probe, f"{idx_col} long, row_id long, _distance float"
         )
+
+    def _sharded_search_df(
+        self,
+        queries_df: DataFrame,
+        k: int,
+        query_col: str,
+        idx_col: str,
+        search_complexity: int | None,
+    ) -> DataFrame:
+        """Shard fan-out: every (query, shard) pair probes that shard's
+        subgraph (each task holds ONE shard in memory — graphs larger than
+        any single worker's RAM stay searchable), then a per-query window
+        merges the per-shard top-ks.  Shuffle volume is nq * shards * k
+        candidate rows — never vectors."""
+        from duckdb_annsearch_spark.index.base import topk_per_query
+
+        n_shards = int(self.meta.extra["shards"])
+        L = max(k, int(search_complexity or self._beam()))
+        deleted = self._deleted_rowid_array()
+        overfetch = k + deleted.size
+        path = self.catalog.data_path(self.meta.name)
+        dim = self.meta.dim
+
+        shards_df = self.spark.createDataFrame(
+            [(s,) for s in range(n_shards)], "shard int"
+        )
+        fan = queries_df.select(idx_col, query_col).crossJoin(shards_df)
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for sid, grp in pdf.groupby("shard"):
+                    g, row_ids = index_cache.get_or_load(
+                        f"{path}/shard={int(sid)}", _load_shard
+                    )
+                    for i in range(len(grp)):
+                        v = grp[query_col].iloc[i]
+                        if v is None or len(v) != dim:
+                            continue
+                        labels, dists = g.beam_search(
+                            np.asarray(v, dtype=np.float32),
+                            overfetch,
+                            max(L, overfetch),
+                        )
+                        rids = row_ids[labels]
+                        if deleted.size:
+                            keep = ~np.isin(rids, deleted)
+                            rids, dists = rids[keep], dists[keep]
+                        rids, dists = rids[:k], dists[:k]
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    idx_col: np.full(
+                                        len(rids),
+                                        int(grp[idx_col].iloc[i]),
+                                        dtype=np.int64,
+                                    ),
+                                    "row_id": rids.astype(np.int64),
+                                    "_distance": dists.astype(np.float32),
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        partial = fan.repartition(n_shards, "shard").mapInPandas(
+            probe, f"{idx_col} long, row_id long, _distance float"
+        )
+        return topk_per_query(partial, k, idx_col=idx_col)
 
     def _search_batch_impl(
         self,

@@ -51,6 +51,75 @@ VERTEX_SCHEMA = (
     "is_patch boolean"
 )
 
+SHARD_SCHEMA = (
+    "shard int, label int, row_id long, vector array<float>, "
+    "neighbors array<int>, entry int"
+)
+
+
+def sharded_build(
+    catalog: Catalog,
+    meta: IndexMeta,
+    df: DataFrame,
+    row_id_col: str,
+    vector_col: str,
+    shards: int,
+) -> dict:
+    """Fully-distributed graph build: hash rows into ``shards`` independent
+    subgraphs, build each with Vamana inside its own task (parallel across
+    the cluster, NO driver-side build at all), search fans out per shard and
+    merges top-k.  This is the path for graphs too big for one worker's RAM:
+    each worker only ever holds one shard.  Per-shard recall is exact w.r.t.
+    the shard, so global recall ≈ the single-graph recall of the same
+    hyperparameters — the standard sharded-DiskANN deployment shape."""
+    p = meta.params
+    max_degree = int(p.get("max_degree", DEFAULT_MAX_DEGREE))
+    build_L = int(p.get("build_complexity", DEFAULT_BUILD_COMPLEXITY))
+    alpha = float(p.get("alpha", DEFAULT_ALPHA))
+    metric = meta.metric
+    spark = catalog.spark
+
+    art = with_labels(df, row_id_col, vector_col)
+    shard_col = F.pmod(F.col("label"), F.lit(shards)).cast("int").alias("shard")
+    sharded = art.select(shard_col, "label", "row_id", "vector")
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("label").reset_index(drop=True)
+        x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vector"]])
+        g = build_vamana(x, metric, max_degree, build_L, alpha)
+        glabels = pdf["label"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(pdf), sid, dtype=np.int32),
+                "label": glabels.astype(np.int32),
+                "row_id": pdf["row_id"].to_numpy(np.int64),
+                "vector": [x[i] for i in range(len(pdf))],
+                # neighbors as global labels (within-shard only)
+                "neighbors": [
+                    glabels[g.neighbors[i]].astype(np.int32) for i in range(len(pdf))
+                ],
+                "entry": np.full(len(pdf), int(glabels[g.entry_point]), dtype=np.int32),
+            }
+        )
+
+    built = sharded.groupBy("shard").applyInPandas(build_shard, SHARD_SCHEMA)
+    path = catalog.data_path(meta.name)
+    built.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    entries = {
+        int(r["shard"]): int(r["entry"])
+        for r in spark.read.parquet(path).select("shard", "entry").distinct().collect()
+    }
+    with open(os.path.join(path, "_graph_meta.json"), "w") as f:
+        json.dump({"metric": metric, "shards": entries, "entry_point": 0}, f)
+
+    n = spark.read.parquet(path).count()
+    meta.extra["shards"] = shards
+    meta.num_vectors = n
+    catalog.save(meta)
+    return {"num_vectors": n, "dimension": meta.dim, "shards": shards}
+
 
 def default_sample_size(n: int) -> int:
     """max(sqrt(N), 1000) — streaming_build.rs:60-66."""

@@ -60,3 +60,31 @@ def test_streaming_build_duplicate_name_rejected(engine, rows):
         engine.streaming_build("dup", "d2", "embedding")
     info = engine.streaming_build("dup", "d2", "embedding", if_not_exists=True)
     assert info["num_vectors"] == 50
+
+
+def test_sharded_build_recall_and_fanout(engine, rows):
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("sh_docs", df, row_id="id")
+    info = engine.streaming_build("shg", "sh_docs", "embedding", shards=4)
+    assert info == {"num_vectors": 200, "dimension": 4, "shards": 4}
+    idx = engine.get_index("shg")
+    art = idx.artifact()
+    assert art.count() == 200
+    assert art.select("shard").distinct().count() == 4
+
+    for qid in (0, 7, 42):
+        q = rows[qid][1]
+        got = {r["row_id"] for r in idx.search(q, 10, search_complexity=128).collect()}
+        assert rows[qid][0] in got  # self-match always found
+        assert len(got & _brute_top10(rows, q)) >= 7, f"recall too low for q{qid}"
+
+
+def test_sharded_search_table(engine, rows):
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("sh2", df, row_id="id")
+    engine.streaming_build("shg2", "sh2", "embedding", shards=3)
+    qdf = engine.spark.createDataFrame(
+        [(100, rows[5][1]), (200, rows[9][1])], "qid int, v array<float>"
+    )
+    res = engine.ann_search_table(qdf, "sh2", "shg2", k=1).collect()
+    assert {(r["qid"], r["id"]) for r in res} == {(100, 5), (200, 9)}
