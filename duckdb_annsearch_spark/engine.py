@@ -47,6 +47,24 @@ _INDEX_CLASSES = {
 }
 
 
+def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
+    """Map the FAISS factory-string subset the reference builds
+    (``src/faiss_index.cpp:39-60``: "Flat"/"IDMap,Flat", "HNSW<M>",
+    "IVF<nlist>,Flat") onto our index types + params."""
+    import re
+
+    d = desc.strip().replace("IDMap,", "")
+    if d.lower() == "flat":
+        return "Flat", {}
+    m = re.fullmatch(r"HNSW(\d+)?", d, re.IGNORECASE)
+    if m:
+        return "HNSW", {"hnsw_m": int(m.group(1))} if m.group(1) else {}
+    m = re.fullmatch(r"IVF(\d+),Flat", d, re.IGNORECASE)
+    if m:
+        return "IVFFlat", {"ivf_nlist": int(m.group(1))}
+    raise ValueError(f"unsupported FAISS factory description {desc!r}")
+
+
 def _normalize_metric(metric: str) -> str:
     m = metric.lower()
     if m in ("l2", "euclidean"):
@@ -130,6 +148,19 @@ class AnnEngine:
         if engine == "diskann":
             itype = "diskann"
         elif engine == "faiss":
+            # mode=cpu|gpu|auto and legacy gpu= flag are accepted and
+            # recorded; execution is always the distributed-CPU path
+            # (src/faiss_index.cpp:108-153, test/sql/faiss_gpu.test:8-147)
+            mode = str(params.get("mode", "cpu")).lower()
+            if mode not in ("cpu", "gpu", "auto"):
+                raise ValueError(f"unknown FAISS mode {mode!r} (cpu | gpu | auto)")
+            params["mode"] = mode
+            desc = params.pop("description", None)
+            if desc:
+                dtype, dparams = _parse_faiss_factory(desc)
+                index_type = index_type or dtype
+                for dk, dv in dparams.items():
+                    params.setdefault(dk, dv)
             itype = (index_type or params.get("type") or "Flat").lower()
             if itype not in ("flat", "ivfflat", "hnsw"):
                 raise ValueError(f"unknown FAISS index type {index_type!r}")

@@ -115,3 +115,23 @@ def test_wrong_dim_query_returns_empty_via_search_table(engine):
     qdf = make_vectors_df(engine.spark, [(1, [1.0, 0.0])], vec_col="q")
     out = engine.ann_search_table(qdf, "vectors", "idx", k=2)
     assert out.count() == 0
+
+
+def test_faiss_factory_description_and_mode(engine):
+    df = _mk(engine, name="fvecs")
+    idx = engine.create_index(
+        "fdesc", "fvecs", "embedding", engine="faiss",
+        description="IVF2,Flat", nprobe=2, mode="auto",
+    )
+    assert idx.meta.index_type == "ivfflat"
+    assert idx.meta.params["ivf_nlist"] == 2
+    assert idx.meta.params["mode"] == "auto"
+    got = engine.ann_search("fvecs", "fdesc", [1.0, 0.0, 0.0], k=1).collect()
+    assert got[0]["id"] == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown FAISS mode"):
+        engine.create_index("bad", "fvecs", "embedding", engine="faiss", mode="tpu")
+    with _pytest.raises(ValueError, match="unsupported FAISS factory"):
+        engine.create_index("bad2", "fvecs", "embedding", engine="faiss",
+                            description="PQ16")
