@@ -82,15 +82,29 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         "doc_id", "text", "embedding"
     )
     eng.register_table("chunks", chunks, row_id="doc_id")
-    eng.create_index("emb_flat", "embeddings", "embedding", engine="faiss", index_type="Flat")
-    eng.create_index(
-        "emb_ivf", "embeddings", "embedding", engine="faiss", index_type="IVFFlat",
-        ivf_nlist=8, nprobe=8,
-    )
-    # two-pass distributed build: pilot + parallel partition inserts — the
-    # scale path (and ~2x faster than the driver build even at bench sizes)
-    eng.streaming_build("emb_graph", "embeddings", "embedding", partition_rows=256)
-    eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text")
+    # build the four indexes concurrently — Spark schedules jobs from
+    # separate driver threads in parallel, and the builds touch disjoint
+    # catalog directories
+    from concurrent.futures import ThreadPoolExecutor
+
+    builds = [
+        lambda: eng.create_index(
+            "emb_flat", "embeddings", "embedding", engine="faiss", index_type="Flat"
+        ),
+        lambda: eng.create_index(
+            "emb_ivf", "embeddings", "embedding", engine="faiss",
+            index_type="IVFFlat", ivf_nlist=8, nprobe=8,
+        ),
+        # two-pass distributed build: pilot + parallel partition inserts —
+        # the scale path (and faster than the driver build even at bench sizes)
+        lambda: eng.streaming_build(
+            "emb_graph", "embeddings", "embedding", partition_rows=256
+        ),
+        lambda: eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text"),
+    ]
+    with ThreadPoolExecutor(4) as ex:
+        for f in [ex.submit(b) for b in builds]:
+            f.result()
     _ENGINE_CACHE[key] = eng
     return eng
 
@@ -440,6 +454,19 @@ def q_ann_search_table(spark, sf_dir):
     return res.select("qid", "vec_id", F.row_number().over(w).alias("rank"))
 
 
+def q_user_totals(spark, sf_dir):
+    """Batch twin of the stateful-streaming running_user_totals operator."""
+    from duckdb_annsearch_spark.streaming.events import running_user_totals
+
+    ev = _read_events(spark, sf_dir)
+    out = running_user_totals(ev)
+    return out.select(
+        "user_id",
+        "n_events",
+        _dec(F.col("total_value"), 18, 4).alias("total_value"),
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     """Watermark-style tumbling window rollup (streaming module semantics,
     run in batch mode): 6-hour buckets per event type."""
@@ -667,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_filtered": q_topk_filtered,
         "ann_search_table": q_ann_search_table,
         "events_windowed": q_events_windowed,
+        "user_totals": q_user_totals,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -771,6 +799,12 @@ def oracle_sql() -> dict[str, str]:
       FROM pairs
     ) WHERE rn <= 3
     """
+    oracles["user_totals"] = """
+    SELECT user_id, count(*) AS n_events,
+      CAST(round(sum(value), 4) + 0.0 AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """
+
     oracles["events_windowed"] = """
     SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT) AS win_start,
            event_type,
