@@ -300,6 +300,7 @@ class AnnEngine:
         sample_size: int | None = None,
         partition_rows: int | None = None,
         shards: int | None = None,
+        shard_by: str = "hash",
         if_not_exists: bool = False,
         **params,
     ) -> dict:
@@ -351,7 +352,9 @@ class AnnEngine:
             params=params,
         )
         if shards:
-            return sharded_build(self.catalog, meta, t.df, t.row_id, column, shards)
+            return sharded_build(
+                self.catalog, meta, t.df, t.row_id, column, shards, by=shard_by
+            )
         return streaming_build(
             self.catalog,
             meta,

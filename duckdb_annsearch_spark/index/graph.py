@@ -234,7 +234,8 @@ class GraphIndex(BaseIndex):
         of queries.  Sharded artifacts fan out (query x shard) and merge."""
         if self.meta.extra.get("shards"):
             return self._sharded_search_df(
-                queries_df, k, query_col, idx_col, search_complexity
+                queries_df, k, query_col, idx_col, search_complexity,
+                nprobe_shards=kw.get("nprobe_shards"),
             )
         L = max(k, int(search_complexity or self._beam()))
         deleted = self._deleted_rowid_array()
@@ -285,25 +286,52 @@ class GraphIndex(BaseIndex):
         query_col: str,
         idx_col: str,
         search_complexity: int | None,
+        nprobe_shards: int | None = None,
     ) -> DataFrame:
         """Shard fan-out: every (query, shard) pair probes that shard's
         subgraph (each task holds ONE shard in memory — graphs larger than
         any single worker's RAM stay searchable), then a per-query window
         merges the per-shard top-ks.  Shuffle volume is nq * shards * k
-        candidate rows — never vectors."""
+        candidate rows — never vectors.
+
+        With kmeans-clustered shards, ``nprobe_shards`` prunes the fan-out
+        to each query's closest shards by centroid (SPANN-style routing) —
+        work drops from all-shards to nprobe_shards/shards of the data."""
+        from duckdb_annsearch_spark.functions.distance import metric_distance
         from duckdb_annsearch_spark.index.base import topk_per_query
 
-        n_shards = int(self.meta.extra["shards"])
+        shard_ids = self.meta.extra.get("shard_ids") or list(
+            range(int(self.meta.extra["shards"]))
+        )
         L = max(k, int(search_complexity or self._beam()))
         deleted = self._deleted_rowid_array()
         overfetch = k + deleted.size
         path = self.catalog.data_path(self.meta.name)
         dim = self.meta.dim
 
-        shards_df = self.spark.createDataFrame(
-            [(s,) for s in range(n_shards)], "shard int"
-        )
-        fan = queries_df.select(idx_col, query_col).crossJoin(shards_df)
+        centroids = self.meta.extra.get("shard_centroids")
+        if nprobe_shards and centroids is not None:
+            cdf = self.spark.createDataFrame(
+                [(int(s), [float(x) for x in centroids[int(s)]]) for s in shard_ids],
+                "shard int, __cvec array<float>",
+            )
+            fan = queries_df.select(idx_col, query_col).crossJoin(F.broadcast(cdf))
+            cd = metric_distance(F.col(query_col), F.col("__cvec"), self.meta.metric)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(idx_col).orderBy(cd.asc(), F.col("shard").asc())
+            fan = (
+                fan.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= int(nprobe_shards))
+                .drop("__rk", "__cvec")
+            )
+            n_shards = min(len(shard_ids), int(nprobe_shards))
+        else:
+            shards_df = self.spark.createDataFrame(
+                [(int(s),) for s in shard_ids], "shard int"
+            )
+            fan = queries_df.select(idx_col, query_col).crossJoin(shards_df)
+            n_shards = len(shard_ids)
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

@@ -64,6 +64,7 @@ def sharded_build(
     row_id_col: str,
     vector_col: str,
     shards: int,
+    by: str = "hash",
 ) -> dict:
     """Fully-distributed graph build: hash rows into ``shards`` independent
     subgraphs, build each with Vamana inside its own task (parallel across
@@ -80,8 +81,44 @@ def sharded_build(
     spark = catalog.spark
 
     art = with_labels(df, row_id_col, vector_col)
-    shard_col = F.pmod(F.col("label"), F.lit(shards)).cast("int").alias("shard")
-    sharded = art.select(shard_col, "label", "row_id", "vector")
+    centroids = None
+    if by == "kmeans":
+        # SPANN-style clustered shards: rows go to their nearest centroid's
+        # shard; search can then prune to the nprobe_shards closest shards
+        from duckdb_annsearch_spark.index.ivf import _train_kmeans
+
+        n_total = art.count()
+        cap = max(shards * 256, 10_000)
+        sample_df = art
+        if n_total > cap:
+            stride = n_total / cap
+            wanted = {int(i * stride) for i in range(cap)}
+            sample_df = art.where(F.col("label").isin(list(wanted)))
+        sample = np.asarray(
+            [r["vector"] for r in sample_df.select("vector").collect()],
+            dtype=np.float32,
+        )
+        centroids = _train_kmeans(sample, shards, metric)
+        cent, dim_ = centroids, meta.dim
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from duckdb_annsearch_spark.index import kernels
+
+            for pdf in batches:
+                x = kernels.stack_vectors(pdf["vector"], dim_)
+                d = kernels.pairwise_distances(cent, x, metric)
+                pdf = pdf.copy()
+                pdf["shard"] = np.argmin(d, axis=0).astype(np.int32)
+                yield pdf[["shard", "label", "row_id", "vector"]]
+
+        sharded = art.mapInPandas(
+            assign, "shard int, label int, row_id long, vector array<float>"
+        )
+    elif by == "hash":
+        shard_col = F.pmod(F.col("label"), F.lit(shards)).cast("int").alias("shard")
+        sharded = art.select(shard_col, "label", "row_id", "vector")
+    else:
+        raise ValueError(f"unknown shard assignment {by!r} (hash | kmeans)")
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(pdf["shard"].iloc[0])
@@ -116,9 +153,14 @@ def sharded_build(
 
     n = spark.read.parquet(path).count()
     meta.extra["shards"] = shards
+    meta.extra["shard_ids"] = sorted(entries)
+    if centroids is not None:
+        # kmeans may collapse to fewer distinct shards than requested
+        meta.extra["shards"] = int(centroids.shape[0])
+        meta.extra["shard_centroids"] = centroids.tolist()
     meta.num_vectors = n
     catalog.save(meta)
-    return {"num_vectors": n, "dimension": meta.dim, "shards": shards}
+    return {"num_vectors": n, "dimension": meta.dim, "shards": meta.extra["shards"]}
 
 
 def default_sample_size(n: int) -> int:

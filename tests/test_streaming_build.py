@@ -88,3 +88,30 @@ def test_sharded_search_table(engine, rows):
     )
     res = engine.ann_search_table(qdf, "sh2", "shg2", k=1).collect()
     assert {(r["qid"], r["id"]) for r in res} == {(100, 5), (200, 9)}
+
+
+def test_kmeans_shards_with_pruning(engine, rows):
+    """SPANN-style clustered shards: nprobe_shards routes each query to its
+    nearest shards; self-match recall survives because the query's own
+    cluster is always probed."""
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("km", df, row_id="id")
+    info = engine.streaming_build("kmg", "km", "embedding", shards=4, shard_by="kmeans")
+    idx = engine.get_index("kmg")
+    assert idx.meta.extra.get("shard_centroids") is not None
+    assert idx.artifact().count() == 200
+
+    for qid in (0, 7, 42):
+        q = rows[qid][1]
+        # pruned probe: only 2 of 4 shards searched
+        got = {
+            r["row_id"]
+            for r in idx.search(q, 10, search_complexity=128, nprobe_shards=2).collect()
+        }
+        assert qid in got
+        assert len(got & _brute_top10(rows, q)) >= 6, f"recall too low for q{qid}"
+        # full fan-out at least matches the pruned result
+        full = {
+            r["row_id"] for r in idx.search(q, 10, search_complexity=128).collect()
+        }
+        assert len(full & _brute_top10(rows, q)) >= len(got & _brute_top10(rows, q)) - 1
