@@ -365,6 +365,97 @@ class AnnEngine:
             partition_rows=partition_rows or DEFAULT_PARTITION_ROWS,
         )
 
+    def export_dann(self, name: str, out_path: str) -> dict:
+        """Serialize a graph index to the reference's ``.diskann`` binary
+        layout (DANN v2 — ``rust_lib/src/file_format.rs:3-18``) for interop
+        with reference tooling.  The row_id map is NOT part of the format
+        (the reference persists it separately in DB blocks); labels are
+        written in label order, which this engine assigns by ascending
+        row_id."""
+        import pyarrow.parquet as pq
+
+        from duckdb_annsearch_spark.index.dann_format import write_dann
+        from duckdb_annsearch_spark.index.vamana import (
+            DEFAULT_BUILD_COMPLEXITY,
+            DEFAULT_MAX_DEGREE,
+        )
+
+        meta = self.catalog.load(name)
+        if meta.index_type not in ("diskann", "hnsw"):
+            raise ValueError("export_dann requires a graph index")
+        if meta.extra.get("shards"):
+            raise ValueError("sharded graphs have no single-file DANN form")
+        t = pq.read_table(self.catalog.data_path(name)).sort_by("label")
+        vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
+        neighbors = [
+            np.asarray(nb or [], dtype=np.int64)
+            for nb in t.column("neighbors").to_pylist()
+        ]
+        sq8 = None
+        if meta.quantized and "codes" in t.column_names:
+            sq8 = {
+                "mins": meta.extra["sq8_mins"],
+                "scales": meta.extra["sq8_scales"],
+                "codes": np.stack(
+                    [
+                        np.frombuffer(b, dtype=np.uint8)
+                        for b in t.column("codes").to_pylist()
+                    ]
+                ),
+            }
+        write_dann(
+            out_path,
+            vectors,
+            neighbors,
+            [int(meta.extra.get("entry_point", 0))],
+            metric=meta.metric,
+            max_degree=int(meta.params.get("max_degree", DEFAULT_MAX_DEGREE)),
+            build_complexity=int(
+                meta.params.get("build_complexity", DEFAULT_BUILD_COMPLEXITY)
+            ),
+            sq8=sq8,
+        )
+        return {"num_vectors": int(vectors.shape[0]), "path": out_path}
+
+    def import_dann(self, name: str, table: str, path: str) -> "GraphIndex":
+        """Load a ``.diskann`` file as a searchable graph index.  The format
+        carries no row_id map, so row_id = label (callers with an external
+        mapping can join afterwards)."""
+        from duckdb_annsearch_spark.index.dann_format import read_dann
+        from duckdb_annsearch_spark.index.graph import GraphIndex
+        from duckdb_annsearch_spark.index.vamana import VamanaGraph
+
+        if self.catalog.exists(name):
+            raise ValueError(f"Index with name {name!r} already exists")
+        d = read_dann(path)
+        n, dim = d["vectors"].shape
+        meta = IndexMeta(
+            name=name,
+            engine="diskann",
+            index_type="diskann",
+            table_name=table,
+            column="",
+            dim=int(dim),
+            metric=d["metric"],
+            params={
+                "max_degree": d["max_degree"],
+                "build_complexity": d["build_complexity"],
+            },
+        )
+        ep = d["entry_points"][0] if d["entry_points"] else 0
+        if d["sq8"] is not None:
+            meta.quantized = True
+            meta.extra["sq8_mins"] = d["sq8"]["mins"].tolist()
+            meta.extra["sq8_scales"] = d["sq8"]["scales"].tolist()
+        g = VamanaGraph(d["vectors"], d["neighbors"], ep, d["metric"])
+        GraphIndex._write_artifact(
+            self.catalog, meta, g, np.arange(n, dtype=np.int64), d["max_degree"]
+        )
+        meta.extra["entry_point"] = int(ep)
+        meta.num_vectors = n
+        self.catalog.save(meta)
+        return GraphIndex(self.catalog, meta)
+
     # ------------------------------------------------------------ fts/hybrid
     def create_fts_index(self, name: str, table: str, id_col: str, text_col: str):
         """Engine-owned FTS artifact backing hybrid_search (the reference
