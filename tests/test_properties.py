@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) over the numpy core: beam search on a
+complete graph is exact, RobustPrune invariants, RunningTopK == argsort,
+DANN round-trip, SQ8 error bound.  Pure library code — no Spark jobs, so
+hypothesis can run many examples cheaply."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_annsearch_spark.index.dann_format import read_dann, write_dann
+from duckdb_annsearch_spark.index.scan import RunningTopK
+from duckdb_annsearch_spark.index.vamana import VamanaGraph, _dists, robust_prune
+
+vec_sets = st.integers(min_value=2, max_value=40)
+dims = st.integers(min_value=1, max_value=8)
+seeds = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@given(n=vec_sets, dim=dims, seed=seeds)
+@settings(max_examples=40, deadline=None)
+def test_beam_search_exact_on_complete_graph(n, dim, seed):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, dim).astype(np.float32)
+    nbrs = [np.asarray([j for j in range(n) if j != i], dtype=np.int64) for i in range(n)]
+    g = VamanaGraph(x, nbrs, 0, "l2")
+    q = rng.rand(dim).astype(np.float32)
+    k = min(5, n)
+    labels, dists = g.beam_search(q, k, max(k, n))
+    truth = np.argsort(_dists("l2", x, q), kind="stable")[:k]
+    assert sorted(labels.tolist()) == sorted(truth.tolist())
+    assert np.all(np.diff(dists) >= 0)  # ascending
+
+
+@given(n=st.integers(min_value=2, max_value=60), seed=seeds)
+@settings(max_examples=40, deadline=None)
+def test_robust_prune_invariants(n, seed):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, 4).astype(np.float32)
+    p = int(rng.randint(n))
+    cands = np.arange(n, dtype=np.int64)
+    d = _dists("l2", x, x[p])
+    max_degree = int(rng.randint(1, 16))
+    out = robust_prune(p, cands, d, x, 1.2, max_degree, "l2")
+    assert len(out) <= max_degree
+    assert p not in out
+    assert len(set(out.tolist())) == len(out)
+    if len(out):
+        # first pick is the true nearest non-self candidate
+        others = d.copy()
+        others[p] = np.inf
+        assert out[0] == int(np.argmin(others))
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=20),
+    batches=st.integers(min_value=1, max_value=5),
+    seed=seeds,
+)
+@settings(max_examples=40, deadline=None)
+def test_running_topk_matches_argsort(n, k, batches, seed):
+    rng = np.random.RandomState(seed)
+    d = rng.rand(n).astype(np.float32)
+    rid = rng.permutation(n).astype(np.int64)
+    top = RunningTopK(1, k)
+    for chunk_d, chunk_r in zip(np.array_split(d, batches), np.array_split(rid, batches)):
+        if chunk_d.size:
+            top.update(0, chunk_d, chunk_r)
+    r, dd = top.result(0)
+    order = np.lexsort((rid, d))[: min(k, n)]
+    assert r.tolist() == rid[order].tolist()
+    assert np.allclose(dd, d[order])
+
+
+@given(n=st.integers(min_value=0, max_value=30), dim=dims, seed=seeds)
+@settings(max_examples=25, deadline=None)
+def test_dann_roundtrip_property(n, dim, seed, tmp_path_factory):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, dim).astype(np.float32) if n else np.zeros((0, dim), np.float32)
+    nbrs = [
+        np.asarray(sorted(set(rng.randint(0, n, size=rng.randint(0, 5)).tolist()) - {i}), dtype=np.int64)
+        for i in range(n)
+    ]
+    p = str(tmp_path_factory.mktemp("dann") / "f.diskann")
+    write_dann(p, x, nbrs, [0] if n else [], metric="l2", max_degree=8)
+    d = read_dann(p)
+    assert d["vectors"].shape == (n, dim)
+    assert [list(a) for a in d["neighbors"]] == [list(a) for a in nbrs]
+
+
+@given(dim=dims, seed=seeds)
+@settings(max_examples=30, deadline=None)
+def test_sq8_error_bound(dim, seed):
+    rng = np.random.RandomState(seed)
+    x = (rng.rand(50, dim).astype(np.float32) * 10 - 5).astype(np.float32)
+    mins = x.min(axis=0)
+    scales = np.maximum(x.max(axis=0) - mins, 1e-12)
+    codes = np.clip(np.rint((x - mins) / scales * 255.0), 0, 255).astype(np.uint8)
+    deq = codes.astype(np.float32) / 255.0 * scales + mins
+    # quantization error per dim <= half a code step
+    assert np.all(np.abs(deq - x) <= scales / 255.0 / 2 + 1e-5)
