@@ -108,6 +108,17 @@ class IvfFlatIndex(BaseIndex):
         assigned = art.mapInPandas(
             assign, "label int, row_id long, vector array<float>, cluster_id int"
         )
+        if meta.params.get("quantization") == "sq8":
+            from duckdb_annsearch_spark.index.base import (
+                add_sq8_codes,
+                compute_sq8_stats,
+            )
+
+            mins, scales = compute_sq8_stats(art, meta.dim)
+            assigned = add_sq8_codes(assigned, meta.dim, mins, scales)
+            meta.quantized = True
+            meta.extra["sq8_mins"] = mins
+            meta.extra["sq8_scales"] = scales
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
             catalog.data_path(meta.name)
         )
@@ -142,6 +153,10 @@ class IvfFlatIndex(BaseIndex):
         art = self.live_artifact().where(F.col("cluster_id").isin(all_cells))
         dim, metric, k_ = self.meta.dim, self.meta.metric, k
         dq = self._dequant_args()
+        vcol = "codes" if dq else "vector"
+        if dq:
+            dq_mins = np.asarray(dq["mins"], dtype=np.float32)
+            dq_scales = np.asarray(dq["scales"], dtype=np.float32)
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -151,7 +166,13 @@ class IvfFlatIndex(BaseIndex):
                     qids = cell_queries.get(int(c))
                     if not qids:
                         continue
-                    x = kernels.stack_vectors(grp["vector"], dim)
+                    if dq:
+                        codes = np.stack(
+                            [np.frombuffer(b, dtype=np.uint8) for b in grp[vcol]]
+                        ).astype(np.float32)
+                        x = codes / 255.0 * dq_scales + dq_mins
+                    else:
+                        x = kernels.stack_vectors(grp[vcol], dim)
                     d = kernels.pairwise_distances(qarr[qids], x, metric)
                     rid = grp["row_id"].to_numpy()
                     outs = []
@@ -169,7 +190,7 @@ class IvfFlatIndex(BaseIndex):
                     if outs:
                         yield pd.concat(outs, ignore_index=True)
 
-        partial = art.select("row_id", "vector", "cluster_id").mapInPandas(
+        partial = art.select("row_id", vcol, "cluster_id").mapInPandas(
             probe, kernels.PROBE_SCHEMA
         )
         w = Window.partitionBy("query_idx").orderBy(
@@ -200,6 +221,7 @@ class IvfFlatIndex(BaseIndex):
         path = self.catalog.data_path(self.meta.name)
         dim, metric = self.meta.dim, self.meta.metric
         deleted = self._deleted_rowid_array()
+        dq = self._dequant_args()
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -221,7 +243,9 @@ class IvfFlatIndex(BaseIndex):
                         cell_queries.setdefault(int(c), []).append(qi)
                 top = scan.RunningTopK(len(valid), k)
                 all_cells = sorted(cell_queries)
-                for rid, x, cid in _iter_cell_batches(path, dim, all_cells):
+                for rid, x, cid in _iter_cell_batches(
+                    path, dim, all_cells, dequantize=dq
+                ):
                     if deleted.size:
                         keep = ~np.isin(rid, deleted)
                         rid, x = rid[keep], x[keep]
@@ -251,20 +275,31 @@ class IvfFlatIndex(BaseIndex):
         )
 
 
-def _iter_cell_batches(path: str, dim: int, cells: list[int]):
-    """Yield (row_ids, X, cluster_id) per batch from the probed hive cells."""
+def _iter_cell_batches(path: str, dim: int, cells: list[int], dequantize: dict | None = None):
+    """Yield (row_ids, X, cluster_id) per batch from the probed hive cells.
+    SQ8 artifacts read only the codes column and dequantize."""
     import pyarrow.dataset as ds
 
     data = ds.dataset(path, format="parquet", partitioning="hive")
     flt = ds.field("cluster_id").isin([int(c) for c in cells])
+    vcol = "codes" if dequantize else "vector"
+    if dequantize:
+        mins = np.asarray(dequantize["mins"], dtype=np.float32)
+        scales = np.asarray(dequantize["scales"], dtype=np.float32)
     for batch in data.to_batches(
-        columns=["row_id", "vector", "cluster_id"], filter=flt,
+        columns=["row_id", vcol, "cluster_id"], filter=flt,
         batch_size=scan.DEFAULT_BATCH_ROWS,
     ):
         if batch.num_rows == 0:
             continue
         rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        x = scan._fixed_matrix(batch.column("vector"), dim)
+        if dequantize:
+            codes = np.stack(
+                [np.frombuffer(b.as_py(), dtype=np.uint8) for b in batch.column(vcol)]
+            ).astype(np.float32)
+            x = codes / 255.0 * scales + mins
+        else:
+            x = scan._fixed_matrix(batch.column(vcol), dim)
         cids = batch.column("cluster_id").to_numpy(zero_copy_only=False)
         # a record batch can straddle cells only if pyarrow merges fragments;
         # split defensively by cluster_id

@@ -139,3 +139,27 @@ def test_sq8_on_streaming_build(engine):
     assert idx.meta.quantized is True
     res = idx.search(rows[7][1], 1).collect()
     assert res[0]["row_id"] == 7 and res[0]["_distance"] < 1e-3
+
+
+def test_sq8_on_ivfflat(engine):
+    """SQ8 inside IVF cells: codes column in the hive partitions, both probe
+    shapes dequantize, quantized flag set."""
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.rand(4).astype(np.float32).tolist()) for i in range(80)]
+    df = make_vectors_df(engine.spark, rows, dim=4)
+    engine.register_table("ivq", df, row_id="id")
+    engine.create_index(
+        "ivq8", "ivq", engine="faiss", index_type="IVFFlat",
+        ivf_nlist=4, nprobe=4, quantization="sq8",
+    )
+    idx = engine.get_index("ivq8")
+    assert idx.meta.quantized is True
+    for probe_id in (0, 33, 79):
+        q = rows[probe_id][1]
+        # data-parallel path
+        res = engine.ann_search("ivq", "ivq8", q, k=1).collect()
+        assert res[0]["id"] == probe_id and res[0]["_distance"] < 1e-3
+        # query-distributed path
+        qdf = engine.spark.createDataFrame([(1, q)], "qid int, v array<float>")
+        res2 = engine.ann_search_table(qdf, "ivq", "ivq8", k=1).collect()
+        assert res2[0]["id"] == probe_id
