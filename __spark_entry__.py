@@ -412,6 +412,13 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, "text", "doc_id", SIMHASH_BITS)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    from duckdb_annsearch_spark.pipeline.dedup import simhash_hamming_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, "text", "doc_id", max_hamming=3, bits=SIMHASH_BITS)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -699,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "neardup_embeddings": q_neardup_embeddings,
         "media_features": q_media_features,
@@ -911,6 +919,16 @@ def oracle_sql() -> dict[str, str]:
     WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
     hh AS (SELECT doc_id, list_transform(tk, t -> {_SQL_HASH.format(s='t')} % {HASH_MOD}) AS hs FROM tok)
     SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM hh
+    """
+
+    oracles["simhash_pairs"] = f"""
+    WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    hh AS (SELECT doc_id, list_transform(tk, t -> {_SQL_HASH.format(s='t')} % {HASH_MOD}) AS hs FROM tok),
+    sims AS (SELECT doc_id, CAST({sim_terms} AS BIGINT) AS s FROM hh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
     """
 
     oracles["jaccard_pairs"] = f"""

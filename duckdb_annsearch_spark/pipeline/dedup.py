@@ -186,6 +186,57 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     return df.select(F.col(id_col).alias("doc_id"), value.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs whose simhash differs in at most
+    ``max_hamming`` bits.  Candidate generation by band equality (pigeonhole:
+    any pair within ``bands - 1`` differing bands shares at least one of the
+    ``bands`` bit-blocks, so ``max_hamming < bands`` guarantees no missed
+    pairs), then exact popcount verify — never all-pairs."""
+    assert bits % bands == 0
+    block = bits // bands
+    sigs = simhash(df, text_col, id_col, bits).persist()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * block).bitwiseAND(
+                        F.lit((1 << block) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "block"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham,
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

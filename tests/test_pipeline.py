@@ -160,3 +160,13 @@ def test_prepare_corpus_near(spark):
     out = prepare_corpus(df, dedup="near", jaccard_threshold=0.5)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1, 3]
+
+
+def test_simhash_hamming_pairs(docs):
+    from duckdb_annsearch_spark.pipeline.dedup import simhash_hamming_pairs
+
+    got = simhash_hamming_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # identical texts (docs 1 and 2 in the fixture) have hamming 0
+    assert (1, 2) in pairs
+    assert all(r["hamming"] <= 3 for r in got)
