@@ -26,6 +26,9 @@ from duckdb_annsearch_spark.functions.distance import (
     list_inner_product,
     metric_distance,
 )
+from duckdb_annsearch_spark.functions.sql import register_sql_functions
+from duckdb_annsearch_spark.operators.knn import knn_join
+from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
 
 __all__ = [
     "AnnEngine",
@@ -36,6 +39,9 @@ __all__ = [
     "array_cosine_similarity",
     "list_cosine_similarity",
     "metric_distance",
+    "register_sql_functions",
+    "knn_join",
+    "prepare_corpus",
 ]
 
 __version__ = "0.1.0"
