@@ -256,7 +256,20 @@ class AnnEngine:
         staged = live.cache()
         staged.count()
         self.catalog.drop(meta.name)
-        rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
+        if meta.extra.get("shards"):
+            # sharded graphs recompact with the sharded builder — falling
+            # back to the driver build would silently cap the index at one
+            # worker's RAM
+            from duckdb_annsearch_spark.index.streaming_build import sharded_build
+
+            by = "kmeans" if meta.extra.get("shard_centroids") else "hash"
+            sharded_build(
+                self.catalog, new_meta, staged, "row_id", "vector",
+                int(meta.extra["shards"]), by=by,
+            )
+            rebuilt = self.get_index(meta.name)
+        else:
+            rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
         staged.unpersist()
         self.catalog.clear_tombstones(meta.name)
         return rebuilt
@@ -287,7 +300,17 @@ class AnnEngine:
         staged = union.cache()
         staged.count()
         self.catalog.drop(meta.name)
-        rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
+        if meta.extra.get("shards"):
+            from duckdb_annsearch_spark.index.streaming_build import sharded_build
+
+            by = "kmeans" if meta.extra.get("shard_centroids") else "hash"
+            sharded_build(
+                self.catalog, new_meta, staged, "row_id", "vector",
+                int(meta.extra["shards"]), by=by,
+            )
+            rebuilt = self.get_index(meta.name)
+        else:
+            rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
         staged.unpersist()
         return rebuilt
 

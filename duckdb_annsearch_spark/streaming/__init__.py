@@ -12,6 +12,7 @@ Structured Streaming:
   over event streams.
 """
 
+from duckdb_annsearch_spark.streaming.dedup import dedup_exact_stream
 from duckdb_annsearch_spark.streaming.events import (
     running_user_totals,
     sessionize_stream,
@@ -24,4 +25,5 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "running_user_totals",
+    "dedup_exact_stream",
 ]

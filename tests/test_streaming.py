@@ -116,3 +116,41 @@ def test_running_user_totals_state_across_batches(spark, tmp_path):
     assert list(final["user_id"]) == list(expect["user_id"])
     assert list(final["n_events"]) == list(expect["n_events"])
     assert max(abs(final["total_value"].to_numpy() - expect["total_value"].to_numpy())) < 1e-6
+
+
+def test_dedup_exact_stream(spark, tmp_path):
+    from duckdb_annsearch_spark.streaming import dedup_exact_stream
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")],
+        "doc_id long, text string",
+    ).repartition(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = dedup_exact_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedupstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedupstream").collect()
+    assert len(got) == 3
+    assert {r["text"] for r in got} == {"aaa", "bbb", "ccc"}
+
+
+def test_vacuum_sharded_stays_sharded(engine):
+    import numpy as np
+
+    rng = np.random.RandomState(6)
+    rows = [(i, rng.rand(4).astype("float32").tolist()) for i in range(120)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("vs", df, row_id="id")
+    engine.streaming_build("vsg", "vs", "embedding", shards=3)
+    engine.delete("vs", [5])
+    engine.vacuum("vsg")
+    idx = engine.get_index("vsg")
+    assert idx.meta.extra.get("shards") == 3  # still sharded after compaction
+    assert idx.meta.num_vectors == 119
+    got = [r["row_id"] for r in idx.search(rows[7][1], 1).collect()]
+    assert got == [7]
