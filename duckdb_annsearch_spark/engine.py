@@ -584,11 +584,17 @@ class AnnEngine:
         return self.spark.createDataFrame(rows, schema).orderBy("name")
 
     def ann_index_info(self) -> DataFrame:
-        """Diagnostics per index — ``src/ann_list.cpp:92-221``."""
+        """Diagnostics per index — ``src/ann_list.cpp:92-221`` (the
+        reference's ``memory_bytes`` becomes ``size_bytes``: on-disk
+        artifact footprint, the meaningful figure for a parquet-backed
+        index)."""
         rows = []
         for m in self.catalog.all():
             if m.engine == "fts":
                 continue
+            size = 0
+            for root, _dirs, files in os.walk(self.catalog.index_dir(m.name)):
+                size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
             rows.append(
                 (
                     m.name,
@@ -597,12 +603,13 @@ class AnnEngine:
                     m.column,
                     int(m.num_vectors),
                     int(m.num_deleted),
+                    int(size),
                     bool(m.quantized),
                 )
             )
         schema = (
             "name string, engine string, table_name string, column string, "
-            "num_vectors long, num_deleted long, quantized boolean"
+            "num_vectors long, num_deleted long, size_bytes long, quantized boolean"
         )
         return self.spark.createDataFrame(rows, schema).orderBy("name")
 

@@ -89,6 +89,8 @@ def test_ann_list_and_info(engine):
     info = {r["name"]: r for r in engine.ann_index_info().collect()}
     assert info["idx_a"]["num_vectors"] == 3
     assert not info["idx_a"]["quantized"]
+    assert info["idx_a"]["size_bytes"] > 0
+    assert info["idx_b"]["size_bytes"] > 0
 
 
 def test_merge_indexes(engine):
