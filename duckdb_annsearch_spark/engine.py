@@ -641,16 +641,20 @@ class AnnEngine:
         k: int,
         search_complexity: int | None = None,
         oversample: int = 1,
+        **search_params,
     ) -> DataFrame:
         """k-NN + row fetch: all table columns + ``_distance``, ascending.
 
         Emits ``k * oversample`` results like the reference
         (``src/ann_search.cpp:118-130`` — the scan drains every fetched
-        result, not just k)."""
+        result, not just k).  Extra keyword args are per-query search
+        parameters forwarded to the index (e.g. ``nprobe`` for IVF)."""
         t = self.table(table)
         idx = self.get_index(index)
         fetch_k = k * max(1, int(oversample))
-        hits = idx.search(list(query), fetch_k, search_complexity=search_complexity)
+        hits = idx.search(
+            list(query), fetch_k, search_complexity=search_complexity, **search_params
+        )
         joined = t.df.join(
             F.broadcast(hits.withColumnRenamed("row_id", t.row_id)), on=t.row_id, how="inner"
         )
@@ -665,13 +669,15 @@ class AnnEngine:
         queries: list[Sequence[float]],
         k: int,
         search_complexity: int | None = None,
+        **search_params,
     ) -> DataFrame:
         """Multi-query batch: ``query_idx INT`` + table columns + ``_distance``
         (``src/ann_search.cpp:202-388``)."""
         t = self.table(table)
         idx = self.get_index(index)
         hits = idx.search_batch(
-            [list(q) for q in queries], k, search_complexity=search_complexity
+            [list(q) for q in queries], k,
+            search_complexity=search_complexity, **search_params,
         )
         joined = t.df.join(
             hits.withColumnRenamed("row_id", t.row_id), on=t.row_id, how="inner"

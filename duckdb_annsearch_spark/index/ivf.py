@@ -14,6 +14,7 @@ data and Catalyst never reads the rest.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -28,6 +29,10 @@ from duckdb_annsearch_spark.index.base import BaseIndex, with_labels
 
 DEFAULT_NLIST = 100
 DEFAULT_NPROBE = 1
+# above this nlist, driver-side Lloyd's would need an O(nlist·256) sample —
+# switch to two-level distributed training automatically
+HIERARCHICAL_NLIST_THRESHOLD = 1024
+HASH_BUCKETS = 1_000_000  # deterministic row sampling via xxhash64 % buckets
 
 
 def _train_kmeans(sample: np.ndarray, nlist: int, metric: str, seed: int = 42) -> np.ndarray:
@@ -57,6 +62,236 @@ def _train_kmeans(sample: np.ndarray, nlist: int, metric: str, seed: int = 42) -
     return centroids.astype(np.float32)
 
 
+def _train_subcentroids(
+    sample_df: DataFrame, k_for: dict[int, int], dim: int, metric: str
+) -> dict[int, np.ndarray]:
+    """Train k-means per group of an (already-sampled) DataFrame — the
+    distributed half of two-level training: each executor task trains ONE
+    group's sub-centroids on that group's sample rows, so total training
+    cost is spread over the cluster instead of the driver.
+
+    ``sample_df`` must have columns (``group_id`` int, ``vector``); groups
+    are samples (≲ k·256 rows each), so ``applyInPandas`` group-in-memory
+    is bounded regardless of full-table size.
+    """
+    kf = dict(k_for)
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(pdf["group_id"].iloc[0])
+        k = kf.get(gid, 1)
+        x = kernels.stack_vectors(pdf["vector"], dim)
+        cents = _train_kmeans(x, k, metric, seed=42 + gid)
+        return pd.DataFrame(
+            {
+                "group_id": np.full(cents.shape[0], gid, dtype=np.int32),
+                "sub_id": np.arange(cents.shape[0], dtype=np.int32),
+                "centroid": [c.tolist() for c in cents],
+            }
+        )
+
+    out = (
+        sample_df.groupBy("group_id")
+        .applyInPandas(train, "group_id int, sub_id int, centroid array<float>")
+        .collect()
+    )
+    subs: dict[int, list] = {}
+    for r in out:
+        subs.setdefault(r["group_id"], []).append((r["sub_id"], r["centroid"]))
+    return {
+        g: np.asarray([c for _, c in sorted(v)], dtype=np.float32)
+        for g, v in subs.items()
+    }
+
+
+def _hash_sample(df: DataFrame, frac: float) -> DataFrame:
+    """Deterministic row sample: xxhash64(row_id) bucket < frac·buckets.
+    Unlike ``df.sample`` this is stable across retries/partitionings —
+    the same rows are picked no matter how the scan is split."""
+    if frac >= 1.0:
+        return df
+    thresh = max(1, int(frac * HASH_BUCKETS))
+    return df.where(
+        F.pmod(F.xxhash64(F.col("row_id")), F.lit(HASH_BUCKETS)) < thresh
+    )
+
+
+def _hierarchical_train_assign(
+    art: DataFrame, n: int, nlist: int, dim: int, metric: str
+) -> tuple[DataFrame, np.ndarray]:
+    """Two-level distributed k-means: sqrt-decomposition of ``nlist``.
+
+    Driver trains k1 ≈ √nlist coarse centroids on a small sample; executors
+    train k2 sub-centroids per coarse cluster in parallel
+    (``applyInPandas``); full assignment is then two small GEMMs per row
+    (k1 + k2 centroid distances instead of nlist) — at nlist = 65 536 that
+    is ~512 distance evals per row, 128× less than flat assignment, and no
+    O(nlist·256) driver-side sample ever materializes.
+    Returns (assigned rows with flat ``cluster_id``, flat centroid array);
+    downstream probe/partition logic is unchanged.
+    """
+    k1 = max(2, int(math.ceil(math.sqrt(nlist))))
+    k2 = max(1, int(math.ceil(nlist / k1)))
+
+    # level 1: small driver-side sample, as in the flat path
+    cap = max(k1 * 256, 2_000)
+    frac = min(1.0, cap / max(n, 1))
+    coarse_sample = np.asarray(
+        [
+            r["vector"]
+            for r in _hash_sample(art, frac).select("vector").collect()
+        ],
+        dtype=np.float32,
+    )
+    coarse = _train_kmeans(coarse_sample, k1, metric, seed=41)
+    k1 = coarse.shape[0]
+
+    # level 2: hash-sample ~256 rows per final cell, assign to coarse,
+    # train each coarse group's sub-centroids on its own executors
+    frac2 = min(1.0, (k1 * k2 * 256) / max(n, 1))
+    sample_df = _hash_sample(art, frac2)
+
+    def assign_coarse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = kernels.stack_vectors(pdf["vector"], dim)
+            d = kernels.pairwise_distances(coarse, x, metric)
+            yield pd.DataFrame(
+                {
+                    "group_id": np.argmin(d, axis=0).astype(np.int32),
+                    "vector": pdf["vector"],
+                }
+            )
+
+    grouped = sample_df.select("vector").mapInPandas(
+        assign_coarse, "group_id int, vector array<float>"
+    )
+    subs = _train_subcentroids(grouped, {g: k2 for g in range(k1)}, dim, metric)
+    # a coarse cluster that caught no sample rows keeps its own centroid
+    sub_arrays = [subs.get(g, coarse[g : g + 1]) for g in range(k1)]
+    offsets = np.zeros(k1, dtype=np.int64)
+    off = 0
+    for g, arr in enumerate(sub_arrays):
+        offsets[g] = off
+        off += arr.shape[0]
+    flat = np.vstack(sub_arrays).astype(np.float32)
+    counts = np.asarray([a.shape[0] for a in sub_arrays], dtype=np.int64)
+
+    def assign_full(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = kernels.stack_vectors(pdf["vector"], dim)
+            dc = kernels.pairwise_distances(coarse, x, metric)
+            cg = np.argmin(dc, axis=0)
+            cid = np.empty(len(pdf), dtype=np.int32)
+            for g in np.unique(cg):
+                m = cg == g
+                s = flat[offsets[g] : offsets[g] + counts[g]]
+                ds = kernels.pairwise_distances(s, x[m], metric)
+                cid[m] = offsets[g] + np.argmin(ds, axis=0)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = cid
+            yield pdf
+
+    assigned = art.mapInPandas(
+        assign_full, "label int, row_id long, vector array<float>, cluster_id int"
+    )
+    return assigned, flat
+
+
+def _split_oversized_cells(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    max_cell: int,
+    dim: int,
+    metric: str,
+    max_rounds: int = 4,
+) -> tuple[DataFrame, np.ndarray]:
+    """Cell-size skew handling: any cell with more than ``max_cell`` rows is
+    k-means-split into ⌈size/max_cell⌉ sub-cells (trained distributedly on a
+    per-cell sample), bounding the largest hive partition — at 100 TB a hot
+    cell is a straggler partition AND an over-read on every probe that
+    touches it.  Cell ids of untouched cells are stable: each split reuses
+    its old slot for sub#0 and appends the rest, so no global reassignment.
+    """
+    for _ in range(max_rounds):
+        counts = {
+            r["cluster_id"]: r["cnt"]
+            for r in assigned.groupBy("cluster_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        oversized = {
+            int(c): int(math.ceil(cnt / max_cell))
+            for c, cnt in counts.items()
+            if cnt > max_cell
+        }
+        if not oversized:
+            break
+        # per-cell sample via a broadcast threshold join (per-cell fraction)
+        thresh_rows = [
+            (c, max(1, int(min(1.0, m * 256 / counts[c]) * HASH_BUCKETS)))
+            for c, m in oversized.items()
+        ]
+        spark = assigned.sparkSession
+        thresh = F.broadcast(
+            spark.createDataFrame(thresh_rows, "cluster_id int, thresh long")
+        )
+        sample_df = (
+            assigned.join(thresh, "cluster_id")
+            .where(F.pmod(F.xxhash64(F.col("row_id")), F.lit(HASH_BUCKETS)) < F.col("thresh"))
+            .select(F.col("cluster_id").alias("group_id"), "vector")
+        )
+        subs = _train_subcentroids(sample_df, oversized, dim, metric)
+        n_old = centroids.shape[0]
+        new = centroids.copy()
+        tail: list[np.ndarray] = []
+        id_map: dict[int, np.ndarray] = {}  # old cell -> global ids of its subs
+        for c, arr in sorted(subs.items()):
+            if arr.shape[0] < 2:
+                continue  # could not split (e.g. all-identical vectors)
+            ids = np.concatenate(
+                [[c], n_old + len(tail) + np.arange(arr.shape[0] - 1)]
+            ).astype(np.int64)
+            new[c] = arr[0]
+            tail.extend(arr[1:])
+            id_map[c] = ids
+        if not id_map:
+            break
+        centroids = np.vstack([new] + tail).astype(np.float32) if tail else new
+        split_cents = {c: np.asarray([centroids[i] for i in ids], dtype=np.float32)
+                       for c, ids in id_map.items()}
+
+        # bind this round's maps as defaults — the closure is re-created per
+        # split round and must not see a later round's variables
+        def reassign(
+            batches: Iterator[pd.DataFrame],
+            _ids=id_map,
+            _cents=split_cents,
+        ) -> Iterator[pd.DataFrame]:
+            keys = np.asarray(list(_ids), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cid = pdf["cluster_id"].to_numpy().astype(np.int64)
+                hit = np.isin(cid, keys)
+                if hit.any():
+                    pdf = pdf.copy()
+                    for c in np.unique(cid[hit]):
+                        m = cid == c
+                        x = kernels.stack_vectors(pdf.loc[m, "vector"], dim)
+                        d = kernels.pairwise_distances(_cents[c], x, metric)
+                        cid[m] = _ids[c][np.argmin(d, axis=0)]
+                    pdf["cluster_id"] = cid.astype(np.int32)
+                yield pdf
+
+        assigned = assigned.mapInPandas(
+            reassign, "label int, row_id long, vector array<float>, cluster_id int"
+        ).localCheckpoint(eager=False)
+    return assigned, centroids
+
+
 class IvfFlatIndex(BaseIndex):
     TYPE = "ivfflat"
 
@@ -71,43 +306,67 @@ class IvfFlatIndex(BaseIndex):
     ) -> "IvfFlatIndex":
         nlist = int(meta.params.get("ivf_nlist", DEFAULT_NLIST))
         train_sample = int(meta.params.get("train_sample", 0))
+        train_mode = str(
+            meta.params.get(
+                "train_mode",
+                "hierarchical" if nlist > HIERARCHICAL_NLIST_THRESHOLD else "flat",
+            )
+        ).lower()
         art = with_labels(df, row_id_col, vector_col).cache()
         n = art.count()
 
-        # -- train: deterministic stride sample by label order (faiss_index.cpp:302-318)
-        if train_sample > 0 and train_sample < n:
-            stride = n / train_sample
-            wanted = {int(i * stride) for i in range(train_sample)}
-            sample_df = art.where(F.col("label").isin(list(wanted)))
-        else:
-            # cap driver-side training work; 256 vectors per centroid matches
-            # common FAISS guidance and keeps the sample O(nlist), not O(N)
-            cap = max(nlist * 256, 10_000)
-            if n > cap:
-                stride = n / cap
-                wanted = {int(i * stride) for i in range(cap)}
+        if train_mode == "hierarchical":
+            # two-level distributed training — the large-nlist scale path
+            assigned, centroids = _hierarchical_train_assign(
+                art, n, nlist, meta.dim, meta.metric
+            )
+        elif train_mode == "flat":
+            # -- train: deterministic stride sample by label order (faiss_index.cpp:302-318)
+            if train_sample > 0 and train_sample < n:
+                stride = n / train_sample
+                wanted = {int(i * stride) for i in range(train_sample)}
                 sample_df = art.where(F.col("label").isin(list(wanted)))
             else:
-                sample_df = art
-        sample = np.asarray(
-            [r["vector"] for r in sample_df.select("vector").collect()], dtype=np.float32
-        )
-        centroids = _train_kmeans(sample, nlist, meta.metric)
+                # cap driver-side training work; 256 vectors per centroid matches
+                # common FAISS guidance and keeps the sample O(nlist), not O(N)
+                cap = max(nlist * 256, 10_000)
+                if n > cap:
+                    stride = n / cap
+                    wanted = {int(i * stride) for i in range(cap)}
+                    sample_df = art.where(F.col("label").isin(list(wanted)))
+                else:
+                    sample_df = art
+            sample = np.asarray(
+                [r["vector"] for r in sample_df.select("vector").collect()],
+                dtype=np.float32,
+            )
+            centroids = _train_kmeans(sample, nlist, meta.metric)
 
-        # -- assign every row to its nearest centroid (distributed, one GEMM per batch)
-        cent = centroids
+            # -- assign every row to its nearest centroid (distributed, one GEMM per batch)
+            cent = centroids
 
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                x = kernels.stack_vectors(pdf["vector"], meta.dim)
-                d = kernels.pairwise_distances(cent, x, meta.metric)
-                pdf = pdf.copy()
-                pdf["cluster_id"] = np.argmin(d, axis=0).astype(np.int32)
-                yield pdf
+            def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    x = kernels.stack_vectors(pdf["vector"], meta.dim)
+                    d = kernels.pairwise_distances(cent, x, meta.metric)
+                    pdf = pdf.copy()
+                    pdf["cluster_id"] = np.argmin(d, axis=0).astype(np.int32)
+                    yield pdf
 
-        assigned = art.mapInPandas(
-            assign, "label int, row_id long, vector array<float>, cluster_id int"
-        )
+            assigned = art.mapInPandas(
+                assign, "label int, row_id long, vector array<float>, cluster_id int"
+            )
+        else:
+            raise ValueError(
+                f"unknown train_mode {train_mode!r} (flat | hierarchical)"
+            )
+
+        max_cell = int(meta.params.get("max_cell_rows", 0))
+        if max_cell > 0:
+            assigned, centroids = _split_oversized_cells(
+                assigned, centroids, max_cell, meta.dim, meta.metric
+            )
+        meta.extra["train_mode"] = train_mode
         if meta.params.get("quantization") == "sq8":
             from duckdb_annsearch_spark.index.base import (
                 add_sq8_codes,
