@@ -205,6 +205,15 @@ class AnnEngine:
             raise KeyError(f"ANN index {name!r} does not exist")
         self.catalog.drop(name)
 
+    def unregister_table(self, name: str) -> None:
+        """DROP TABLE semantics: dropping a table cascades to every index
+        built on it (exercised by ``test/sql/edge_cases.test`` "Drop table
+        with indexes"), ANN and FTS alike."""
+        t = self.table(name)
+        for meta in self.catalog.for_table(name):
+            self.catalog.drop(meta.name)
+        del self._tables[t.name]
+
     def insert(self, table: str, rows: DataFrame) -> None:
         """INSERT propagation (``BoundIndex::Append``,
         ``src/diskann_index.cpp:316-361``): new rows land in each index's
