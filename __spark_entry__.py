@@ -263,6 +263,25 @@ def q_vector_distances(spark, sf_dir):
     )
 
 
+def q_sql_topk(spark, sf_dir):
+    """Transparent optimizer rewrite (SURVEY §2.2 S12): ``engine.sql``
+    pattern-matches the parsed plan of a plain SQL top-k-by-distance query
+    and answers it from the Flat index; output = true-L2 ``array_distance``
+    like the reference's projected column (``ann_optimizer.cpp:348-530``)."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    arr = "array(" + ", ".join(f"CAST({x} AS FLOAT)" for x in q) + ")"
+    res = eng.sql(
+        f"SELECT * FROM (SELECT *, array_distance(embedding, {arr}) AS d "
+        f"FROM embeddings) ORDER BY d LIMIT 10"
+    )
+    # the rewrite picks the rows; emit the distance re-derived in f64 like
+    # every other oracle-compared query (engine's d is f32-faithful)
+    return res.select(
+        "vec_id", _dec(F.sqrt(_sqdist64("embedding", q))).alias("_distance")
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """ann_search_table semantics by pure composition: 5 query rows x base,
     rank per query (SURVEY §2.2 S5)."""
@@ -692,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ip": q_topk_ip,
         "topk_cosine": q_topk_cosine,
         "vector_distances": q_vector_distances,
+        "sql_topk": q_sql_topk,
         "knn_join": q_knn_join,
         "ann_search_flat": q_ann_search_flat,
         "ann_batch_flat": q_ann_batch_flat,
@@ -753,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
 
     oracles["topk_l2"] = _brute_topk_sql(sq)
+    oracles["sql_topk"] = _brute_topk_sql(f"sqrt({sq})")
     oracles["topk_ip"] = _brute_topk_sql(f"-({dot})")
     oracles["topk_cosine"] = _brute_topk_sql(cos_d)
     oracles["vector_distances"] = f"""

@@ -776,6 +776,31 @@ class AnnEngine:
         column = column or detect_vector_column(t.df)
         decision = {"rewritten": False, "reason": None, "index": None}
 
+        m = self._choose_index(table, column, metric, k, decision)
+        if m is not None:
+            if explain is not None:
+                explain.update(decision)
+            idx = self.get_index(m.name)
+            hits = idx.search(list(query), k)
+            return (
+                t.df.join(
+                    F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),
+                    on=t.row_id,
+                    how="inner",
+                )
+                .select(*t.df.columns, "_distance")
+                .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
+                .limit(k)
+            )
+        if explain is not None:
+            explain.update(decision)
+        return topk_brute_force(t.df, column, query, k, metric, tie_break=t.row_id)
+
+    def _choose_index(self, table, column, metric, k, decision) -> IndexMeta | None:
+        """The reference's index-resolution + cost gates
+        (``ann_optimizer.cpp:260-345,459-472``): a metric-compatible index on
+        the column, table ≥ 50 rows, k within 10% (Flat/IVF) or 30% (graph)
+        of N. Mutates ``decision`` with the outcome; None means brute force."""
         candidates = [
             m
             for m in self.catalog.for_table(table)
@@ -783,39 +808,118 @@ class AnnEngine:
             # cosine never rewrites: no index type builds a cosine index
             # (src/ann_optimizer.cpp:237-258)
         ]
-        if candidates:
-            m = candidates[0]
-            n = max(m.num_vectors - m.num_deleted, 0)
-            frac = MAX_K_FRACTION_GRAPH if m.index_type in ("diskann", "hnsw") else MAX_K_FRACTION_FLAT
-            if n < MIN_TABLE_SIZE_FOR_INDEX:
-                decision["reason"] = f"table too small (N={n} < {MIN_TABLE_SIZE_FOR_INDEX})"
-            elif k > frac * n:
-                decision["reason"] = f"k={k} > {frac:.0%} of N={n}"
+        if not candidates:
+            decision["reason"] = "no metric-compatible index"
+            return None
+        m = candidates[0]
+        n = max(m.num_vectors - m.num_deleted, 0)
+        frac = MAX_K_FRACTION_GRAPH if m.index_type in ("diskann", "hnsw") else MAX_K_FRACTION_FLAT
+        if n < MIN_TABLE_SIZE_FOR_INDEX:
+            decision["reason"] = f"table too small (N={n} < {MIN_TABLE_SIZE_FOR_INDEX})"
+            return None
+        if k > frac * n:
+            decision["reason"] = f"k={k} > {frac:.0%} of N={n}"
+            return None
+        decision.update(
+            rewritten=True,
+            index=m.name,
+            reason=f"ANN_INDEX_SCAN (index: {m.name}, k: {k}, engine: {m.engine}, type: {m.index_type})",
+        )
+        return m
+
+    def sql(self, sql_text: str, explain: dict | None = None) -> DataFrame:
+        """Run SQL with the transparent top-k-by-distance rewrite.
+
+        The Spark-native twin of the reference's pre-optimizer hook
+        (``src/ann_optimizer.cpp:568-576``): the *parsed* (unresolved)
+        logical plan is pattern-matched for
+        ``LIMIT k → ORDER BY dist_fn(col, const) ASC → PROJECT → relation``;
+        on a match with a metric-compatible index passing the cost gates,
+        the plan is answered by an index probe + O(k) row fetch and the sort
+        runs over k rows only. Everything else — including any Filter
+        between projection and scan (``ann_optimizer.cpp:478-481``) — runs
+        unmodified through ``spark.sql`` (the six distance functions are
+        registered as Spark SQL UDFs on first use).
+
+        ``explain``: pass a dict to capture the decision, mirroring the
+        reference's EXPLAIN annotation (``ann_optimizer.cpp:510-524``).
+
+        Note the reference's IP convention: internally IP distance is the
+        *negated* dot product (``rust_lib/src/distance.rs:20-24``), so
+        ``ORDER BY array_inner_product(...) ASC LIMIT k`` is the idiom for
+        "k most similar" and the rewrite returns those, most-similar first.
+        """
+        from duckdb_annsearch_spark.functions import distance as dfns
+        from duckdb_annsearch_spark.functions.sql import register_sql_functions
+        from duckdb_annsearch_spark.plans import match_topk_sql
+
+        decision = {"rewritten": False, "reason": None, "index": None}
+        m = match_topk_sql(self.spark, sql_text)
+        if m is None:
+            decision["reason"] = "no rewritable top-k-by-distance pattern"
+        else:
+            if m.table in self._tables:
+                t = self._tables[m.table]
+                base, tie = t.df, t.row_id
             else:
-                decision.update(
-                    rewritten=True,
-                    index=m.name,
-                    reason=f"ANN_INDEX_SCAN (index: {m.name}, k: {k}, engine: {m.engine}, type: {m.index_type})",
+                try:
+                    base, tie = self.spark.table(m.table), None
+                except Exception:
+                    base = None
+            if base is None:
+                decision["reason"] = f"unknown table {m.table!r}"
+            else:
+                dist = getattr(dfns, m.fn_name)(
+                    F.col(m.column), dfns.vector_lit(m.query_vector)
                 )
-                if explain is not None:
-                    explain.update(decision)
-                idx = self.get_index(m.name)
-                hits = idx.search(list(query), k)
-                return (
-                    t.df.join(
-                        F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),
-                        on=t.row_id,
+                alias = m.alias or "__ann_order"
+                meta = None
+                if m.filter_sql is not None:
+                    # reference refuses the rewrite when a filter sits between
+                    # sort and scan (ann_optimizer.cpp:478-481)
+                    decision["reason"] = f"filter between sort and scan: {m.filter_sql}"
+                elif m.table in self._tables:
+                    meta = self._choose_index(m.table, m.column, m.metric, m.k, decision)
+                else:
+                    decision["reason"] = f"table {m.table!r} not registered with the engine"
+                if meta is not None:
+                    # index path: probe for k row ids, fetch rows, sort k rows
+                    idx = self.get_index(meta.name)
+                    hits = idx.search(m.query_vector, m.k)
+                    base = base.join(
+                        F.broadcast(hits.select(F.col("row_id").alias(tie))),
+                        on=tie,
                         how="inner",
                     )
-                    .select(*t.df.columns, "_distance")
-                    .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
-                    .limit(k)
+                    # reference IP convention: index order = descending raw
+                    # dot product (negated-IP distance ascending)
+                    order = F.col(alias).desc() if m.metric == "ip" else F.col(alias).asc()
+                else:
+                    # matched but unrewritten: brute force via the Column API
+                    # (plain SQL semantics — ascending raw function value; it
+                    # could not run through spark.sql at all, Spark 4 rejects
+                    # SQL UDFs inside Sort)
+                    if m.filter_sql is not None:
+                        base = base.where(F.expr(m.filter_sql))
+                    order = F.col(alias).asc()
+                cols = base.columns
+                ties = [F.col(tie).asc()] if tie else []
+                out = (
+                    base.withColumn(alias, dist)
+                    .orderBy(order, *ties)
+                    .limit(m.k)
                 )
-        else:
-            decision["reason"] = "no metric-compatible index"
+                if m.alias is None:
+                    out = out.select(*cols)
+                if explain is not None:
+                    explain.update(decision)
+                return out
         if explain is not None:
             explain.update(decision)
-        return topk_brute_force(t.df, column, query, k, metric, tie_break=t.row_id)
+        if not getattr(self, "_sql_fns_registered", False):
+            register_sql_functions(self.spark)
+            self._sql_fns_registered = True
+        return self.spark.sql(sql_text)
 
     def topk_filtered(
         self,
