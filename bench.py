@@ -18,6 +18,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def micro_distance_bench() -> dict:
+    """The reference's only published numbers are batch-L2 micro-benchmarks
+    (BASELINE.md / README.md:134-146: 1 query x n candidates, µs/query).
+    Same grid, same op, through the engine's actual probe kernel
+    (``kernels.pairwise_distances`` — the numpy GEMM every search UDF runs),
+    so BENCH and BASELINE are directly comparable."""
+    import numpy as np
+
+    from duckdb_annsearch_spark.index import kernels
+
+    grid = [(64, 128), (64, 768), (128, 1536), (256, 1536), (512, 1536), (1024, 768)]
+    rng = np.random.RandomState(0)
+    out = {}
+    for n, d in grid:
+        x = rng.randn(n, d).astype(np.float32)
+        q = rng.randn(1, d).astype(np.float32)
+        kernels.pairwise_distances(q, x, "l2")  # warm
+        reps = 200
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            kernels.pairwise_distances(q, x, "l2")
+        out[f"l2_us_n{n}_d{d}"] = round((time.perf_counter() - t0) / reps * 1e6, 1)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -74,6 +99,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "micro_us_per_query": micro_distance_bench(),
                 "sf": sf,
             }
         )
