@@ -243,9 +243,19 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.8,
     shingle_k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
-    threshold. Posting-list self-join: cost Σ_shingle df², not n²."""
+    threshold. Posting-list self-join: cost Σ_shingle df², not n².
+
+    ``max_df`` is the scale knob: a shingle occurring in d documents
+    contributes d² join rows, so one boilerplate phrase shared by 10⁶ docs
+    is a 10¹² blow-up. With ``max_df`` set, shingles with document
+    frequency above it are removed from the universe *before* the join —
+    jaccard is then computed over the remaining (discriminative) shingles
+    for both intersection and union, the standard stop-shingle semantics.
+    Default None keeps exact full-universe jaccard (the oracle-checked
+    mode)."""
     # persist: the shingle arrays feed three consumers (sizes + both join
     # sides); recomputing the gram expression per consumer dominates cost
     sh = df.select(
@@ -260,6 +270,17 @@ def ngram_jaccard_pairs(
     exploded = sh.select(
         "doc_id", F.explode("sh").alias("s")
     ).select("doc_id", F.xxhash64("s").alias("shingle"))
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= int(max_df))
+            .select("shingle")
+        )
+        exploded = exploded.join(keep, "shingle").persist()
+        # sizes over the filtered universe so union matches intersection;
+        # docs whose every shingle was ubiquitous drop out entirely
+        sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(

@@ -58,6 +58,36 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in out
 
 
+def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
+    # every doc shares the "common common common" boilerplate shingle; with
+    # max_df set below the corpus size it leaves the universe and only the
+    # discriminative tail decides the pairs
+    rows = [
+        (1, "common common common alpha beta gamma delta"),
+        (2, "common common common alpha beta gamma delta"),
+        (3, "common common common zz yy xx ww"),
+        (4, "common common common qq rr ss tt"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.9, max_df=2
+        ).collect()
+    }
+    # 1-2 still identical over the remaining shingles; 3/4 share nothing
+    # but the dropped boilerplate so no pair survives
+    assert out[(1, 2)] == 1.0
+    assert all(p == (1, 2) for p in out)
+    # default (no cap) keeps full-universe jaccard: 3 and 4 now share the
+    # boilerplate shingles and rise above 0, but stay below the threshold
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.01).collect()
+    }
+    assert (3, 4) in full and full[(3, 4)] < 0.9
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
