@@ -121,10 +121,18 @@ def lsh_duplicate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing at least
     one LSH band. Band hash join — shuffle keyed on (band, values), never
-    all-pairs."""
+    all-pairs.
+
+    ``max_bucket`` is the scale knob: a bucket of d docs emits d² join
+    rows, and degenerate content (empty/boilerplate texts hashing to one
+    signature) makes d huge. Buckets larger than ``max_bucket`` are dropped
+    before the self-join; their members still pair through any of their
+    other ``bands-1`` (non-degenerate) bands. Default None keeps every
+    bucket (the oracle-checked mode)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # persist: both sides of the self-join read this tiny (n_docs x bands)
@@ -147,6 +155,14 @@ def lsh_duplicate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("sz"))
+            .where(F.col("sz") <= int(max_bucket))
+            .select("band", "band_hash")
+        )
+        banded = banded.join(keep, ["band", "band_hash"])
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

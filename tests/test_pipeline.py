@@ -58,6 +58,27 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in out
 
 
+def test_lsh_max_bucket_drops_degenerate_buckets(spark):
+    # four identical docs collide in every band (bucket size 4 per band);
+    # one distinct pair remains pairable. max_bucket=3 drops the identical
+    # cluster's buckets entirely, max_bucket=None keeps all 6 pairs.
+    rows = [(i, "same text for every document here") for i in range(1, 5)] + [
+        (5, "a genuinely different sentence about engines"),
+        (6, "a genuinely different sentence about engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_duplicate_pairs(docs, "text", "doc_id", max_bucket=3).collect()
+    }
+    assert capped == {(5, 6)}
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_duplicate_pairs(docs, "text", "doc_id").collect()
+    }
+    assert {(1, 2), (3, 4), (5, 6)} <= full
+
+
 def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
     # every doc shares the "common common common" boilerplate shingle; with
     # max_df set below the corpus size it leaves the universe and only the
