@@ -95,6 +95,13 @@ def _engine_for(spark: SparkSession, sf_dir: str):
             "emb_ivf", "embeddings", "embedding", engine="faiss",
             index_type="IVFFlat", ivf_nlist=8, nprobe=8,
         ),
+        # the large-nlist scale path: two-level distributed training +
+        # cell-size cap (splits kick in at sf0.1's row count)
+        lambda: eng.create_index(
+            "emb_ivf_hier", "embeddings", "embedding", engine="faiss",
+            index_type="IVFFlat", ivf_nlist=16, train_mode="hierarchical",
+            max_cell_rows=256,
+        ),
         # two-pass distributed build: pilot + parallel partition inserts —
         # the scale path (and faster than the driver build even at bench sizes)
         lambda: eng.streaming_build(
@@ -102,7 +109,7 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         ),
         lambda: eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text"),
     ]
-    with ThreadPoolExecutor(4) as ex:
+    with ThreadPoolExecutor(5) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _ENGINE_CACHE[key] = eng
@@ -330,6 +337,18 @@ def q_ivf_full_probe(spark, sf_dir):
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_ivf", q, k=10)
+    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    return hits.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def q_ivf_hier_probe(spark, sf_dir):
+    """Hierarchical (two-level-trained, cell-capped) IVF at full probe —
+    exhaustive, so exact vs the brute-force oracle regardless of how the
+    cells were trained or split (tests/test_ivf_scale.py invariant)."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    nlist = int(eng.catalog.load("emb_ivf_hier").extra["nlist"])
+    hits = eng.ann_search("embeddings", "emb_ivf_hier", q, k=10, nprobe=nlist)
     w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
@@ -716,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_search_flat": q_ann_search_flat,
         "ann_batch_flat": q_ann_batch_flat,
         "ivf_full_probe": q_ivf_full_probe,
+        "ivf_hier_probe": q_ivf_hier_probe,
         "graph_topk": q_graph_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "topk_filtered": q_topk_filtered,
@@ -807,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
     ) WHERE rn <= 5
     """
     oracles["ivf_full_probe"] = _brute_rank_sql(10)
+    oracles["ivf_hier_probe"] = _brute_rank_sql(10)
     # graph_topk: no oracle — approximate (driver records rows-only check)
 
     oracles["topk_filtered"] = f"""
