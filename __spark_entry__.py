@@ -443,6 +443,21 @@ def q_lsh_pairs(spark, sf_dir):
     return lsh_duplicate_pairs(docs, "text", "doc_id", NUM_MINHASH, LSH_BANDS)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full fuzzy-dedup pipeline: LSH candidate pairs -> exact-Jaccard
+    verification -> connected components via min-label propagation. The
+    oracle computes the same pipeline with a recursive-CTE transitive
+    closure — transitivity (A~B~C without a direct A~C pair) must agree."""
+    from duckdb_annsearch_spark.pipeline.dedup import dedup_fuzzy
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup_fuzzy(
+        docs, "text", "doc_id",
+        threshold=JACCARD_T, num_hashes=NUM_MINHASH, bands=LSH_BANDS,
+    )
+    return out.select("doc_id", "cluster")
+
+
 def q_simhash(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.dedup import simhash
 
@@ -745,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -948,6 +964,44 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    # fuzzy-dedup pipeline: LSH candidates -> exact-jaccard verify ->
+    # transitive closure (recursive CTE = the oracle for Spark's min-label
+    # propagation connected components)
+    oracles["dedup_clusters"] = f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    sh AS (SELECT doc_id, {sh_d} AS shs FROM tok),
+    hh AS (SELECT doc_id, list_transform(shs, s -> {h_d}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, [{sig_list}] AS sig FROM hh),
+    bands AS (
+      SELECT doc_id, band, bh FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {', '.join(f'({i}, {e})' for i, e in enumerate(band_exprs))}) AS t(band, bh))
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE round(len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                  / greatest(len(list_distinct(sa.shs || sb.shs)), 1), 6) >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS ea, doc_b AS eb FROM ver
+      UNION
+      SELECT doc_b AS ea, doc_a AS eb FROM ver
+    ),
+    reach(id, y) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.id, e.eb FROM reach r JOIN edges e ON e.ea = r.y
+    )
+    SELECT id AS doc_id, min(y) AS cluster FROM reach GROUP BY id
     """
 
     bitsum = (

@@ -436,3 +436,124 @@ def embedding_neardup_pairs_lsh(
         .select("id_a", "id_b", "cos")
         .distinct()
     )
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of an (a, b) candidate-pair set —
+    the second stage of the MinHash pipeline. Joins each side's shingle
+    array onto the pairs and computes intersection/union per pair, so cost
+    is O(|pairs| · shingles-per-doc), never a posting-list blow-up."""
+    sh = df.select(
+        F.col(id_col).alias("__vid"),
+        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    out = (
+        pairs.select(a_col, b_col)
+        .join(sh.select(F.col("__vid").alias(a_col), F.col("__sh").alias("__sa")), a_col)
+        .join(sh.select(F.col("__vid").alias(b_col), F.col("__sh").alias("__sb")), b_col)
+        .withColumn("__i", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("__u", F.size(F.array_union("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__i") / F.greatest(F.col("__u"), F.lit(1)), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "jaccard")
+    )
+    return out
+
+
+def duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph:
+    ``(id_col, cluster)`` with cluster = min id reachable from the node.
+
+    Min-label propagation: every round each node takes the minimum label
+    among itself and its neighbors — one shuffle join + aggregation per
+    round, converging in O(component diameter) rounds (near-dup clusters
+    are shallow; boilerplate chains rarely exceed a handful of hops).
+    Lineage is cut per round with ``localCheckpoint`` so the plan stays
+    flat no matter how many rounds run. Driver holds only the changed-row
+    *count* per round, never data."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("cluster", "new_cluster")
+            .join(labels, "id")
+            .where(F.col("new_cluster") != F.col("cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("id", id_col)
+
+
+def dedup_fuzzy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The full near-duplicate pipeline a training-data run needs:
+    shingle → MinHash → LSH candidate pairs → exact-Jaccard verify →
+    connected components → keep the minimum id per cluster.
+
+    Returns every input row as ``(id_col, cluster, keep)``; filter
+    ``keep`` for the deduplicated corpus. All stages are the bounded-
+    shuffle operators above, so the pipeline scales with Σ bucket² of the
+    LSH stage (capped by ``max_bucket``), not n²."""
+    cand = lsh_duplicate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+    )
+    verified = verify_jaccard_pairs(
+        df, cand, text_col, id_col, threshold, shingle_k
+    )
+    clusters = duplicate_clusters(df.select(id_col), verified, id_col)
+    return clusters.select(
+        id_col,
+        "cluster",
+        (F.col(id_col) == F.col("cluster")).alias("keep"),
+    )

@@ -109,6 +109,38 @@ def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
     assert (3, 4) in full and full[(3, 4)] < 0.9
 
 
+def test_duplicate_clusters_transitive(spark):
+    # chain 1-2-3 (1 and 3 never paired directly) must still collapse to
+    # one cluster rooted at the min id; 4-5 separate; 6 singleton
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in D.duplicate_clusters(ids, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_fuzzy_end_to_end(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),   # = 1
+        (3, "the quick brown fox jumps over the lazy dog at night"),  # ~ 1/2
+        (4, "completely different content about spark engines"),
+        (5, "completely different content about spark engines"),      # = 4
+        (6, "a unique document with no duplicates anywhere"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           D.dedup_fuzzy(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert len(out) == 6  # every row accounted for
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (6, True)
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
