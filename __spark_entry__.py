@@ -590,6 +590,7 @@ def q_langid(spark, sf_dir):
 
 def q_doc_stats(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.text import (
+        bpe_token_count,
         doc_fingerprint,
         quality_score,
         token_count,
@@ -599,6 +600,7 @@ def q_doc_stats(spark, sf_dir):
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         _dec(quality_score(F.col("text")), 9, 6).alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
@@ -1084,13 +1086,16 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     ),
     m AS (
-      SELECT doc_id, tk, n_chars, n_punct, n_digits,
+      SELECT doc_id, text, tk, n_chars, n_punct, n_digits,
              len(tk)::DOUBLE AS n_tokens,
              len(list_filter(tk, t -> list_contains([{stop}], t)))::DOUBLE AS n_stop
       FROM base
     )
     SELECT doc_id,
       CAST(n_tokens AS INT) AS n_tokens,
+      CAST(len(regexp_extract_all(lower(text),
+        '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))
+        AS INT) AS n_bpe_tokens,
       CAST(round(
         0.4 * least(n_tokens / 100.0, 1.0)
       + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 3.0, 1.0)

@@ -40,6 +40,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokenize(text))
 
 
+# GPT-2-style pretokenizer, RE2-compatible (no lookaheads, ASCII classes)
+# so Spark's Java regex and DuckDB's RE2 produce identical pieces:
+# contractions | space?+letters | space?+digits | space?+other | whitespace
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token-count proxy for BPE tokenizers: counts GPT-2-pretokenizer
+    pieces of the lowercased text. A lower bound on real LLM token counts
+    (BPE only splits within pieces, never merges across them) — the usual
+    budget heuristic for training-data token accounting."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0))
+
+
 def detect_language(text: Column) -> Column:
     """Best-scoring language by marker-word hits; ties break in the fixed
     order en > es > de > fr; no hits -> 'und' (undetermined)."""

@@ -109,6 +109,19 @@ def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
     assert (3, 4) in full and full[(3, 4)] < 0.9
 
 
+def test_bpe_token_count(spark):
+    rows = [
+        (1, "Hello, world!"),        # 'hello' ',' ' world' '!' -> 4
+        (2, "don't stop"),           # 'don' ''t' ' stop' -> 3
+        (3, "abc123 x"),             # 'abc' '123' ' x' -> 3
+        (4, ""),                     # -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", X.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 4, 2: 3, 3: 3, 4: 0}
+
+
 def test_duplicate_clusters_transitive(spark):
     # chain 1-2-3 (1 and 3 never paired directly) must still collapse to
     # one cluster rooted at the min id; 4-5 separate; 6 singleton
