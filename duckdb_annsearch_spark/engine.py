@@ -921,6 +921,26 @@ class AnnEngine:
             self._sql_fns_registered = True
         return self.spark.sql(sql_text)
 
+    def explain_sql(self, sql_text: str) -> str:
+        """EXPLAIN with the rewrite decision — parity with the reference's
+        EXPLAIN annotation tests (``faiss_optimizer.test:171-175`` asserts
+        ``ANN_INDEX_SCAN(...)`` appears when the rewrite fires and
+        ``ORDER_BY`` remains when it doesn't). Returns the decision line
+        followed by Spark's formatted physical plan of the query as it
+        would actually execute."""
+        decision: dict = {}
+        df = self.sql(sql_text, explain=decision)
+        header = (
+            decision["reason"]
+            if decision.get("rewritten")
+            else f"NO_REWRITE ({decision.get('reason')})"
+        )
+        jvm = self.spark._jvm
+        plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        return f"{header}\n{plan}"
+
     def topk_filtered(
         self,
         table: str,

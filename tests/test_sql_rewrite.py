@@ -130,3 +130,19 @@ def test_ip_rewrite_uses_ip_index_only(docs_engine, rows):
 
 def test_non_topk_sql_passes_through(docs_engine):
     assert docs_engine.sql("SELECT 1 + 1 AS two").collect()[0]["two"] == 2
+
+
+def test_explain_sql_annotations(docs_engine, rows):
+    # EXPLAIN parity (faiss_optimizer.test:171-175): the annotation appears
+    # exactly when the rewrite fires; unrewritten plans keep the sort-limit
+    q = rows[0][1]
+    s = docs_engine.explain_sql(
+        f"SELECT * FROM docs ORDER BY array_distance(embedding, {_arr(q)}) LIMIT 5"
+    )
+    assert "ANN_INDEX_SCAN (index: docs_flat" in s.splitlines()[0]
+    assert "BroadcastHashJoin" in s  # row fetch by broadcast of k ids
+    s2 = docs_engine.explain_sql(
+        f"SELECT * FROM docs WHERE id > 3 "
+        f"ORDER BY array_distance(embedding, {_arr(q)}) LIMIT 5"
+    )
+    assert s2.startswith("NO_REWRITE") and "TakeOrderedAndProject" in s2
