@@ -56,16 +56,19 @@ def main():
     bench_queries = [
         # ANN / vector (the reference's own bench shape)
         "topk_l2",
+        "sql_topk",
         "vector_distances",
         "knn_join",
         "ann_search_flat",
         "ann_batch_flat",
         "ivf_full_probe",
+        "ivf_hier_probe",
         "graph_topk",
         "hybrid_rrf",
         # pipeline
         "minhash_sigs",
         "lsh_pairs",
+        "dedup_clusters",
         "simhash",
         "jaccard_pairs",
         "neardup_embeddings",

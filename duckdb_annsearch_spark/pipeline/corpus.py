@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.pipeline.dedup import (
     dedup_exact,
+    dedup_fuzzy,
     ngram_jaccard_pairs,
 )
 from duckdb_annsearch_spark.pipeline.text import detect_language, quality_score
@@ -31,7 +32,10 @@ def prepare_corpus(
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Filtered + deduplicated corpus, original schema plus ``lang`` and
-    ``quality`` columns.  ``dedup``: 'exact' | 'near' | 'none'."""
+    ``quality`` columns.  ``dedup``: 'exact' | 'near' | 'fuzzy' | 'none'
+    ('near' drops direct-pair losers — one posting-list join; 'fuzzy' runs
+    the full MinHash-LSH → verify → connected-components pipeline, so
+    transitive chains A~B~C collapse to one survivor)."""
     out = df.withColumn("lang", detect_language(F.col(text_col))).withColumn(
         "quality", F.round(quality_score(F.col(text_col)), 6)
     )
@@ -43,6 +47,13 @@ def prepare_corpus(
     elif dedup == "near":
         pairs = ngram_jaccard_pairs(out, text_col, id_col, jaccard_threshold)
         losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        out = out.join(F.broadcast(losers), on=id_col, how="left_anti")
+    elif dedup == "fuzzy":
+        losers = (
+            dedup_fuzzy(out, text_col, id_col, threshold=jaccard_threshold)
+            .where(~F.col("keep"))
+            .select(id_col)
+        )
         out = out.join(F.broadcast(losers), on=id_col, how="left_anti")
     elif dedup != "none":
         raise ValueError(f"unknown dedup mode {dedup!r}")

@@ -258,6 +258,22 @@ def test_prepare_corpus_near(spark):
     assert ids == [1, 3]
 
 
+def test_prepare_corpus_fuzzy_transitive(spark):
+    from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy dog while the sun shines on the hill"
+    rows = [
+        (1, base),
+        (2, base + " today"),            # ~ 1
+        (3, base + " today and forever"),  # ~ 2, farther from 1 (chain)
+        (4, "the completely different text talks about the spark engine and the cluster for training data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, dedup="fuzzy", jaccard_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4]  # whole 1-2-3 chain collapses to its min id
+
+
 def test_simhash_hamming_pairs(docs):
     from duckdb_annsearch_spark.pipeline.dedup import simhash_hamming_pairs
 
