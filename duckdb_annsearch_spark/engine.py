@@ -634,12 +634,20 @@ class AnnEngine:
 
     # --------------------------------------------------------------- search
     def index_scan(
-        self, name: str, query: Sequence[float], k: int, search_complexity: int | None = None
+        self,
+        name: str,
+        query: Sequence[float],
+        k: int,
+        search_complexity: int | None = None,
+        **search_params,
     ) -> DataFrame:
         """diskann_index_scan / faiss_index_scan: raw (row_id, distance)
-        (``src/diskann_functions.cpp:17-125``)."""
+        (``src/diskann_functions.cpp:17-125``). Extra keyword args are
+        per-query search parameters (e.g. ``nprobe``)."""
         idx = self.get_index(name)
-        res = idx.search(list(query), k, search_complexity=search_complexity)
+        res = idx.search(
+            list(query), k, search_complexity=search_complexity, **search_params
+        )
         return res.select(F.col("row_id"), F.col("_distance").alias("distance"))
 
     def ann_search(
