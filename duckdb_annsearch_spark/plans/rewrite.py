@@ -164,7 +164,8 @@ def _match_project(node) -> tuple[dict[str, tuple], str, list[str]] | None:
             node = _children(node)[0]
         elif c == "UnresolvedRelation":
             ident = node.multipartIdentifier()
-            table = str(ident.apply(ident.size() - 1))
+            # full multipart name: `db.docs` must not alias a flat `docs`
+            table = ".".join(str(ident.apply(i)) for i in range(ident.size()))
             return aliases, table, filters
         else:
             return None
