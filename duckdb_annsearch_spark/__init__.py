@@ -29,6 +29,7 @@ from duckdb_annsearch_spark.functions.distance import (
 from duckdb_annsearch_spark.functions.sql import register_sql_functions
 from duckdb_annsearch_spark.operators.knn import knn_join
 from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
+from duckdb_annsearch_spark.pipeline.dedup import dedup_fuzzy, duplicate_clusters
 
 __all__ = [
     "AnnEngine",
@@ -42,6 +43,8 @@ __all__ = [
     "register_sql_functions",
     "knn_join",
     "prepare_corpus",
+    "dedup_fuzzy",
+    "duplicate_clusters",
 ]
 
 __version__ = "0.1.0"
