@@ -890,6 +890,7 @@ class AnnEngine:
                     meta = self._choose_index(m.table, m.column, m.metric, m.k, decision)
                 else:
                     decision["reason"] = f"table {m.table!r} not registered with the engine"
+                cols = base.columns  # original projection order, pre-join
                 if meta is not None:
                     # index path: probe for k row ids, fetch rows, sort k rows
                     idx = self.get_index(meta.name)
@@ -898,19 +899,25 @@ class AnnEngine:
                         F.broadcast(hits.select(F.col("row_id").alias(tie))),
                         on=tie,
                         how="inner",
-                    )
+                    ).select(*cols)
                     # reference IP convention: index order = descending raw
                     # dot product (negated-IP distance ascending)
-                    order = F.col(alias).desc() if m.metric == "ip" else F.col(alias).asc()
+                    order = (
+                        F.col(alias).desc_nulls_last()
+                        if m.metric == "ip"
+                        else F.col(alias).asc_nulls_last()
+                    )
                 else:
                     # matched but unrewritten: brute force via the Column API
                     # (plain SQL semantics — ascending raw function value; it
                     # could not run through spark.sql at all, Spark 4 rejects
-                    # SQL UDFs inside Sort)
+                    # SQL UDFs inside Sort). NULLS LAST like the index path:
+                    # NULL-vector rows never rank in the top-k, so the result
+                    # does not flip when an index appears (an index never
+                    # returns NULL-vector rows).
                     if m.filter_sql is not None:
                         base = base.where(F.expr(m.filter_sql))
-                    order = F.col(alias).asc()
-                cols = base.columns
+                    order = F.col(alias).asc_nulls_last()
                 ties = [F.col(tie).asc()] if tie else []
                 out = (
                     base.withColumn(alias, dist)

@@ -79,6 +79,11 @@ def _train_subcentroids(
     def train(pdf: pd.DataFrame) -> pd.DataFrame:
         gid = int(pdf["group_id"].iloc[0])
         k = kf.get(gid, 1)
+        cap = max(k * 256, 2_000)
+        if len(pdf) > cap:
+            # belt-and-braces group bound: upstream sampling is per-group
+            # capped too, but a skewed group must never OOM the trainer
+            pdf = pdf.sample(n=cap, random_state=gid)
         x = kernels.stack_vectors(pdf["vector"], dim)
         cents = _train_kmeans(x, k, metric, seed=42 + gid)
         return pd.DataFrame(
@@ -159,14 +164,41 @@ def _hierarchical_train_assign(
             yield pd.DataFrame(
                 {
                     "group_id": np.argmin(d, axis=0).astype(np.int32),
+                    "row_id": pdf["row_id"],
                     "vector": pdf["vector"],
                 }
             )
 
-    grouped = sample_df.select("vector").mapInPandas(
-        assign_coarse, "group_id int, vector array<float>"
+    grouped0 = sample_df.select("row_id", "vector").mapInPandas(
+        assign_coarse, "group_id int, row_id long, vector array<float>"
+    ).persist()
+    grouped = grouped0
+    # the global fraction does not bound any single group — a skewed coarse
+    # cluster could funnel most of the sample into one applyInPandas group.
+    # Re-cap oversized groups with a per-group hash threshold (counts run on
+    # the small persisted sample, never the full table).
+    cap2 = max(k2 * 256, 2_000)
+    counts = {
+        int(r["group_id"]): int(r["cnt"])
+        for r in grouped0.groupBy("group_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    over = {g: c for g, c in counts.items() if c > 2 * cap2}
+    if over:
+        spark = art.sparkSession
+        thresh = F.broadcast(
+            spark.createDataFrame(
+                [(g, max(1, int(cap2 / c * HASH_BUCKETS))) for g, c in over.items()],
+                "group_id int, thresh long",
+            )
+        )
+        grouped = grouped.join(thresh, "group_id", "left").where(
+            F.col("thresh").isNull()
+            | (F.pmod(F.xxhash64(F.col("row_id")), F.lit(HASH_BUCKETS)) < F.col("thresh"))
+        )
+    subs = _train_subcentroids(
+        grouped.select("group_id", "vector"), {g: k2 for g in range(k1)}, dim, metric
     )
-    subs = _train_subcentroids(grouped, {g: k2 for g in range(k1)}, dim, metric)
+    grouped0.unpersist()
     # a coarse cluster that caught no sample rows keeps its own centroid
     sub_arrays = [subs.get(g, coarse[g : g + 1]) for g in range(k1)]
     offsets = np.zeros(k1, dtype=np.int64)
@@ -215,6 +247,11 @@ def _split_oversized_cells(
     touches it.  Cell ids of untouched cells are stable: each split reuses
     its old slot for sub#0 and appends the rest, so no global reassignment.
     """
+    # materialize once up front: each round's counts, sample join, and
+    # reassign pass all consume `assigned`, which embeds the full-table
+    # assignment GEMMs — without the checkpoint round 1 recomputes them 3x
+    assigned = assigned.localCheckpoint()
+    oversized: dict[int, int] = {}
     for _ in range(max_rounds):
         counts = {
             r["cluster_id"]: r["cnt"]
@@ -289,6 +326,25 @@ def _split_oversized_cells(
         assigned = assigned.mapInPandas(
             reassign, "label int, row_id long, vector array<float>, cluster_id int"
         ).localCheckpoint(eager=False)
+    if oversized:
+        # the loop ran out of rounds with splits pending; re-count once and
+        # say so if the cap is still violated (k-means splits are unbalanced
+        # and identical-vector cells cannot split) rather than silently
+        # voiding the bound
+        still = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") > max_cell)
+            .count()
+        )
+        if still:
+            import warnings
+
+            warnings.warn(
+                f"max_cell_rows={max_cell}: {still} cell(s) still above the "
+                f"cap after {max_rounds} split rounds",
+                stacklevel=2,
+            )
     return assigned, centroids
 
 
@@ -315,6 +371,14 @@ class IvfFlatIndex(BaseIndex):
         art = with_labels(df, row_id_col, vector_col).cache()
         n = art.count()
 
+        if train_mode == "hierarchical" and train_sample > 0:
+            # the stride-sample contract is a flat-training concept; honoring
+            # it silently is impossible and dropping it silently is worse
+            if "train_mode" in meta.params:
+                raise ValueError(
+                    "train_sample is not supported with train_mode='hierarchical'"
+                )
+            train_mode = "flat"  # explicit train_sample wins over auto-switch
         if train_mode == "hierarchical":
             # two-level distributed training — the large-nlist scale path
             assigned, centroids = _hierarchical_train_assign(

@@ -47,14 +47,16 @@ def prepare_corpus(
     elif dedup == "near":
         pairs = ngram_jaccard_pairs(out, text_col, id_col, jaccard_threshold)
         losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        out = out.join(F.broadcast(losers), on=id_col, how="left_anti")
+        out = out.join(losers, on=id_col, how="left_anti")
     elif dedup == "fuzzy":
         losers = (
             dedup_fuzzy(out, text_col, id_col, threshold=jaccard_threshold)
             .where(~F.col("keep"))
             .select(id_col)
         )
-        out = out.join(F.broadcast(losers), on=id_col, how="left_anti")
+        # no forced broadcast: the loser set scales with the corpus's
+        # duplicate rate; Catalyst auto-broadcasts when it is small
+        out = out.join(losers, on=id_col, how="left_anti")
     elif dedup != "none":
         raise ValueError(f"unknown dedup mode {dedup!r}")
     return out

@@ -130,8 +130,11 @@ def lsh_duplicate_pairs(
     ``max_bucket`` is the scale knob: a bucket of d docs emits d² join
     rows, and degenerate content (empty/boilerplate texts hashing to one
     signature) makes d huge. Buckets larger than ``max_bucket`` are dropped
-    before the self-join; their members still pair through any of their
-    other ``bands-1`` (non-degenerate) bands. Default None keeps every
+    before the self-join. CAVEAT: byte-identical texts collide in EVERY
+    band, so a big identical cluster loses all its buckets and emits no
+    pairs — collapse exact duplicates first (``dedup_fuzzy`` does this
+    pre-pass automatically). Near-identical (but not identical) members
+    still pair through their unaffected bands. Default None keeps every
     bucket (the oracle-checked mode)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -483,13 +486,14 @@ def duplicate_clusters(
     """Connected components over a duplicate-pair graph:
     ``(id_col, cluster)`` with cluster = min id reachable from the node.
 
-    Min-label propagation: every round each node takes the minimum label
-    among itself and its neighbors — one shuffle join + aggregation per
-    round, converging in O(component diameter) rounds (near-dup clusters
-    are shallow; boilerplate chains rarely exceed a handful of hops).
-    Lineage is cut per round with ``localCheckpoint`` so the plan stays
-    flat no matter how many rounds run. Driver holds only the changed-row
-    *count* per round, never data."""
+    Min-label propagation with pointer jumping: every round each node takes
+    the minimum label among itself and its neighbors (one hop), then jumps
+    to its current root's label (path halving) — so convergence is
+    O(log diameter) rounds, not O(diameter). One shuffle join +
+    aggregation per round; lineage is cut per round with
+    ``localCheckpoint`` so the plan stays flat. Driver holds only the
+    changed-row *count* per round, never data. Raises if the loop exits
+    without converging — silently-partial components would under-dedup."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -499,18 +503,31 @@ def duplicate_clusters(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        hop = labels.join(nbr, labels.id == nbr.src, "left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jump: adopt the label of my current root (labels are node
+        # ids, so the root's row always exists); halves path lengths
+        roots = hop.select(
+            F.col("id").alias("cluster"), F.col("cluster").alias("root_cluster")
+        )
         new = (
-            labels.join(nbr, labels.id == nbr.src, "left")
+            hop.join(roots, "cluster", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                    F.col("cluster"),
+                    F.coalesce("root_cluster", F.col("cluster")),
                 ).alias("cluster"),
             )
             .localCheckpoint()
@@ -523,7 +540,12 @@ def duplicate_clusters(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds"
+        )
     return labels.withColumnRenamed("id", id_col)
 
 
@@ -544,16 +566,35 @@ def dedup_fuzzy(
     Returns every input row as ``(id_col, cluster, keep)``; filter
     ``keep`` for the deduplicated corpus. All stages are the bounded-
     shuffle operators above, so the pipeline scales with Σ bucket² of the
-    LSH stage (capped by ``max_bucket``), not n²."""
+    LSH stage (capped by ``max_bucket``), not n².
+
+    Byte-identical texts are collapsed by an exact hash pre-pass *before*
+    the LSH stages: one groupBy, no pairs, and the signature pipeline runs
+    on unique texts only. This is both the dominant real-world case done
+    cheaply and what makes ``max_bucket`` safe — identical docs share
+    every band, so without the pre-pass a large identical cluster would
+    lose all its buckets to the cap and escape dedup entirely."""
+    hexp = F.md5(F.col(text_col).cast("string")).alias("__h")
+    m = df.select(F.col(id_col), hexp)
+    reps = m.groupBy("__h").agg(F.min(id_col).alias("__rep"))
+    mapping = m.join(reps, "__h").select(id_col, "__rep")
+    uniq = df.join(
+        mapping.where(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
     cand = lsh_duplicate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+        uniq, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
     )
     verified = verify_jaccard_pairs(
-        df, cand, text_col, id_col, threshold, shingle_k
+        uniq, cand, text_col, id_col, threshold, shingle_k
     )
-    clusters = duplicate_clusters(df.select(id_col), verified, id_col)
-    return clusters.select(
-        id_col,
-        "cluster",
-        (F.col(id_col) == F.col("cluster")).alias("keep"),
+    # components over representatives; reps are per-group min ids, so the
+    # component min over reps equals the component min over all members
+    clusters = duplicate_clusters(uniq.select(id_col), verified, id_col)
+    return (
+        mapping.join(clusters.withColumnRenamed(id_col, "__rep"), "__rep")
+        .select(
+            id_col,
+            "cluster",
+            (F.col(id_col) == F.col("cluster")).alias("keep"),
+        )
     )

@@ -154,6 +154,22 @@ def test_dedup_fuzzy_end_to_end(spark):
     assert out[6] == (6, True)
 
 
+def test_dedup_fuzzy_max_bucket_identical_cluster(spark):
+    # identical texts collide in every band; with max_bucket below the
+    # cluster size the LSH stage alone finds no pairs — the exact-dup
+    # pre-pass must still collapse them
+    rows = [(i, "same text for every document here really") for i in range(1, 6)] + [
+        (6, "one genuinely different document about engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           D.dedup_fuzzy(docs, "text", "doc_id", threshold=0.5, max_bucket=3).collect()}
+    assert len(out) == 6
+    assert out[1] == (1, True)
+    assert all(out[i] == (1, False) for i in (2, 3, 4, 5))
+    assert out[6] == (6, True)
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
