@@ -70,9 +70,12 @@ def _train_subcentroids(
     group's sub-centroids on that group's sample rows, so total training
     cost is spread over the cluster instead of the driver.
 
-    ``sample_df`` must have columns (``group_id`` int, ``vector``); groups
-    are samples (≲ k·256 rows each), so ``applyInPandas`` group-in-memory
-    is bounded regardless of full-table size.
+    ``sample_df`` must have columns (``group_id`` int, ``row_id``,
+    ``vector``); callers bound each group with
+    :func:`_per_group_hash_sample` (≲ k·256 rows), so ``applyInPandas``
+    group-in-memory is bounded regardless of full-table size. A
+    deterministic in-trainer cap (hash-ordered by row_id, stable across
+    task retries) guards against any group that slipped the bound.
     """
     kf = dict(k_for)
 
@@ -81,9 +84,11 @@ def _train_subcentroids(
         k = kf.get(gid, 1)
         cap = max(k * 256, 2_000)
         if len(pdf) > cap:
-            # belt-and-braces group bound: upstream sampling is per-group
-            # capped too, but a skewed group must never OOM the trainer
-            pdf = pdf.sample(n=cap, random_state=gid)
+            key = (
+                pdf["row_id"].to_numpy().astype(np.uint64)
+                * np.uint64(2654435761)
+            ) & np.uint64(0xFFFFFFFF)
+            pdf = pdf.iloc[np.argsort(key, kind="stable")[:cap]]
         x = kernels.stack_vectors(pdf["vector"], dim)
         cents = _train_kmeans(x, k, metric, seed=42 + gid)
         return pd.DataFrame(
@@ -95,7 +100,8 @@ def _train_subcentroids(
         )
 
     out = (
-        sample_df.groupBy("group_id")
+        sample_df.select("group_id", "row_id", "vector")
+        .groupBy("group_id")
         .applyInPandas(train, "group_id int, sub_id int, centroid array<float>")
         .collect()
     )
@@ -117,6 +123,45 @@ def _hash_sample(df: DataFrame, frac: float) -> DataFrame:
     thresh = max(1, int(frac * HASH_BUCKETS))
     return df.where(
         F.pmod(F.xxhash64(F.col("row_id")), F.lit(HASH_BUCKETS)) < thresh
+    )
+
+
+def _per_group_hash_sample(
+    df: DataFrame, fracs: dict[int, float], group_col: str, seed: int = 1
+) -> DataFrame:
+    """Keep ~``fracs[g]`` of each listed group's rows; unlisted groups pass
+    through untouched. Deterministic (same rows across retries) via a
+    *seeded* ``xxhash64(row_id, seed)`` against a per-group threshold
+    shipped by broadcast join.
+
+    The seed matters: rows may already be a ``_hash_sample`` of the table,
+    i.e. conditioned on ``xxhash64(row_id) < t`` — reusing the unseeded
+    hash would make any second threshold ≥ t a no-op. A different seed
+    gives an independent uniform hash."""
+    if not fracs:
+        return df
+    spark = df.sparkSession
+    thresh = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(g), max(1, int(min(1.0, f) * HASH_BUCKETS)))
+                for g, f in fracs.items()
+            ],
+            f"{group_col} int, __thresh long",
+        )
+    )
+    return (
+        df.join(thresh, group_col, "left")
+        .where(
+            F.col("__thresh").isNull()
+            | (
+                F.pmod(
+                    F.xxhash64(F.col("row_id"), F.lit(seed)), F.lit(HASH_BUCKETS)
+                )
+                < F.col("__thresh")
+            )
+        )
+        .drop("__thresh")
     )
 
 
@@ -172,33 +217,29 @@ def _hierarchical_train_assign(
     grouped0 = sample_df.select("row_id", "vector").mapInPandas(
         assign_coarse, "group_id int, row_id long, vector array<float>"
     ).persist()
-    grouped = grouped0
-    # the global fraction does not bound any single group — a skewed coarse
-    # cluster could funnel most of the sample into one applyInPandas group.
-    # Re-cap oversized groups with a per-group hash threshold (counts run on
-    # the small persisted sample, never the full table).
-    cap2 = max(k2 * 256, 2_000)
-    counts = {
-        int(r["group_id"]): int(r["cnt"])
-        for r in grouped0.groupBy("group_id").agg(F.count("*").alias("cnt")).collect()
-    }
-    over = {g: c for g, c in counts.items() if c > 2 * cap2}
-    if over:
-        spark = art.sparkSession
-        thresh = F.broadcast(
-            spark.createDataFrame(
-                [(g, max(1, int(cap2 / c * HASH_BUCKETS))) for g, c in over.items()],
-                "group_id int, thresh long",
-            )
+    try:
+        # the global fraction does not bound any single group — a skewed
+        # coarse cluster could funnel most of the sample into one
+        # applyInPandas group. Re-cap oversized groups with an independently
+        # seeded per-group hash (counts run on the small persisted sample,
+        # never the full table).
+        cap2 = max(k2 * 256, 2_000)
+        counts = {
+            int(r["group_id"]): int(r["cnt"])
+            for r in grouped0.groupBy("group_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        grouped = _per_group_hash_sample(
+            grouped0,
+            {g: cap2 / c for g, c in counts.items() if c > 2 * cap2},
+            "group_id",
         )
-        grouped = grouped.join(thresh, "group_id", "left").where(
-            F.col("thresh").isNull()
-            | (F.pmod(F.xxhash64(F.col("row_id")), F.lit(HASH_BUCKETS)) < F.col("thresh"))
+        subs = _train_subcentroids(
+            grouped, {g: k2 for g in range(k1)}, dim, metric
         )
-    subs = _train_subcentroids(
-        grouped.select("group_id", "vector"), {g: k2 for g in range(k1)}, dim, metric
-    )
-    grouped0.unpersist()
+    finally:
+        grouped0.unpersist()
     # a coarse cluster that caught no sample rows keeps its own centroid
     sub_arrays = [subs.get(g, coarse[g : g + 1]) for g in range(k1)]
     offsets = np.zeros(k1, dtype=np.int64)
@@ -252,6 +293,7 @@ def _split_oversized_cells(
     # assignment GEMMs — without the checkpoint round 1 recomputes them 3x
     assigned = assigned.localCheckpoint()
     oversized: dict[int, int] = {}
+    rounds_run = 0
     for _ in range(max_rounds):
         counts = {
             r["cluster_id"]: r["cnt"]
@@ -266,19 +308,16 @@ def _split_oversized_cells(
         }
         if not oversized:
             break
-        # per-cell sample via a broadcast threshold join (per-cell fraction)
-        thresh_rows = [
-            (c, max(1, int(min(1.0, m * 256 / counts[c]) * HASH_BUCKETS)))
-            for c, m in oversized.items()
-        ]
-        spark = assigned.sparkSession
-        thresh = F.broadcast(
-            spark.createDataFrame(thresh_rows, "cluster_id int, thresh long")
-        )
-        sample_df = (
-            assigned.join(thresh, "cluster_id")
-            .where(F.pmod(F.xxhash64(F.col("row_id")), F.lit(HASH_BUCKETS)) < F.col("thresh"))
-            .select(F.col("cluster_id").alias("group_id"), "vector")
+        rounds_run += 1
+        # per-cell sample (seeded hash — independent of any earlier sampling)
+        sample_df = _per_group_hash_sample(
+            assigned,
+            {c: m * 256 / counts[c] for c, m in oversized.items()},
+            "cluster_id",
+        ).select(F.col("cluster_id").alias("group_id"), "row_id", "vector")
+        # only the oversized cells' rows are needed for training
+        sample_df = sample_df.where(
+            F.col("group_id").isin([int(c) for c in oversized])
         )
         subs = _train_subcentroids(sample_df, oversized, dim, metric)
         n_old = centroids.shape[0]
@@ -342,7 +381,8 @@ def _split_oversized_cells(
 
             warnings.warn(
                 f"max_cell_rows={max_cell}: {still} cell(s) still above the "
-                f"cap after {max_rounds} split rounds",
+                f"cap after {rounds_run} split round(s) "
+                f"(unsplittable cells, e.g. identical vectors, cannot shrink)",
                 stacklevel=2,
             )
     return assigned, centroids
@@ -368,17 +408,33 @@ class IvfFlatIndex(BaseIndex):
                 "hierarchical" if nlist > HIERARCHICAL_NLIST_THRESHOLD else "flat",
             )
         ).lower()
-        art = with_labels(df, row_id_col, vector_col).cache()
-        n = art.count()
-
+        if train_mode not in ("flat", "hierarchical"):
+            raise ValueError(
+                f"unknown train_mode {train_mode!r} (flat | hierarchical)"
+            )
         if train_mode == "hierarchical" and train_sample > 0:
-            # the stride-sample contract is a flat-training concept; honoring
-            # it silently is impossible and dropping it silently is worse
+            # the stride-sample contract is a flat-training concept — all
+            # resolved BEFORE any Spark job runs
             if "train_mode" in meta.params:
                 raise ValueError(
                     "train_sample is not supported with train_mode='hierarchical'"
                 )
-            train_mode = "flat"  # explicit train_sample wins over auto-switch
+            # auto-selected hierarchical (nlist above threshold): stay on
+            # the scalable path — flat training at this nlist is exactly
+            # what hierarchical exists to avoid
+            import warnings
+
+            warnings.warn(
+                f"train_sample ignored: ivf_nlist={nlist} > "
+                f"{HIERARCHICAL_NLIST_THRESHOLD} auto-selects hierarchical "
+                "training (pass train_mode='flat' to force stride-sample "
+                "training)",
+                stacklevel=2,
+            )
+            train_sample = 0
+        art = with_labels(df, row_id_col, vector_col).cache()
+        n = art.count()
+
         if train_mode == "hierarchical":
             # two-level distributed training — the large-nlist scale path
             assigned, centroids = _hierarchical_train_assign(

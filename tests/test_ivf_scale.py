@@ -9,6 +9,7 @@ applies (reference default params: ``src/include/faiss_index.hpp:37-44``).
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import make_vectors_df
 
@@ -32,6 +33,33 @@ def _cell_counts(engine, name):
         r["cluster_id"]: r["cnt"]
         for r in art.groupBy("cluster_id").count().withColumnRenamed("count", "cnt").collect()
     }
+
+
+def test_per_group_hash_sample_independent_of_prior_sampling(spark):
+    # rows already conditioned on the unseeded hash (a prior _hash_sample)
+    # must still thin by ~frac — the seeded hash is independent
+    from duckdb_annsearch_spark.index.ivf import _hash_sample, _per_group_hash_sample
+
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("row_id"), F.lit(0).alias("group_id")
+    )
+    pre = _hash_sample(df, 0.5)
+    n_pre = pre.count()
+    assert 0.4 * 40_000 < n_pre < 0.6 * 40_000
+    thinned = _per_group_hash_sample(pre, {0: 0.2}, "group_id").count()
+    assert 0.1 * n_pre < thinned < 0.3 * n_pre  # ~20%, NOT a no-op
+    # determinism: same call, same rows
+    assert _per_group_hash_sample(pre, {0: 0.2}, "group_id").count() == thinned
+
+
+def test_train_sample_rejected_with_explicit_hierarchical(engine, rows):
+    df = make_vectors_df(engine.spark, rows, dim=8)
+    engine.register_table("vecs", df, row_id="id")
+    with pytest.raises(ValueError, match="train_sample"):
+        engine.create_index(
+            "bad", "vecs", "embedding", engine="faiss", index_type="IVFFlat",
+            ivf_nlist=8, train_mode="hierarchical", train_sample=100,
+        )
 
 
 def test_hierarchical_full_probe_exact(engine, rows):
