@@ -180,6 +180,22 @@ class AnnEngine:
             if probe is None:
                 raise ValueError(f"cannot infer dimension: {table}.{column} has no rows")
             dim = int(probe["d"])
+        # enforce one consistent dimension across ALL rows — the reference's
+        # FLOAT[N] type guarantees this statically; Spark arrays don't, and
+        # a mismatched row would otherwise be silently indexed as the zero
+        # vector (kernels.stack_vectors zero-fills bad rows)
+        bad = (
+            t.df.where(
+                F.col(column).isNotNull() & (F.size(F.col(column)) != dim)
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"ANN index column must be FLOAT[{dim}]: {table}.{column} has "
+                f"rows with a different dimension"
+            )
 
         meta = IndexMeta(
             name=name,
@@ -236,13 +252,44 @@ class AnnEngine:
             )
 
     def delete(self, table: str, row_ids: Sequence[int] | DataFrame) -> None:
-        """DELETE propagation: tombstone the rows in every index on the table
-        (``src/diskann_index.cpp:363-385``)."""
+        """DELETE propagation: remove the rows from the registered relation
+        AND tombstone them in every index on the table
+        (``src/diskann_index.cpp:363-385``). Both must happen — index paths
+        compensate via tombstones, but brute-force paths (cost-gated topk,
+        vector_distances, unrewritten SQL) read the relation directly and
+        would otherwise resurrect deleted rows."""
+        t = self.table(table)
+        if isinstance(row_ids, DataFrame):
+            ids_df = row_ids.select(F.col(row_ids.columns[0]).alias(t.row_id))
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(int(r),) for r in row_ids], f"{t.row_id} long"
+            )
+        t.df = t.df.join(ids_df, on=t.row_id, how="left_anti")
         for meta in self.catalog.for_table(table):
             if isinstance(row_ids, DataFrame):
                 self.catalog.add_tombstones(meta.name, row_ids)
             else:
                 self.catalog.add_tombstones(meta.name, list(row_ids))
+
+    def _stage_rows(self, name: str, rows: DataFrame) -> tuple[DataFrame, str]:
+        """Durably stage (row_id, vector) rows to parquet BEFORE the old
+        index is dropped. ``cache()`` is not a checkpoint: a lost executor
+        recomputes cached partitions from the source files, and once
+        ``catalog.drop`` has deleted those the index would be unrecoverable.
+        Returns (staged DataFrame read back from disk, path to delete)."""
+        import uuid
+
+        path = os.path.join(self.catalog.root, "_staging", f"{name}-{uuid.uuid4().hex}")
+        rows.write.mode("overwrite").parquet(path)
+        staged = self.spark.read.parquet(path)
+        return staged, path
+
+    @staticmethod
+    def _unstage(path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
     def vacuum(self, name: str):
         """Rebuild without deleted rows, then drop tombstones
@@ -262,25 +309,31 @@ class AnnEngine:
             metric=meta.metric,
             params=meta.params,
         )
-        staged = live.cache()
-        staged.count()
+        staged, stage_path = self._stage_rows(meta.name, live)
         self.catalog.drop(meta.name)
-        if meta.extra.get("shards"):
-            # sharded graphs recompact with the sharded builder — falling
-            # back to the driver build would silently cap the index at one
-            # worker's RAM
-            from duckdb_annsearch_spark.index.streaming_build import sharded_build
+        try:
+            if meta.extra.get("shards"):
+                # sharded graphs recompact with the sharded builder — falling
+                # back to the driver build would silently cap the index at one
+                # worker's RAM
+                from duckdb_annsearch_spark.index.streaming_build import sharded_build
 
-            by = "kmeans" if meta.extra.get("shard_centroids") else "hash"
-            sharded_build(
-                self.catalog, new_meta, staged, "row_id", "vector",
-                int(meta.extra["shards"]), by=by,
-            )
-            rebuilt = self.get_index(meta.name)
-        else:
-            rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
-        staged.unpersist()
+                by = "kmeans" if meta.extra.get("shard_centroids") else "hash"
+                sharded_build(
+                    self.catalog, new_meta, staged, "row_id", "vector",
+                    int(meta.extra["shards"]), by=by,
+                )
+                rebuilt = self.get_index(meta.name)
+            else:
+                rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
+        except BaseException as e:
+            # the old index is gone — the staged parquet is the only copy
+            raise RuntimeError(
+                f"vacuum rebuild of {meta.name!r} failed; staged rows kept at "
+                f"{stage_path}"
+            ) from e
         self.catalog.clear_tombstones(meta.name)
+        self._unstage(stage_path)
         return rebuilt
 
     def merge_index(self, target: str, source: str):
@@ -306,21 +359,26 @@ class AnnEngine:
             metric=meta.metric,
             params=meta.params,
         )
-        staged = union.cache()
-        staged.count()
+        staged, stage_path = self._stage_rows(meta.name, union)
         self.catalog.drop(meta.name)
-        if meta.extra.get("shards"):
-            from duckdb_annsearch_spark.index.streaming_build import sharded_build
+        try:
+            if meta.extra.get("shards"):
+                from duckdb_annsearch_spark.index.streaming_build import sharded_build
 
-            by = "kmeans" if meta.extra.get("shard_centroids") else "hash"
-            sharded_build(
-                self.catalog, new_meta, staged, "row_id", "vector",
-                int(meta.extra["shards"]), by=by,
-            )
-            rebuilt = self.get_index(meta.name)
-        else:
-            rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
-        staged.unpersist()
+                by = "kmeans" if meta.extra.get("shard_centroids") else "hash"
+                sharded_build(
+                    self.catalog, new_meta, staged, "row_id", "vector",
+                    int(meta.extra["shards"]), by=by,
+                )
+                rebuilt = self.get_index(meta.name)
+            else:
+                rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
+        except BaseException as e:
+            raise RuntimeError(
+                f"merge rebuild of {meta.name!r} failed; staged rows kept at "
+                f"{stage_path}"
+            ) from e
+        self._unstage(stage_path)
         return rebuilt
 
     def streaming_build(
@@ -542,12 +600,25 @@ class AnnEngine:
         search_complexity: int | None = None,
     ) -> DataFrame:
         """BM25 + vector + weighted RRF (``src/ann_search.cpp:894-1163``).
-        Output: table columns + _rrf_score, _bm25_rank, _vector_rank."""
+        Output: table columns + _rrf_score, _bm25_rank, _vector_rank.
+
+        The fusion joins BM25 doc ids with vector-index row ids, so both
+        must live in the registered table's row_id space; mismatches are
+        rejected rather than silently fused wrong."""
         from duckdb_annsearch_spark.operators.fts import bm25_scores, tokenize_py
         from duckdb_annsearch_spark.operators.hybrid import rank_by, rrf_fuse
 
         t = self.table(table)
         idx = self.get_index(index)
+        if idx.meta.column != vector_col:
+            raise ValueError(
+                f"index {index!r} is on column {idx.meta.column!r}, not {vector_col!r}"
+            )
+        if id_col != t.row_id:
+            raise ValueError(
+                f"hybrid_search fuses on the table's row_id ({t.row_id!r}); "
+                f"id_col={id_col!r} does not match"
+            )
 
         vec_hits = idx.search(list(query_vec), vector_candidates, search_complexity=search_complexity)
         vec_ranked = rank_by(
@@ -556,6 +627,12 @@ class AnnEngine:
 
         bm25_ranked = None
         fts = self._fts_for_table(table)
+        if fts is not None and fts.extra.get("id_col", t.row_id) != t.row_id:
+            raise ValueError(
+                f"FTS index {fts.name!r} ids are {fts.extra['id_col']!r}, "
+                f"not the table row_id {t.row_id!r} — BM25 ranks would fuse "
+                "with the wrong rows"
+            )
         terms = tokenize_py(query_text or "")
         if fts is not None and terms:
             base = self.catalog.data_path(fts.name)
@@ -733,11 +810,17 @@ class AnnEngine:
             k,
             idx_col="__query_idx",
             search_complexity=search_complexity,
+        ).select(
+            # internal names: a queries_df/base table carrying its own
+            # row_id or _distance column must not make these ambiguous
+            F.col("__query_idx"),
+            F.col("row_id").alias("__hit_row_id"),
+            F.col("_distance").alias("__hit_distance"),
         )
 
         base = t.df
         base_cols = []
-        used = set(queries_df.columns) | {"__query_idx"}
+        used = set(queries_df.columns) | {"__query_idx", "_distance"}
         for c in base.columns:
             out_name = f"{table}_{c}" if c in used else c
             base_cols.append(F.col(f"__base.{c}").alias(out_name))
@@ -748,13 +831,15 @@ class AnnEngine:
             .join(hits, on="__query_idx", how="inner")
             .join(
                 base.alias("__base"),
-                F.col("row_id") == F.col(f"__base.{t.row_id}"),
+                F.col("__hit_row_id") == F.col(f"__base.{t.row_id}"),
                 "inner",
             )
         )
         out = joined.select(
-            *[F.col(f"__q.{c}") for c in queries_df.columns], *base_cols, F.col("_distance")
-        ).orderBy(F.col("__query_idx").asc(), F.col("_distance").asc())
+            *[F.col(f"__q.{c}") for c in queries_df.columns],
+            *base_cols,
+            F.col("__hit_distance").alias("_distance"),
+        ).orderBy(F.col("__query_idx").asc(), F.col("__hit_distance").asc())
         return out
 
     def vector_distances(

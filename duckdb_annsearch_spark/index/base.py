@@ -41,7 +41,9 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
     base = df.select(
         F.col(row_id_col).cast("long").alias("row_id"),
         F.col(vector_col).cast("array<float>").alias("vector"),
-    )
+    ).where(F.col("vector").isNotNull())
+    # NULL vectors are not indexable (the reference's FLOAT[N] rows always
+    # have N floats); indexing them would zero-fill and pollute top-k
     # explicit partition count: AQE must not re-coalesce between the count
     # job and the numbering job, or the offsets would disagree
     n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)

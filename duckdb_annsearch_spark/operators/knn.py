@@ -35,21 +35,40 @@ def knn_join(
     metric: str = "l2",
 ) -> DataFrame:
     """(left_id, right_id, _distance) — exact k nearest right rows per left
-    row, ascending distance, ties by right id."""
+    row, ascending distance, ties by right id. NULL / wrong-dimension left
+    vectors produce no output rows (the engine's query contract,
+    ``search_batch_df``); an empty or ragged right side is a driver-side
+    error, not an executor crash."""
     from duckdb_annsearch_spark.shipping import ensure_shipped
 
     ensure_shipped(left.sparkSession)  # probe closure imports the package
     rows = right.select(right_id, right_vec).collect()
-    rid = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([r[1] for r in rows], dtype=np.float32)
-    dim = mat.shape[1] if mat.ndim == 2 else 0
+    vecs = [r[1] for r in rows]
+    if not rows:
+        raise ValueError("knn_join: right side has no rows")
+    dims = {len(v) for v in vecs if v is not None}
+    if not dims:
+        raise ValueError("knn_join: right side has only NULL vectors")
+    if len(dims) != 1:
+        raise ValueError(
+            f"knn_join: right vectors must share one dimension, found {sorted(dims)}"
+        )
+    (dim,) = dims
+    keep = [i for i, v in enumerate(vecs) if v is not None and len(v) == dim]
+    rid = np.asarray([rows[i][0] for i in keep], dtype=np.int64)
+    mat = np.asarray([vecs[i] for i in keep], dtype=np.float32)
     bc = left.sparkSession.sparkContext.broadcast((rid, mat))
 
     out_l, out_r = f"{left_id}", "__rid"
+    left_id_type = left.schema[left_id].dataType.simpleString()
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rids, m = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = pdf[left_vec].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
             if len(pdf) == 0:
                 continue
             q = kernels.stack_vectors(pdf[left_vec], dim)
@@ -70,6 +89,6 @@ def knn_join(
                 yield pd.concat(outs, ignore_index=True)
 
     res = left.select(left_id, left_vec).mapInPandas(
-        probe, f"{out_l} long, {out_r} long, _distance float"
+        probe, f"{out_l} {left_id_type}, {out_r} long, _distance float"
     )
     return res.withColumnRenamed(out_r, right_id if right_id != left_id else f"r_{right_id}")

@@ -51,12 +51,17 @@ def running_user_totals(
     value_col: str = "value",
     ts_col: str = "ts",
     watermark: str = "1 day",
+    idle_timeout: str | None = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (n_events, total_value), re-emitted every micro-batch the user
-    appears in.  State is two scalars per user — bounded, watermark-evicted.
-    In batch mode the same totals come from a plain groupBy (the oracle
-    shape)."""
+    appears in.  State is two scalars per user but grows with distinct-user
+    cardinality — running totals are inherently per-user, and the watermark
+    alone drops late *rows*, it does not evict state. For unbounded user
+    populations pass ``idle_timeout`` (e.g. ``"7 days"``): users idle past
+    the watermark by that long are evicted (their totals restart from zero
+    if they reappear). In batch mode the same totals come from a plain
+    groupBy (the oracle shape)."""
     if not events.isStreaming:
         return events.groupBy(user_col).agg(
             F.count("*").alias("n_events"), F.sum(value_col).alias("total_value")
@@ -65,12 +70,19 @@ def running_user_totals(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    idle_ms = int(pd.Timedelta(idle_timeout).total_seconds() * 1000) if idle_timeout else 0
+
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((n, total))
+        if idle_ms:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_ms)
         yield pd.DataFrame(
             {user_col: [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -83,7 +95,11 @@ def running_user_totals(
             outputStructType=f"{user_col} long, n_events long, total_value double",
             stateStructType="n long, total double",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if idle_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -35,6 +35,10 @@ def ann_search_stream(
         raise ValueError("queries_stream must be a streaming DataFrame")
     t = engine.table(table)
     idx = engine.get_index(index)
+    if id_col in t.df.columns and id_col != t.row_id:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a base-table column; rename one"
+        )
     hits = idx.search_batch_df(
         queries_stream.select(
             F.col(id_col), F.col(query_col).cast("array<float>").alias("query")
@@ -42,11 +46,23 @@ def ann_search_stream(
         k,
         idx_col=id_col,
         search_complexity=search_complexity,
+    ).select(
+        # internal name so a base table carrying its own row_id column
+        # (distinct from t.row_id) cannot become ambiguous after the join
+        F.col(id_col),
+        F.col("row_id").alias("__hit_row_id"),
+        F.col("_distance").alias("__hit_distance"),
     )
     # stream-static inner join: each micro-batch's hits pick up base columns
-    base = t.df.withColumnRenamed(t.row_id, "row_id") if t.row_id != "row_id" else t.df
-    joined = hits.join(base, on="row_id", how="inner")
+    joined = hits.join(
+        t.df.alias("__base"),
+        F.col("__hit_row_id") == F.col(f"__base.{t.row_id}"),
+        "inner",
+    )
     cols = [c for c in t.df.columns if c != t.row_id]
     return joined.select(
-        F.col(id_col), F.col("row_id").alias(t.row_id), *cols, "_distance"
+        F.col(id_col),
+        F.col("__hit_row_id").alias(t.row_id),
+        *[F.col(f"__base.{c}") for c in cols],
+        F.col("__hit_distance").alias("_distance"),
     )
