@@ -1015,13 +1015,13 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["simhash"] = f"""
     WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
-    hh AS (SELECT doc_id, list_transform(tk, t -> {_SQL_HASH.format(s='t')} % {HASH_MOD}) AS hs FROM tok)
+    hh AS (SELECT doc_id, list_transform(tk, t -> {_SQL_HASH.format(s='t')}) AS hs FROM tok)
     SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM hh
     """
 
     oracles["simhash_pairs"] = f"""
     WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
-    hh AS (SELECT doc_id, list_transform(tk, t -> {_SQL_HASH.format(s='t')} % {HASH_MOD}) AS hs FROM tok),
+    hh AS (SELECT doc_id, list_transform(tk, t -> {_SQL_HASH.format(s='t')}) AS hs FROM tok),
     sims AS (SELECT doc_id, CAST({sim_terms} AS BIGINT) AS s FROM hh)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming

@@ -37,7 +37,7 @@ def prepare_corpus(
     the full MinHash-LSH → verify → connected-components pipeline, so
     transitive chains A~B~C collapse to one survivor)."""
     out = df.withColumn("lang", detect_language(F.col(text_col))).withColumn(
-        "quality", F.round(quality_score(F.col(text_col)), 6)
+        "quality", quality_score(F.col(text_col))  # already rounded to 6
     )
     if langs:
         out = out.where(F.col("lang").isin(list(langs)))

@@ -54,10 +54,22 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _content_key(text_col: str, id_col: str):
+    """Dedup grouping key: md5 of the text, except NULL texts — those are
+    not equal to each other under SQL semantics, so each gets a per-row
+    key and is never treated as anyone's duplicate."""
+    return F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(content_hash, dup_count, doc_ids) for texts appearing more than once."""
+    """(content_hash, dup_count, doc_ids) for texts appearing more than
+    once. NULL texts are never duplicates of each other."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
             F.count("*").alias("dup_count"),
             F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
@@ -67,10 +79,11 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep the lowest-id row per distinct text (the actual dedup filter)."""
+    """Keep the lowest-id row per distinct text (the actual dedup filter).
+    NULL-text rows all survive — they are not equal to each other."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    w = Window.partitionBy(_content_key(text_col, id_col)).orderBy(F.col(id_col).asc())
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
@@ -183,11 +196,17 @@ def lsh_duplicate_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """(doc_id, simhash BIGINT): sign of per-bit weighted token-hash sums.
 
-    32-bit by default so every intermediate stays in exact BIGINT range in
-    both Spark and the SQL oracle."""
-    hashes = F.transform(tokenize(F.col(text_col)), lambda t: token_hash(t) % HASH_MOD)
+    The token-hash array is materialized through a projection boundary so
+    tokenize+md5 run ONCE per row — higher-order functions are excluded
+    from Catalyst subexpression elimination, and inlining the array into
+    ``bits`` aggregate subtrees would re-hash every token ``bits`` times.
+    Hashes are the full 60-bit ``token_hash`` (no ``% 2^31-1`` reduction,
+    which would pin bit 31 to zero and halve the top band's entropy)."""
+    hashes = F.transform(tokenize(F.col(text_col)), lambda t: token_hash(t))
+    staged = df.select(F.col(id_col).alias("doc_id"), hashes.alias("__hs"))
+    hs = F.col("__hs")
     bit_sum = lambda b: F.aggregate(  # noqa: E731
-        hashes,
+        hs,
         F.lit(0),
         lambda acc, h: acc
         + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -202,7 +221,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.select(F.col(id_col).alias("doc_id"), value.alias("simhash"))
+    return staged.select("doc_id", value.alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -219,6 +238,11 @@ def simhash_hamming_pairs(
     ``bands`` bit-blocks, so ``max_hamming < bands`` guarantees no missed
     pairs), then exact popcount verify — never all-pairs."""
     assert bits % bands == 0
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got bands={bands}) for the pigeonhole recall guarantee"
+        )
     block = bits // bands
     sigs = simhash(df, text_col, id_col, bits).persist()
     banded = sigs.select(
@@ -336,7 +360,9 @@ def _cos_double(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    # clamp: 0/0 is NaN and Spark sorts NaN ABOVE every number, so an
+    # unclamped zero-norm vector would pass any `cos >= t` filter
+    return dot / F.greatest(na * nb, F.lit(1e-300))
 
 
 def embedding_neardup_pairs(
@@ -406,7 +432,14 @@ def embedding_neardup_pairs_lsh(
     import numpy as np
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if first is None:
+            # no usable vectors -> no pairs, with the usual output schema
+            idt = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {idt}, id_b {idt}, cos double"
+            )
+        dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim).astype("float32")
     sig = F.concat_ws(
@@ -574,7 +607,10 @@ def dedup_fuzzy(
     cheaply and what makes ``max_bucket`` safe — identical docs share
     every band, so without the pre-pass a large identical cluster would
     lose all its buckets to the cap and escape dedup entirely."""
-    hexp = F.md5(F.col(text_col).cast("string")).alias("__h")
+    # NULL-safe key: md5(NULL) is NULL and equi-joins drop NULL keys, which
+    # would silently delete NULL-text rows from the output; give each such
+    # row its own key so it survives as its own singleton cluster
+    hexp = _content_key(text_col, id_col).alias("__h")
     m = df.select(F.col(id_col), hexp)
     reps = m.groupBy("__h").agg(F.min(id_col).alias("__rep"))
     mapping = m.join(reps, "__h").select(id_col, "__rep")

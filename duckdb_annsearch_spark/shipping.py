@@ -36,4 +36,10 @@ def ensure_shipped(spark: SparkSession) -> None:
                 )
                 zf.write(full, rel)
     sc.addPyFile(zip_path)
+    # NOT unlinked here: local-mode executors re-verify fetched dependencies
+    # against the original path and fail on a missing/different file.
+    # Clean up at interpreter exit instead.
+    import atexit
+
+    atexit.register(lambda p=zip_path: os.path.exists(p) and os.unlink(p))
     setattr(sc, _SHIPPED_ATTR, True)

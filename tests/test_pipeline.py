@@ -170,6 +170,34 @@ def test_dedup_fuzzy_max_bucket_identical_cluster(spark):
     assert out[6] == (6, True)
 
 
+def test_null_texts_are_not_duplicates(spark):
+    rows = [(1, None), (2, None), (3, "real text here"), (4, "real text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs, "text", "doc_id").collect())
+    assert kept == [1, 2, 3]  # NULLs both survive; 4 is the true dup
+    groups = D.exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [3, 4]
+    out = {r["doc_id"]: r["keep"] for r in
+           D.dedup_fuzzy(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert len(out) == 4  # NULL rows not silently dropped
+    assert out[1] and out[2] and out[3] and not out[4]
+
+
+def test_simhash_pairs_param_guard(docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_hamming_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
+
+
+def test_zero_vectors_not_near_dups(spark):
+    rows = [(1, [0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # NaN cosine (0/0) must not satisfy `cos >= t` via Spark's NaN-is-largest
+    pairs = D.embedding_neardup_pairs_lsh(df, "embedding", "vec_id", 0.9, n_planes=4)
+    assert pairs.count() == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert D.embedding_neardup_pairs_lsh(empty, "embedding", "vec_id", 0.9).count() == 0
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
