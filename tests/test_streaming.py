@@ -118,6 +118,43 @@ def test_running_user_totals_state_across_batches(spark, tmp_path):
     assert max(abs(final["total_value"].to_numpy() - expect["total_value"].to_numpy())) < 1e-6
 
 
+def test_running_user_totals_idle_timeout_evicts(spark, tmp_path):
+    # user 1 goes idle; after the watermark passes idle_timeout their state
+    # is evicted and a later event restarts the total from scratch
+    from datetime import datetime, timedelta
+
+    from duckdb_annsearch_spark.streaming import running_user_totals
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    day = timedelta(days=1)
+    batches = [
+        [(1, 10.0, t0), (2, 5.0, t0)],
+        [(2, 5.0, t0 + 10 * day)],                  # watermark jumps far past t0
+        [(1, 7.0, t0 + 10 * day + timedelta(hours=1))],  # user 1 reappears
+    ]
+    path = str(tmp_path / "idle_events")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "user_id long, value double, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(path)
+    schema = "user_id long, value double, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = running_user_totals(
+        stream, watermark="1 hour", idle_timeout="1 hour"
+    )
+    got = _run_to_memory(out, spark, "idle_totals", output_mode="update").toPandas()
+    last = got.groupby("user_id").last()
+    # user 1's state was evicted while idle: the reappearance restarts at 1
+    assert int(last.loc[1, "n_events"]) == 1
+    assert abs(float(last.loc[1, "total_value"]) - 7.0) < 1e-9
+    # user 2 stayed active within the timeout horizon of each batch
+    assert int(last.loc[2, "n_events"]) >= 1
+
+
 def test_dedup_exact_stream(spark, tmp_path):
     from duckdb_annsearch_spark.streaming import dedup_exact_stream
 
