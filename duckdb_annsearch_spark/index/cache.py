@@ -12,9 +12,14 @@ once per executor.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Any
 
-_CACHE: dict[tuple[str, float], Any] = {}
+# LRU-bounded: a worker that serves many shards/indexes over its lifetime
+# must not accumulate every graph it ever touched (each entry can be a
+# full in-memory graph). Override with SPARK_GRAFT_INDEX_CACHE_SIZE.
+_MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_INDEX_CACHE_SIZE", "4"))
+_CACHE: OrderedDict[tuple[str, float], Any] = OrderedDict()
 
 
 def _dir_mtime(path: str) -> float:
@@ -37,4 +42,8 @@ def get_or_load(path: str, loader) -> Any:
             del _CACHE[k]
         hit = loader(path)
         _CACHE[key] = hit
+        while len(_CACHE) > _MAX_ENTRIES:
+            _CACHE.popitem(last=False)  # evict least-recently used
+    else:
+        _CACHE.move_to_end(key)
     return hit

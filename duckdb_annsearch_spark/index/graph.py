@@ -44,6 +44,28 @@ from duckdb_annsearch_spark.index.vamana import (
 )
 
 
+def _split_list_column(col, dtype) -> list[np.ndarray]:
+    """Arrow list column -> list of numpy arrays via ONE flatten + offset
+    slicing — `to_pylist()` would materialize every element as a Python
+    object (multi-GB transients on big graphs)."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks()
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(dtype)
+    offs = arr.offsets.to_numpy()
+    return [flat[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+
+def _vector_matrix(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) float32 via flatten+reshape."""
+    from duckdb_annsearch_spark.index import scan
+
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    dim = len(col[0].as_py() or [])
+    return scan._fixed_matrix(col.combine_chunks(), dim)
+
+
 def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     """Load a graph artifact into numpy (pyarrow, no Spark needed — runs in
     executor python workers).  Quantized artifacts (SQ8 codes + per-dim
@@ -69,15 +91,12 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
         ).astype(np.float32)
         vectors = codes / 255.0 * scales + mins
     else:
-        vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
-    nb_lists = t.column("neighbors").to_pylist()
+        vectors = _vector_matrix(t.column("vector"))
     neighbors = [
-        np.asarray([x for x in nb if x != NO_NEIGHBOR], dtype=np.int64)
-        if nb is not None
-        else np.empty(0, dtype=np.int64)
-        for nb in nb_lists
+        nb[nb != NO_NEIGHBOR]
+        for nb in _split_list_column(t.column("neighbors"), np.int64)
     ]
-    row_ids = np.asarray(t.column("row_id").to_pylist(), dtype=np.int64)
+    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
     # entry point + metric: sidecar json (Spark-written multi-file artifacts
     # from streaming_build) or parquet footer metadata (driver-written)
     if side:
@@ -96,15 +115,12 @@ def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(shard_dir).sort_by("label")
-    glabels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
-    vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
-    row_ids = np.asarray(t.column("row_id").to_pylist(), dtype=np.int64)
-    nb_lists = t.column("neighbors").to_pylist()
+    glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    vectors = _vector_matrix(t.column("vector"))
+    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
     neighbors = [
-        np.searchsorted(glabels, np.asarray(nb, dtype=np.int64))
-        if nb
-        else np.empty(0, dtype=np.int64)
-        for nb in nb_lists
+        np.searchsorted(glabels, nb)
+        for nb in _split_list_column(t.column("neighbors"), np.int64)
     ]
     entry_global = int(t.column("entry").to_pylist()[0]) if len(glabels) else 0
     ep = int(np.searchsorted(glabels, entry_global))
@@ -169,6 +185,14 @@ class GraphIndex(BaseIndex):
         import os
 
         n = g.vectors.shape[0]
+        if n:
+            # prune (occlusion order), never truncate (recency order): the
+            # build's 1.3x backedge slack must not be dropped arbitrarily
+            from duckdb_annsearch_spark.index.vamana import prune_to_degree
+
+            prune_to_degree(
+                g, max_degree, float(meta.params.get("alpha", 1.2))
+            )
         padded = pad_neighbors(list(g.neighbors), max_degree) if n else np.zeros((0, max_degree))
         cols = {
             "label": pa.array(np.arange(n, dtype=np.int32)),
@@ -212,13 +236,6 @@ class GraphIndex(BaseIndex):
     # ---- search ----
     def _beam(self) -> int:
         return int(self.meta.params.get("build_complexity", DEFAULT_BUILD_COMPLEXITY))
-
-    def _deleted_rowids(self) -> set[int]:
-        if self.meta.num_deleted <= 0:
-            return set()
-        return {
-            r["row_id"] for r in self.catalog.tombstones(self.meta.name).collect()
-        }
 
     def _search_batch_df_impl(
         self,
@@ -325,53 +342,61 @@ class GraphIndex(BaseIndex):
                 .where(F.col("__rk") <= int(nprobe_shards))
                 .drop("__rk", "__cvec")
             )
-            n_shards = min(len(shard_ids), int(nprobe_shards))
         else:
             shards_df = self.spark.createDataFrame(
                 [(int(s),) for s in shard_ids], "shard int"
             )
             fan = queries_df.select(idx_col, query_col).crossJoin(shards_df)
-            n_shards = len(shard_ids)
 
-        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                outs = []
-                for sid, grp in pdf.groupby("shard"):
-                    g, row_ids = index_cache.get_or_load(
-                        f"{path}/shard={int(sid)}", _load_shard
+        def probe_shard(grp: pd.DataFrame) -> pd.DataFrame:
+            # one call = one shard's queries: the only graph this call loads
+            # is its own shard; the worker-level LRU cache bounds how many
+            # shards one long-lived python worker retains across calls
+            sid = int(grp["shard"].iloc[0])
+            g, row_ids = index_cache.get_or_load(
+                f"{path}/shard={sid}", _load_shard
+            )
+            outs = []
+            for i in range(len(grp)):
+                v = grp[query_col].iloc[i]
+                if v is None or len(v) != dim:
+                    continue
+                labels, dists = g.beam_search(
+                    np.asarray(v, dtype=np.float32),
+                    overfetch,
+                    max(L, overfetch),
+                )
+                rids = row_ids[labels]
+                if deleted.size:
+                    keep = ~np.isin(rids, deleted)
+                    rids, dists = rids[keep], dists[keep]
+                rids, dists = rids[:k], dists[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            idx_col: np.full(
+                                len(rids), int(grp[idx_col].iloc[i]), dtype=np.int64
+                            ),
+                            "row_id": rids.astype(np.int64),
+                            "_distance": dists.astype(np.float32),
+                        }
                     )
-                    for i in range(len(grp)):
-                        v = grp[query_col].iloc[i]
-                        if v is None or len(v) != dim:
-                            continue
-                        labels, dists = g.beam_search(
-                            np.asarray(v, dtype=np.float32),
-                            overfetch,
-                            max(L, overfetch),
-                        )
-                        rids = row_ids[labels]
-                        if deleted.size:
-                            keep = ~np.isin(rids, deleted)
-                            rids, dists = rids[keep], dists[keep]
-                        rids, dists = rids[:k], dists[:k]
-                        outs.append(
-                            pd.DataFrame(
-                                {
-                                    idx_col: np.full(
-                                        len(rids),
-                                        int(grp[idx_col].iloc[i]),
-                                        dtype=np.int64,
-                                    ),
-                                    "row_id": rids.astype(np.int64),
-                                    "_distance": dists.astype(np.float32),
-                                }
-                            )
-                        )
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        idx_col: pd.Series(dtype="int64"),
+                        "row_id": pd.Series(dtype="int64"),
+                        "_distance": pd.Series(dtype="float32"),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
 
-        partial = fan.repartition(n_shards, "shard").mapInPandas(
-            probe, f"{idx_col} long, row_id long, _distance float"
+        # groupBy per shard (NOT repartition(n, "shard"): hash partitioning
+        # collides shards into shared tasks and leaves others empty) — each
+        # group call touches exactly one shard's graph
+        partial = fan.groupBy("shard").applyInPandas(
+            probe_shard, f"{idx_col} long, row_id long, _distance float"
         )
         return topk_per_query(partial, k, idx_col=idx_col)
 

@@ -556,7 +556,7 @@ class IvfFlatIndex(BaseIndex):
                     rid = grp["row_id"].to_numpy()
                     outs = []
                     for row, qi in enumerate(qids):
-                        sel = kernels.local_topk(d[row], k_)
+                        sel = kernels.local_topk(d[row], k_, ids=rid)
                         outs.append(
                             pd.DataFrame(
                                 {
@@ -603,9 +603,10 @@ class IvfFlatIndex(BaseIndex):
         dq = self._dequant_args()
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
+            # concatenate the task's Arrow batches first — the probed cells
+            # are read once per task, not once per query batch
+            pdfs = [b for b in batches if len(b)]
+            for pdf in [pd.concat(pdfs, ignore_index=True)] if pdfs else []:
                 valid = [
                     (int(pdf[idx_col].iloc[i]), np.asarray(v, dtype=np.float32))
                     for i, v in enumerate(pdf[query_col])

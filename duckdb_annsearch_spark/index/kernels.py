@@ -45,13 +45,28 @@ def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> n
     return np.maximum(d, 0.0, out=d).astype(np.float32, copy=False)
 
 
-def local_topk(dist_row: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the k smallest entries, sorted ascending by value."""
+def local_topk(dist_row: np.ndarray, k: int, ids: np.ndarray | None = None) -> np.ndarray:
+    """Indices of the k smallest entries, ascending by (value, id).
+
+    ``ids`` defaults to position. Ties that straddle the k boundary are
+    resolved by the smallest id — plain ``argpartition`` keeps an arbitrary
+    subset of boundary ties, which breaks the engine's documented
+    "ties by row_id" determinism across partitionings (duplicate vectors
+    are the common trigger)."""
     n = dist_row.shape[0]
+    if ids is None:
+        ids = np.arange(n)
     if k >= n:
-        return np.argsort(dist_row, kind="stable")
-    part = np.argpartition(dist_row, k)[:k]
-    return part[np.argsort(dist_row[part], kind="stable")]
+        return np.lexsort((ids, dist_row))
+    part = np.argpartition(dist_row, k - 1)
+    kth = dist_row[part[k - 1]]
+    below = np.flatnonzero(dist_row < kth)
+    ties = np.flatnonzero(dist_row == kth)
+    need = k - below.size
+    if need < ties.size:
+        ties = ties[np.argsort(ids[ties], kind="stable")[:need]]
+    sel = np.concatenate([below, ties])
+    return sel[np.lexsort((ids[sel], dist_row[sel]))]
 
 
 def stack_vectors(series: pd.Series, dim: int) -> np.ndarray:
@@ -108,7 +123,7 @@ def probe_partitions(
             rid = pdf[row_id_col].to_numpy()
             outs = []
             for qi in range(d.shape[0]):
-                sel = local_topk(d[qi], k)
+                sel = local_topk(d[qi], k, ids=rid)
                 outs.append(
                     pd.DataFrame(
                         {

@@ -102,16 +102,21 @@ def probe_path_df(
     dele = deleted if deleted is not None and deleted.size else None
 
     def probe(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        # concatenate the task's Arrow batches FIRST: the artifact is
+        # streamed once per task, not once per incoming query batch
+        import pandas as pd
+
+        pdfs = [b for b in batches if len(b)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True)
             valid = [
                 (int(pdf[idx_col].iloc[i]), np.asarray(v, dtype=np.float32))
                 for i, v in enumerate(pdf[query_col])
                 if v is not None and len(v) == dim
             ]
-            if not valid:
-                continue
+        else:
+            valid = []
+        if valid:
             qarr = np.stack([q for _, q in valid])
             top = RunningTopK(len(valid), k)
             for rid, x in iter_vector_batches(path, dim, vector_col, dequantize):
@@ -149,15 +154,15 @@ class RunningTopK:
         self.r = [np.empty(0, dtype=np.int64) for _ in range(nq)]
 
     def update(self, qi: int, dists: np.ndarray, rids: np.ndarray) -> None:
+        from duckdb_annsearch_spark.index.kernels import local_topk
+
         k = self.k
         d = np.concatenate([self.d[qi], dists.astype(np.float32)])
         r = np.concatenate([self.r[qi], rids])
-        if d.shape[0] > k:
-            part = np.argpartition(d, k)[:k]
-            d, r = d[part], r[part]
-        # keep sorted (distance, row_id) so emission order is deterministic
-        order = np.lexsort((r, d))
-        self.d[qi], self.r[qi] = d[order], r[order]
+        # boundary-tie-exact selection sorted by (distance, row_id) — plain
+        # argpartition keeps an arbitrary subset of ties at the k boundary
+        sel = local_topk(d, k, ids=r)
+        self.d[qi], self.r[qi] = d[sel], r[sel]
 
     def update_batch(self, d_matrix: np.ndarray, rids: np.ndarray) -> None:
         for qi in range(d_matrix.shape[0]):

@@ -125,6 +125,9 @@ def sharded_build(
         pdf = pdf.sort_values("label").reset_index(drop=True)
         x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vector"]])
         g = build_vamana(x, metric, max_degree, build_L, alpha)
+        from duckdb_annsearch_spark.index.vamana import prune_to_degree
+
+        prune_to_degree(g, max_degree, alpha)
         glabels = pdf["label"].to_numpy(np.int64)
         return pd.DataFrame(
             {
@@ -200,6 +203,11 @@ def streaming_build(
     pilot_vecs = np.asarray([r["vector"] for r in pilot_rows], dtype=np.float32)
     pilot_rowids = np.asarray([r["row_id"] for r in pilot_rows], dtype=np.int64)
     g = build_vamana(pilot_vecs, metric, max_degree, build_L, alpha)
+    from duckdb_annsearch_spark.index.vamana import prune_to_degree
+
+    # occlusion-order prune of the 1.3x backedge slack BEFORE the pilot is
+    # written or broadcast — truncation would drop edges in recency order
+    prune_to_degree(g, max_degree, alpha)
     entry_global = int(pilot_global[g.entry_point])
 
     pilot_df = spark.createDataFrame(

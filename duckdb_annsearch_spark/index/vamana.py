@@ -75,6 +75,9 @@ class VamanaGraph:
         L = max(L, k)
         q = np.asarray(query, dtype=np.float32)
         n = self.vectors.shape[0]
+        if n == 0:
+            # an index over zero indexable rows is legal; searches are empty
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         visited = np.zeros(n, dtype=bool)
         expanded = np.zeros(n, dtype=bool)
         ep = self.entry_point
@@ -115,8 +118,12 @@ def robust_prune(
     """DiskANN RobustPrune: pick closest, occlude its alpha-shadow, repeat."""
     order = np.argsort(cand_dists, kind="stable")
     cands = candidates[order]
-    cands = cands[cands != p]
-    dists = np.sort(cand_dists, kind="stable")[: len(cands) + 1][: len(cands)]
+    dists = cand_dists[order]
+    # drop p at the SAME positions in both arrays — p typically sorts first
+    # (self-distance 0), and truncating dists from the tail instead would
+    # shift every d(p, v) one slot and corrupt the occlusion test
+    mask = cands != p
+    cands, dists = cands[mask], dists[mask]
     alive = np.ones(len(cands), dtype=bool)
     out: list[int] = []
     for i in range(len(cands)):
@@ -158,8 +165,6 @@ def build_vamana(
     slack = int(max_degree * 1.3)  # graph slack 1.3x (defaults.rs:14-34)
     for p in order:
         p = int(p)
-        if p == medoid and len(g.neighbors[medoid]) == 0 and n > 1:
-            pass  # medoid participates like any node
         labels, dists = g.beam_search(x[p], build_complexity, build_complexity)
         if len(labels) == 0 or (len(labels) == 1 and labels[0] == p):
             continue
@@ -176,6 +181,24 @@ def build_vamana(
                 cur = robust_prune(nb, cur, cd, x, alpha, max_degree, metric)
             g.neighbors[nb] = cur
     return g
+
+
+def prune_to_degree(
+    g: VamanaGraph, max_degree: int, alpha: float = DEFAULT_ALPHA
+) -> None:
+    """RobustPrune every over-full adjacency list down to ``max_degree``.
+
+    The build lets backedge lists grow to 1.3·R slack; persisting by
+    truncation would drop the most recent backedges in arbitrary order
+    (the reference prunes before save — occlusion order, not recency).
+    Call before ``pad_neighbors`` at any artifact/broadcast boundary."""
+    for p, nb in enumerate(g.neighbors):
+        if len(nb) > max_degree:
+            d = _dists(g.metric, g.vectors[nb], g.vectors[p])
+            g.neighbors[p] = robust_prune(
+                p, np.asarray(nb, dtype=np.int64), d, g.vectors, alpha,
+                max_degree, g.metric,
+            )
 
 
 def pad_neighbors(neighbors: list[np.ndarray], max_degree: int) -> np.ndarray:

@@ -75,7 +75,7 @@ def knn_join(
             d = kernels.pairwise_distances(q, m, metric)
             outs = []
             for i in range(d.shape[0]):
-                sel = kernels.local_topk(d[i], k)
+                sel = kernels.local_topk(d[i], k, ids=rids)
                 outs.append(
                     pd.DataFrame(
                         {
