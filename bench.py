@@ -35,11 +35,15 @@ def micro_distance_bench() -> dict:
         x = rng.randn(n, d).astype(np.float32)
         q = rng.randn(1, d).astype(np.float32)
         kernels.pairwise_distances(q, x, "l2")  # warm
-        reps = 200
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            kernels.pairwise_distances(q, x, "l2")
-        out[f"l2_us_n{n}_d{d}"] = round((time.perf_counter() - t0) / reps * 1e6, 1)
+        # best-of-5 rounds of 50: this host's effective CPU speed swings
+        # several-fold between windows; min is the capability number
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(50):
+                kernels.pairwise_distances(q, x, "l2")
+            best = min(best, (time.perf_counter() - t0) / 50)
+        out[f"l2_us_n{n}_d{d}"] = round(best * 1e6, 1)
     return out
 
 
