@@ -537,7 +537,7 @@ def duplicate_clusters(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
     ).localCheckpoint()
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -550,21 +550,20 @@ def duplicate_clusters(
             ).alias("cluster"),
         )
         # pointer jump: adopt the label of my current root (labels are node
-        # ids, so the root's row always exists); halves path lengths
+        # ids, so the root's row always exists); halves path lengths every
+        # round — including round 0, where the neighbor-min step has already
+        # moved some labels
         roots = hop.select(
             F.col("id").alias("cluster"), F.col("cluster").alias("root_cluster")
         )
-        new = (
-            hop.join(roots, "cluster", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce("root_cluster", F.col("cluster")),
-                ).alias("cluster"),
-            )
-            .localCheckpoint()
+        hop = hop.join(roots, "cluster", "left").select(
+            "id",
+            F.least(
+                F.col("cluster"),
+                F.coalesce("root_cluster", F.col("cluster")),
+            ).alias("cluster"),
         )
+        new = hop.localCheckpoint()
         changed = (
             new.withColumnRenamed("cluster", "new_cluster")
             .join(labels, "id")
