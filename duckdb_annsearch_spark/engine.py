@@ -89,6 +89,14 @@ class AnnEngine:
         self.workdir = workdir or os.path.join(tempfile.gettempdir(), "ann_engine")
         self.catalog = Catalog(spark, os.path.join(self.workdir, "_ann_catalog"))
         self._tables: dict[str, RegisteredTable] = {}
+        # Arrow-accelerated createDataFrame/toPandas: the engine works without
+        # it (all driver-side frames carry plain-Python values), but host
+        # sessions often omit the conf and the non-Arrow path is both slower
+        # and stricter — set it defensively for any session the engine serves
+        try:
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        except Exception:
+            pass  # conf may be immutable on some managed sessions
         from duckdb_annsearch_spark.shipping import ensure_shipped
 
         ensure_shipped(spark)

@@ -407,10 +407,13 @@ class GraphIndex(BaseIndex):
         search_complexity: int | None = None,
         **kw,
     ) -> DataFrame:
+        # .tolist() (not raw np.float32 arrays): Arrow-less sessions verify
+        # row-by-row and reject numpy scalars inside object columns; widening
+        # f32 -> Python float is exact, so numeric behavior is unchanged
         qpdf = pd.DataFrame(
             {
-                "query_idx": np.arange(len(queries), dtype=np.int64),
-                "query": [np.asarray(q, dtype=np.float32) for q in queries],
+                "query_idx": [int(i) for i in range(len(queries))],
+                "query": [np.asarray(q, dtype=np.float32).tolist() for q in queries],
             }
         )
         qdf = self.spark.createDataFrame(qpdf)

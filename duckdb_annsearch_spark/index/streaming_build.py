@@ -213,11 +213,15 @@ def streaming_build(
     pilot_df = spark.createDataFrame(
         pd.DataFrame(
             {
-                "label": pilot_global.astype(np.int32),
-                "row_id": pilot_rowids,
-                "vector": [pilot_vecs[i] for i in range(len(pilot_global))],
+                # Python lists, not numpy arrays: a session without the Arrow
+                # conf routes createDataFrame through the row-at-a-time type
+                # verifier, which rejects np.float32/np.int32 elements inside
+                # object columns (round-1 driver failure mode)
+                "label": [int(x) for x in pilot_global],
+                "row_id": [int(x) for x in pilot_rowids],
+                "vector": [pilot_vecs[i].tolist() for i in range(len(pilot_global))],
                 "neighbors": [
-                    pilot_global[g.neighbors[i]].astype(np.int32)
+                    [int(x) for x in pilot_global[g.neighbors[i]]]
                     for i in range(len(pilot_global))
                 ],
                 "is_patch": [False] * len(pilot_global),

@@ -3,7 +3,13 @@ runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the same sf, compares row count + sorted column names + an
 order-insensitive canonical value hash.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs against a bare driver-like session — NO engine-tuned
+confs (no Arrow flag, default shuffle partitions). Round 1 shipped a bug
+(np.float32 in driver-side createDataFrame) that only reproduces without
+Arrow; the engine-tuned ``get_spark`` session could never catch it. Run
+BOTH modes before calling a round done.
 """
 
 from __future__ import annotations
@@ -48,16 +54,32 @@ def df_hash(pdf) -> tuple[int, list[str], str]:
     return len(pdf), cols, h
 
 
+def vanilla_spark():
+    """A session shaped like the round driver's: master + app name only,
+    none of the engine's tuned confs. Environment-coupling bugs (Arrow-less
+    type verification, default 200 shuffle partitions) reproduce here."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("selfcheck-vanilla")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     import __spark_entry__ as entrymod
     from duckdb_annsearch_spark.session import get_spark
 
-    spark = get_spark("selfcheck", 8)
+    spark = vanilla_spark() if vanilla else get_spark("selfcheck", 8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
