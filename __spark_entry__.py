@@ -91,6 +91,12 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         lambda: eng.create_index(
             "emb_flat", "embeddings", "embedding", engine="faiss", index_type="Flat"
         ),
+        # IP-metric twin so the optimizer's topk rewrite fires for inner
+        # product too (cost gates are metric-aware — ann_optimizer.cpp:237-258)
+        lambda: eng.create_index(
+            "emb_flat_ip", "embeddings", "embedding", engine="faiss",
+            index_type="Flat", metric="ip",
+        ),
         lambda: eng.create_index(
             "emb_ivf", "embeddings", "embedding", engine="faiss",
             index_type="IVFFlat", ivf_nlist=8, nprobe=8,
@@ -109,7 +115,7 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         ),
         lambda: eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text"),
     ]
-    with ThreadPoolExecutor(5) as ex:
+    with ThreadPoolExecutor(6) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _ENGINE_CACHE[key] = eng
@@ -225,41 +231,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_topk_l2(spark, sf_dir):
+    """Optimizer-path top-k (S12): ``engine.topk`` must take the index path
+    (the explain assertion is the faiss_optimizer.test:171-175 parity);
+    distances re-derived in f64 post-hoc for the oracle compare."""
+    eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings")
-    d = _sqdist64("embedding", q)
-    return (
-        emb.select("vec_id", d.alias("_d"))
-        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        .limit(10)
-        .select("vec_id", _dec(F.col("_d")).alias("_distance"))
-    )
+    expl = {}
+    hits = eng.topk("embeddings", q, 10, metric="l2", explain=expl)
+    assert expl.get("rewritten"), f"l2 topk did not rewrite: {expl}"
+    assert "emb_flat" == expl.get("index"), expl
+    return hits.select("vec_id", _dec(_sqdist64("embedding", q)).alias("_distance"))
 
 
 def q_topk_ip(spark, sf_dir):
+    """IP-metric optimizer path — the IP Flat index must be chosen."""
+    eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings")
-    d = -_dot64("embedding", q)
-    return (
-        emb.select("vec_id", d.alias("_d"))
-        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        .limit(10)
-        .select("vec_id", _dec(F.col("_d")).alias("_distance"))
-    )
+    expl = {}
+    hits = eng.topk("embeddings", q, 10, metric="ip", explain=expl)
+    assert expl.get("rewritten"), f"ip topk did not rewrite: {expl}"
+    return hits.select("vec_id", _dec(-_dot64("embedding", q)).alias("_distance"))
 
 
 def q_topk_cosine(spark, sf_dir):
+    """Cosine never rewrites (no cosine index type — ann_optimizer.cpp:237-258):
+    the engine's cost gate must refuse and serve the exact brute-force plan."""
+    eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings")
+    expl = {}
+    hits = eng.topk("embeddings", q, 10, metric="cosine", explain=expl)
+    assert not expl.get("rewritten"), f"cosine topk must not rewrite: {expl}"
     arr = _f64("embedding")
     qn = sum(x * x for x in q) ** 0.5
     d = F.lit(1.0) - _dot64("embedding", q) / (_norm64(arr) * F.lit(qn))
-    return (
-        emb.select("vec_id", d.alias("_d"))
-        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        .limit(10)
-        .select("vec_id", _dec(F.col("_d")).alias("_distance"))
-    )
+    return hits.select("vec_id", _dec(d).alias("_distance"))
 
 
 def q_vector_distances(spark, sf_dir):

@@ -912,6 +912,14 @@ class AnnEngine:
         if not candidates:
             decision["reason"] = "no metric-compatible index"
             return None
+        # deterministic preference: exact structures first (Flat, then IVF —
+        # exhaustive at full probe), graph last; name tie-break. Catalog
+        # listing order depends on build completion order under concurrent
+        # DDL, so an explicit ranking keeps the rewrite decision stable.
+        rank = {"flat": 0, "ivfflat": 1, "hnsw": 2, "diskann": 3}
+        candidates.sort(
+            key=lambda c: (rank.get(str(c.index_type).lower(), 9), c.name)
+        )
         m = candidates[0]
         n = max(m.num_vectors - m.num_deleted, 0)
         frac = MAX_K_FRACTION_GRAPH if m.index_type in ("diskann", "hnsw") else MAX_K_FRACTION_FLAT

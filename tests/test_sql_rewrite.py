@@ -146,3 +146,17 @@ def test_explain_sql_annotations(docs_engine, rows):
         f"ORDER BY array_distance(embedding, {_arr(q)}) LIMIT 5"
     )
     assert s2.startswith("NO_REWRITE") and "TakeOrderedAndProject" in s2
+
+
+def test_index_preference_exact_before_graph(docs_engine, rows):
+    """With both a graph and a Flat index on the column, the optimizer must
+    deterministically pick the exact structure — catalog listing order
+    depends on concurrent-build completion order and is not a contract."""
+    eng = docs_engine
+    # name sorts BEFORE docs_flat so alphabetical order alone would pick it
+    eng.create_index("aa_graph", "docs", "embedding", engine="diskann")
+    expl = {}
+    q = [0.0] * 6
+    hits = eng.topk("docs", q, 5, metric="l2", explain=expl)
+    assert expl["rewritten"] and expl["index"] == "docs_flat"
+    assert [r["id"] for r in hits.collect()] == _brute(rows, q, 5)
