@@ -262,35 +262,45 @@ class GraphIndex(BaseIndex):
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             g, row_ids = index_cache.get_or_load(path, _load_graph)
-            for pdf in batches:
-                outs = []
-                for i in range(len(pdf)):
-                    v = pdf[query_col].iloc[i]
-                    if v is None or len(v) != dim:
-                        continue
-                    labels, dists = g.beam_search(
-                        np.asarray(v, dtype=np.float32),
-                        overfetch,
-                        max(L, overfetch),
+            # concatenate the task's Arrow batches: one lock-step batch
+            # search amortizes frontier/distance work across ALL the task's
+            # queries (R2 parity — rust_lib/src/provider.rs:243-440)
+            pdfs = [b for b in batches if len(b)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            valid = [
+                i
+                for i in range(len(pdf))
+                if pdf[query_col].iloc[i] is not None
+                and len(pdf[query_col].iloc[i]) == dim
+            ]
+            if not valid:
+                return
+            qmat = np.asarray(
+                [np.asarray(pdf[query_col].iloc[i], dtype=np.float32) for i in valid]
+            )
+            results = g.beam_search_batch(qmat, overfetch, max(L, overfetch))
+            outs = []
+            for i, (labels, dists) in zip(valid, results):
+                rids = row_ids[labels]
+                if deleted.size:
+                    keep = ~np.isin(rids, deleted)
+                    rids, dists = rids[keep], dists[keep]
+                rids, dists = rids[:k], dists[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            idx_col: np.full(
+                                len(rids), int(pdf[idx_col].iloc[i]), dtype=np.int64
+                            ),
+                            "row_id": rids.astype(np.int64),
+                            "_distance": dists.astype(np.float32),
+                        }
                     )
-                    rids = row_ids[labels]
-                    if deleted.size:
-                        keep = ~np.isin(rids, deleted)
-                        rids, dists = rids[keep], dists[keep]
-                    rids, dists = rids[:k], dists[:k]
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                idx_col: np.full(
-                                    len(rids), int(pdf[idx_col].iloc[i]), dtype=np.int64
-                                ),
-                                "row_id": rids.astype(np.int64),
-                                "_distance": dists.astype(np.float32),
-                            }
-                        )
-                    )
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
         return queries_df.select(idx_col, query_col).mapInPandas(
             probe, f"{idx_col} long, row_id long, _distance float"
@@ -356,16 +366,26 @@ class GraphIndex(BaseIndex):
             g, row_ids = index_cache.get_or_load(
                 f"{path}/shard={sid}", _load_shard
             )
+            valid = [
+                i
+                for i in range(len(grp))
+                if grp[query_col].iloc[i] is not None
+                and len(grp[query_col].iloc[i]) == dim
+            ]
             outs = []
-            for i in range(len(grp)):
-                v = grp[query_col].iloc[i]
-                if v is None or len(v) != dim:
-                    continue
-                labels, dists = g.beam_search(
-                    np.asarray(v, dtype=np.float32),
-                    overfetch,
-                    max(L, overfetch),
+            if not valid:
+                results = []
+            else:
+                # one lock-step batch per (shard, task): all of this shard's
+                # queries advance together (R2 — provider.rs:243-440)
+                qmat = np.asarray(
+                    [
+                        np.asarray(grp[query_col].iloc[i], dtype=np.float32)
+                        for i in valid
+                    ]
                 )
+                results = g.beam_search_batch(qmat, overfetch, max(L, overfetch))
+            for i, (labels, dists) in zip(valid, results):
                 rids = row_ids[labels]
                 if deleted.size:
                     keep = ~np.isin(rids, deleted)

@@ -105,6 +105,160 @@ class VamanaGraph:
         top = min(k, len(pool_l))
         return pool_l[:top], pool_d[:top]
 
+    def _padded_neighbors(self) -> np.ndarray:
+        """Fixed-width (n, R) int32 adjacency, NO_NEIGHBOR-padded, cached.
+        The lock-step batch search gathers whole frontier rows at once —
+        list-of-arrays adjacency would force a per-query Python loop."""
+        pad = getattr(self, "_padded", None)
+        if pad is None:
+            if isinstance(self.neighbors, np.ndarray):
+                pad = self.neighbors.astype(np.int32, copy=False)
+            else:
+                r = max((len(nb) for nb in self.neighbors), default=1) or 1
+                pad = np.full((len(self.neighbors), r), NO_NEIGHBOR, np.int32)
+                for i, nb in enumerate(self.neighbors):
+                    pad[i, : len(nb)] = nb
+            self._padded = pad
+        return pad
+
+    def beam_search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        L: int,
+        visited_budget_bytes: int = 64 << 20,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Lock-step multi-query beam search (R2 parity —
+        ``rust_lib/src/provider.rs:243-440``): every active query advances
+        one BFS hop per round and the round's distance work runs as ONE
+        vectorized kernel over all (query, frontier-neighbor) pairs, instead
+        of a Python loop per query per hop.
+
+        Produces bit-identical results to ``beam_search`` per query: the
+        pool merge is the same stable argsort over [sorted pool ++ new
+        candidates in adjacency order], the visited discipline marks nodes
+        when pooled, and expansion picks the first unexpanded pool slot.
+
+        Queries are chunked so the (chunk, n) visited bitmap stays under
+        ``visited_budget_bytes`` — bounded memory at any graph size.
+        """
+        qs = np.ascontiguousarray(queries, dtype=np.float32)
+        m = qs.shape[0]
+        n = self.vectors.shape[0]
+        if m == 0:
+            return []
+        if n == 0:
+            e = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+            return [e] * m
+        chunk = max(1, min(m, visited_budget_bytes // max(n, 1)))
+        out: list[tuple[np.ndarray, np.ndarray]] = []
+        for s in range(0, m, chunk):
+            out.extend(self._beam_batch_chunk(qs[s : s + chunk], k, max(L, k)))
+        return out
+
+    def _beam_batch_chunk(
+        self, qs: np.ndarray, k: int, L: int
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        n = self.vectors.shape[0]
+        m = qs.shape[0]
+        nbr_mat = self._padded_neighbors()
+        R = nbr_mat.shape[1]
+        ep = self.entry_point
+        INF = np.float32(np.inf)
+        W = L + R
+
+        # per-query state lives in fixed-width (m, L+R) buffers: the first L
+        # slots are the sorted pool, the R-slot tail is per-round scratch —
+        # no per-round concatenate allocations
+        buf_d = np.full((m, W), INF, dtype=np.float32)
+        buf_l = np.full((m, W), -1, dtype=np.int64)
+        buf_e = np.zeros((m, W), dtype=bool)
+        visited = np.zeros(m * n, dtype=bool)  # flat (row, node) bitmap
+        buf_d[:, 0] = _dists_pairs(
+            self.metric, np.broadcast_to(self.vectors[ep], qs.shape), qs
+        )
+        buf_l[:, 0] = ep
+        visited[np.arange(m) * n + ep] = True
+
+        alive = np.arange(m)  # original query index of each live row
+        while alive.size:
+            # first unexpanded non-empty pool slot per live query
+            unexp = (buf_l[alive, :L] != -1) & ~buf_e[alive, :L]
+            slot = unexp.argmax(axis=1)
+            has = unexp[np.arange(alive.size), slot]
+            if not has.any():
+                break
+            # retire finished queries from every state array
+            if not has.all():
+                alive = alive[has]
+                slot = slot[has]
+            rows = alive
+            a = rows.size
+            cur = buf_l[rows, slot]
+            buf_e[rows, slot] = True
+
+            nb = nbr_mat[cur]  # (a, R) int32
+            fresh = nb != NO_NEIGHBOR
+            flat_idx = (rows[:, None] * n + np.where(fresh, nb, 0)).ravel()
+            fresh &= ~visited[flat_idx].reshape(a, R)
+            hit = flat_idx[fresh.ravel()]
+            visited[hit] = True
+
+            if not hit.size:
+                continue
+            # rows whose expansion produced no fresh candidates keep their
+            # (already sorted) pool — only rows with new work pay the merge
+            grew = fresh.any(axis=1)
+            rows_g = rows[grew]
+            fresh_g = fresh[grew]
+            nb_g = nb[grew]
+
+            # one vectorized distance kernel for every fresh pair this round
+            nd = np.full((rows_g.size, R), INF, dtype=np.float32)
+            qrow = hit // n  # original query index of each fresh pair
+            nd[fresh_g] = _dists_pairs(
+                self.metric, self.vectors[nb[fresh]], qs[qrow]
+            )
+
+            # stable merge in place: scratch tail <- new candidates
+            # (adjacency order), then rowwise stable argsort of the whole
+            # buffer; [sorted pool ++ fresh] preserves beam_search's order
+            buf_d[rows_g, L:] = nd
+            buf_l[rows_g, L:] = np.where(fresh_g, nb_g, -1)
+            buf_e[rows_g, L:] = False
+            sub_d = buf_d[rows_g]
+            sub_l = buf_l[rows_g]
+            sub_e = buf_e[rows_g]
+            order = np.argsort(sub_d, axis=1, kind="stable")
+            ar = np.arange(rows_g.size)[:, None]
+            buf_d[rows_g] = sub_d[ar, order]
+            buf_l[rows_g] = sub_l[ar, order]
+            buf_e[rows_g] = sub_e[ar, order]
+            # anything sorted past L is out of the beam
+            buf_d[rows_g, L:] = INF
+            buf_l[rows_g, L:] = -1
+
+        res = []
+        for i in range(m):
+            valid = buf_l[i, :L] != -1
+            top = min(k, int(valid.sum()))
+            res.append((buf_l[i, :top], buf_d[i, :top]))
+        return res
+
+
+def _dists_pairs(metric: str, x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-paired distances: d[i] = dist(x[i], q[i]) for (A, dim) inputs —
+    the lock-step batch kernel (all pairs of one hop in one einsum)."""
+    if metric == "ip":
+        return (-np.einsum("ij,ij->i", x, q)).astype(np.float32, copy=False)
+    if metric == "cosine":
+        # normalize-then-dot, matching _dists' rounding exactly
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        return (1.0 - np.einsum("ij,ij->i", xn, qn)).astype(np.float32, copy=False)
+    d = x - q
+    return np.einsum("ij,ij->i", d, d).astype(np.float32, copy=False)
+
 
 def robust_prune(
     p: int,

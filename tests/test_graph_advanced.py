@@ -58,3 +58,38 @@ def test_graph_ip_metric_with_insert(engine):
         for r in engine.ann_search("vecs", "ip_idx", [1.0, 0.0, 0.0], 2).collect()
     ]
     assert got == [1, 5]
+
+
+def test_beam_search_batch_matches_single():
+    """Lock-step batch search must be result-identical to per-query
+    beam_search (same stable merge, visited discipline, expansion order)."""
+    import numpy as np
+
+    from duckdb_annsearch_spark.index.vamana import build_vamana
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(400, 16).astype(np.float32)
+    for metric in ("l2", "ip", "cosine"):
+        g = build_vamana(x, metric=metric, max_degree=16, build_complexity=32)
+        qs = rng.randn(23, 16).astype(np.float32)
+        batch = g.beam_search_batch(qs, 10, 32)
+        for i in range(len(qs)):
+            labels, dists = g.beam_search(qs[i], 10, 32)
+            bl, bd = batch[i]
+            assert np.array_equal(labels, bl), (metric, i)
+            assert np.allclose(dists, bd), (metric, i)
+
+
+def test_beam_search_batch_chunked_matches():
+    import numpy as np
+
+    from duckdb_annsearch_spark.index.vamana import build_vamana
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(200, 8).astype(np.float32)
+    g = build_vamana(x, max_degree=12, build_complexity=24)
+    qs = rng.randn(17, 8).astype(np.float32)
+    full = g.beam_search_batch(qs, 5, 24)
+    tiny = g.beam_search_batch(qs, 5, 24, visited_budget_bytes=1)  # chunk=1
+    for (al, ad), (bl, bd) in zip(full, tiny):
+        assert np.array_equal(al, bl) and np.allclose(ad, bd)
