@@ -29,10 +29,48 @@ from duckdb_annsearch_spark.index.base import BaseIndex, with_labels
 
 DEFAULT_NLIST = 100
 DEFAULT_NPROBE = 1
+CENTROID_FILE = "_centroids.parquet"
 # above this nlist, driver-side Lloyd's would need an O(nlist·256) sample —
 # switch to two-level distributed training automatically
 HIERARCHICAL_NLIST_THRESHOLD = 1024
 HASH_BUCKETS = 1_000_000  # deterministic row sampling via xxhash64 % buckets
+
+
+def _write_centroids(artifact_dir: str, centroids: np.ndarray) -> None:
+    """Persist the centroid table as a parquet file INSIDE the artifact dir
+    (underscore prefix → invisible to Spark and pyarrow dataset discovery).
+
+    Centroids in the catalog JSON row would be an anti-pattern at scale:
+    nlist=65,536 × dim=768 ≈ 50M floats ≈ a ~0.5 GB JSON document parsed on
+    every catalog.load. As a parquet artifact they are written once and
+    read via the process-level index cache on whichever side needs them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    n, dim = c.shape
+    values = pa.array(c.reshape(-1))
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+    t = pa.table(
+        {
+            "cell": pa.array(np.arange(n, dtype=np.int32)),
+            "centroid": pa.ListArray.from_arrays(offsets, values),
+        }
+    )
+    import os
+
+    pq.write_table(t, os.path.join(artifact_dir, CENTROID_FILE))
+
+
+def _load_centroids(file_path: str) -> np.ndarray:
+    """(nlist, dim) float32 from the artifact's centroid file, cell order."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(file_path).sort_by("cell")
+    col = t.column("centroid").combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float32)
+    return flat.reshape(len(col), -1)
 
 
 def _train_kmeans(sample: np.ndarray, nlist: int, metric: str, seed: int = 42) -> np.ndarray:
@@ -502,7 +540,7 @@ class IvfFlatIndex(BaseIndex):
             catalog.data_path(meta.name)
         )
         art.unpersist()
-        meta.extra["centroids"] = centroids.tolist()
+        _write_centroids(catalog.data_path(meta.name), centroids)
         meta.extra["nlist"] = int(centroids.shape[0])
         idx = cls(catalog, meta)
         meta.num_vectors = idx.artifact().count()
@@ -510,8 +548,27 @@ class IvfFlatIndex(BaseIndex):
         return idx
 
     # ---- search ----
+    def _centroids(self) -> np.ndarray:
+        """Centroid matrix via the process-level cache; legacy catalogs that
+        carried centroids in meta.extra still load."""
+        import os
+
+        from duckdb_annsearch_spark.index import cache as index_cache
+
+        f = os.path.join(self.catalog.data_path(self.meta.name), CENTROID_FILE)
+        if os.path.exists(f):
+            return index_cache.get_or_load(f, _load_centroids)
+        return np.asarray(self.meta.extra["centroids"], dtype=np.float32)
+
+    def _has_centroid_file(self) -> bool:
+        import os
+
+        return os.path.exists(
+            os.path.join(self.catalog.data_path(self.meta.name), CENTROID_FILE)
+        )
+
     def _probe_cells(self, queries: np.ndarray, nprobe: int) -> list[np.ndarray]:
-        cent = np.asarray(self.meta.extra["centroids"], dtype=np.float32)
+        cent = self._centroids()
         nprobe = min(max(1, nprobe), cent.shape[0])
         d = kernels.pairwise_distances(queries, cent, self.meta.metric)  # (nq, nlist)
         return [kernels.local_topk(d[i], nprobe) for i in range(d.shape[0])]
@@ -595,14 +652,31 @@ class IvfFlatIndex(BaseIndex):
         ONLY those hive partitions via pyarrow — per-task partition pruning,
         the executor-side twin of the inverted-list read."""
         nprobe = int(nprobe or self.meta.params.get("nprobe", DEFAULT_NPROBE))
-        cent = np.asarray(self.meta.extra["centroids"], dtype=np.float32)
-        nprobe = min(max(1, nprobe), cent.shape[0])
+        nlist = int(self.meta.extra.get("nlist", DEFAULT_NLIST))
+        nprobe = min(max(1, nprobe), nlist)
         path = self.catalog.data_path(self.meta.name)
         dim, metric = self.meta.dim, self.meta.metric
         deleted = self._deleted_rowid_array()
         dq = self._dequant_args()
+        legacy_cent = (
+            None
+            if self._has_centroid_file()
+            else np.asarray(self.meta.extra["centroids"], dtype=np.float32)
+        )
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # centroids load from the artifact itself, once per worker
+            # process (index cache) — nothing big ships in the closure
+            if legacy_cent is not None:
+                cent = legacy_cent
+            else:
+                import os as _os
+
+                from duckdb_annsearch_spark.index import cache as index_cache
+
+                cent = index_cache.get_or_load(
+                    _os.path.join(path, CENTROID_FILE), _load_centroids
+                )
             # concatenate the task's Arrow batches first — the probed cells
             # are read once per task, not once per query batch
             pdfs = [b for b in batches if len(b)]
