@@ -35,6 +35,13 @@ LSH_BANDS = 4
 SIMHASH_BITS = 32
 JACCARD_T = 0.5
 NEARDUP_T = 0.45
+# banded hyperplane LSH (scale path for embedding near-dup): plane matrix is
+# derived from the same seed on both sides — Spark signs the double left-fold
+# projection, the oracle replicates it with literal plane arrays
+NEARDUP_LSH_PLANES = 4  # short bands: the test threshold 0.45 is wide-angle
+NEARDUP_LSH_BANDS = 8
+NEARDUP_LSH_DIM = 64  # embeddings.embedding dim at every sf (TESTDATA.md)
+NEARDUP_LSH_SEED = 42
 HYBRID_TERMS = ["fast", "query", "join", "window", "sort"]
 
 _rng = random.Random(42)
@@ -493,6 +500,27 @@ def q_neardup_embeddings(spark, sf_dir):
     return out.select("id_a", "id_b", _dec(F.col("cos"), 9, 6).alias("cos"))
 
 
+def q_neardup_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup (the 100 TB path): per-band bucket
+    join -> distinct candidates -> exact double-fold cosine verify. The
+    oracle reproduces the bucketing exactly (same planes as literals), so
+    the deterministic sub-recall candidate set hash-matches."""
+    from duckdb_annsearch_spark.pipeline.dedup import embedding_neardup_pairs_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs_lsh(
+        emb,
+        "embedding",
+        "vec_id",
+        NEARDUP_T,
+        n_planes=NEARDUP_LSH_PLANES,
+        n_bands=NEARDUP_LSH_BANDS,
+        dim=NEARDUP_LSH_DIM,
+        seed=NEARDUP_LSH_SEED,
+    )
+    return out.select("id_a", "id_b", _dec(F.col("cos"), 9, 6).alias("cos"))
+
+
 def q_topk_filtered(spark, sf_dir):
     """Filtered ANN (reference "3x + 100" over-fetch strategy, README.md:164):
     over-fetch from the flat index, filter, limit.  The multiplier is set so
@@ -772,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "neardup_embeddings": q_neardup_embeddings,
+        "neardup_lsh": q_neardup_lsh,
         "media_features": q_media_features,
         "prepare_corpus": q_prepare_corpus,
         "langid": q_langid,
@@ -1060,6 +1089,45 @@ def oracle_sql() -> dict[str, str]:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(round({cos_ab}, 6) + 0.0 AS DOUBLE) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({cos_ab}, 6) >= {NEARDUP_T}
+    """
+
+    # banded hyperplane LSH: same plane matrix as the Spark side (same seed),
+    # inlined as literal DOUBLE arrays; sign of the sequential double sum
+    # reproduces Spark's left-fold projection sign bit-for-bit in practice
+    import numpy as np
+
+    _planes = np.random.RandomState(NEARDUP_LSH_SEED).randn(
+        NEARDUP_LSH_BANDS, NEARDUP_LSH_PLANES, NEARDUP_LSH_DIM
+    ).astype("float32")
+
+    def _sql_band_sig(band: int) -> str:
+        parts = []
+        for p in range(NEARDUP_LSH_PLANES):
+            arr = "[" + ", ".join(repr(float(x)) for x in _planes[band, p]) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, len(embedding)+1), "
+                f"i -> embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+            )
+            parts.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(parts)
+
+    _band_cols = ", ".join(
+        f"{_sql_band_sig(b)} AS band{b}" for b in range(NEARDUP_LSH_BANDS)
+    )
+    _band_match = " OR ".join(
+        f"a.band{b} = b.band{b}" for b in range(NEARDUP_LSH_BANDS)
+    )
+    oracles["neardup_lsh"] = f"""
+    WITH sig AS (SELECT vec_id, {_band_cols} FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({_band_match})
+    )
+    SELECT c.id_a, c.id_b, CAST(round({cos_ab}, 6) + 0.0 AS DOUBLE) AS cos
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
     WHERE round({cos_ab}, 6) >= {NEARDUP_T}
     """
 

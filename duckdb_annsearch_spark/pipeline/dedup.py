@@ -370,6 +370,8 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    max_exact_rows: int | None = 200_000,
+    **lsh_params,
 ) -> DataFrame:
     """(id_a, id_b, cos) exact all-pairs above a cosine threshold.
 
@@ -379,11 +381,20 @@ def embedding_neardup_pairs(
     join their vectors back and the deterministic double left-fold cosine
     (oracle-reproducible) applies the threshold.  All-vs-all is inherently
     O(n²) flops, but the flops run as numpy GEMM distributed across input
-    partitions instead of per-pair codegen folds.  For inputs too big to
-    broadcast use :func:`embedding_neardup_pairs_lsh`."""
+    partitions instead of per-pair codegen folds.
+
+    The driver-side collect+broadcast caps this at inputs that fit driver /
+    executor RAM: above ``max_exact_rows`` the call routes to the bucketed
+    :func:`embedding_neardup_pairs_lsh` scale path automatically (recall
+    < 1, tunable via ``lsh_params``: ``n_planes``, ``n_bands``, ``seed``).
+    Pass ``max_exact_rows=None`` to force the exact path."""
     import numpy as np
     import pandas as pd
 
+    if max_exact_rows is not None and df.count() > max_exact_rows:
+        return embedding_neardup_pairs_lsh(
+            df, vec_col, id_col, threshold, **lsh_params
+        )
     rows = df.select(F.col(id_col), F.col(vec_col)).collect()
     all_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     mat = np.asarray([r[1] for r in rows], dtype=np.float64)
@@ -417,18 +428,58 @@ def embedding_neardup_pairs(
     )
 
 
+def _hyperplane_sigs(vec: Column, planes) -> list[Column]:
+    """One '0'/'1'-string signature Column per band of hyperplanes.
+
+    The projection is the deterministic double left fold (zip_with +
+    aggregate) so a SQL oracle can reproduce the exact same sign with a
+    sequential double sum — the sign test only goes wrong if a projection
+    lands within float-noise of 0, measure-zero for continuous data."""
+    n_bands, n_planes, _dim = planes.shape
+    return [
+        F.concat_ws(
+            "",
+            *[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in planes[b, p]]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for p in range(n_planes)
+            ],
+        )
+        for b in range(n_bands)
+    ]
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_bands: int = 4,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Scale path: random-hyperplane signature -> bucket join -> exact cosine
-    verify within buckets. Recall < 1 (tunable via n_planes); each bucket
-    join is an equi-join shuffle, never all-pairs."""
+    """Scale path: banded random-hyperplane LSH -> per-band bucket join ->
+    exact cosine verify over the distinct candidate set.
+
+    Standard band-OR construction: ``n_bands`` independent signatures of
+    ``n_planes`` hyperplanes each; two rows are candidates if ANY band
+    agrees on all its plane signs, so candidate probability is
+    ``1 - (1 - p^r)^b`` with ``p = 1 - angle/pi`` — recall tunable toward 1
+    by adding bands without growing any bucket.  Each band join is an
+    equi-join shuffle on (band, bucket), never all-pairs; the exact verify
+    joins vectors back onto the deduplicated id pairs only."""
     import numpy as np
 
     if dim is None:
@@ -441,36 +492,29 @@ def embedding_neardup_pairs_lsh(
             )
         dim = len(first[0])
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim).astype("float32")
-    sig = F.concat_ws(
-        "",
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in planes[p]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ],
+    planes = rng.randn(n_bands, n_planes, dim).astype("float32")
+    sigs = _hyperplane_sigs(F.col(vec_col), planes)
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*sigs)).alias("band", "bucket"),
     )
-    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
-    a = tagged.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = tagged.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    a = tagged.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = tagged.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = F.round(_cos_double(F.col("va"), F.col("vb")), 6)
     return (
-        pairs.withColumn("cos", cos)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
-        .distinct()
     )
 
 

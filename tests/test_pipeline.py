@@ -211,6 +211,12 @@ def test_embedding_neardup(spark):
     lsh = {(r["id_a"], r["id_b"]) for r in
            D.embedding_neardup_pairs_lsh(df, "embedding", "vec_id", 0.99, n_planes=8).collect()}
     assert lsh == {(1, 2)}  # identical-direction vectors share every plane sign
+    # above max_exact_rows the exact API must auto-route to the LSH scale
+    # path (no driver-side collect of all vectors)
+    routed = {(r["id_a"], r["id_b"]) for r in
+              D.embedding_neardup_pairs(df, "embedding", "vec_id", 0.99,
+                                        max_exact_rows=1, n_planes=8).collect()}
+    assert routed == {(1, 2)}
 
 
 def test_text_analysis(docs):
