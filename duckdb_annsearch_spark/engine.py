@@ -38,6 +38,11 @@ MAX_K_FRACTION_GRAPH = 0.30
 # filtered-workload overfetch: "3x + 100" (README.md:164, src/ann_extension.cpp:57-60)
 DEFAULT_OVERFETCH_MULTIPLIER = 3
 OVERFETCH_BONUS = 100
+# create_index(engine='diskann') collects every vector to the driver (parity
+# with the reference's in-RAM Vamana build); above this many rows it
+# auto-routes to the out-of-core streaming builder instead. Override per call
+# with driver_build_max_rows=N (None disables routing).
+DRIVER_BUILD_MAX_ROWS = 100_000
 
 _INDEX_CLASSES = {
     "flat": FlatIndex,
@@ -204,6 +209,18 @@ class AnnEngine:
                 f"ANN index column must be FLOAT[{dim}]: {table}.{column} has "
                 f"rows with a different dimension"
             )
+
+        if itype == "diskann":
+            # GraphIndex.build is the reference-parity in-RAM build (every
+            # vector collected to the driver). Above a row cap that is an
+            # OOM, not a trade-off — route to the out-of-core streaming
+            # builder, which registers the same searchable DISKANN index.
+            cap = params.pop("driver_build_max_rows", DRIVER_BUILD_MAX_ROWS)
+            if cap is not None:
+                n_rows = t.df.where(F.col(column).isNotNull()).count()
+                if n_rows > int(cap):
+                    self.streaming_build(name, table, column, metric=metric, **params)
+                    return self.get_index(name)
 
         meta = IndexMeta(
             name=name,
