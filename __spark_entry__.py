@@ -564,8 +564,7 @@ def q_events_windowed(spark, sf_dir):
     """Watermark-style tumbling window rollup (streaming module semantics,
     run in batch mode): 6-hour buckets per event type."""
     ev = _read_events(spark, sf_dir)
-    ts = F.timestamp_micros((F.col("ts").cast("long") / 1000).cast("long"))
-    w = F.window(ts, "6 hours")
+    w = F.window(_event_ts(ev), "6 hours")
     return (
         ev.groupBy(w.alias("w"), F.col("event_type"))
         .agg(
@@ -730,10 +729,32 @@ def q_customer_running_revenue(spark, sf_dir):
 
 
 def _read_events(spark, sf_dir):
-    # the events parquet uses TIMESTAMP(NANOS) which Spark only reads via
-    # the legacy nanos-as-long conf; queries below use integer nanos directly
+    """Load events tolerating either physical ``ts`` type the testdata has
+    shipped: TIMESTAMP(NANOS) (readable only as LONG nanos via the legacy
+    conf) or timestamp[us] (read as TIMESTAMP_NTZ). Consumers derive time
+    via _event_ts_us / _event_ts instead of touching ``ts`` raw."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # all time semantics here and in the oracles are wall-clock-as-UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _event_ts_us(ev):
+    """Epoch-microseconds LONG for ``ts``, whatever its loaded dtype."""
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":  # legacy nanos-as-long
+        return (F.col("ts") / 1000).cast("long")
+    # TIMESTAMP / TIMESTAMP_NTZ: under the UTC session tz the cast is
+    # value-preserving and matches DuckDB's epoch_us(ts)
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
+def _event_ts(ev):
+    """Native TIMESTAMP column (for F.window), whatever the loaded dtype."""
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
+        return F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return F.col("ts").cast("timestamp")
 
 
 def q_events_top_by_user(spark, sf_dir):
@@ -751,10 +772,9 @@ def q_events_top_by_user(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-min inactivity gap splits sessions (window lag +
     running sum — the Spark shape of stateful session assignment).
-    ``ts`` arrives as LONG nanos (see _read_events); gap compares micros."""
+    Gap compares epoch micros (see _event_ts_us for dtype handling)."""
     ev = _read_events(spark, sf_dir)
-    ts_us = (F.col("ts").cast("long") / 1000).cast("long")
-    ev = ev.withColumn("_us", ts_us)
+    ev = ev.withColumn("_us", _event_ts_us(ev))
     w = Window.partitionBy("user_id").orderBy(F.col("_us").asc(), F.col("event_id").asc())
     gap = F.when(F.col("_us") - F.lag(F.col("_us")).over(w) > 1800000000, 1).otherwise(0)
     sess = F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0))

@@ -88,16 +88,32 @@ def main():
     # warm the engine (Flat/IVF/graph/FTS index builds) as its own entry so
     # search timings measure search, not DDL
     t0 = time.time()
-    entrymod._engine_for(spark, sf_dir)
-    timings["index_build"] = round(time.time() - t0, 3)
-    print(f"# index_build: {timings['index_build']}s", file=sys.stderr)
+    errors = {}
+    try:
+        entrymod._engine_for(spark, sf_dir)
+        timings["index_build"] = round(time.time() - t0, 3)
+        print(f"# index_build: {timings['index_build']}s", file=sys.stderr)
+    except Exception as exc:
+        errors["index_build"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# index_build: ERROR {errors['index_build']}", file=sys.stderr)
     for name in bench_queries:
         fn = qs[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()  # force full execution
+        try:
+            n = fn(spark, sf_dir).count()  # force full execution
+        except Exception as exc:  # one broken query must never zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.time() - t_start, 3)
+
+    try:
+        micro = micro_distance_bench()
+    except Exception as exc:
+        errors["micro"] = f"{type(exc).__name__}: {exc}"[:300]
+        micro = {}
 
     print(
         json.dumps(
@@ -106,7 +122,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "micro_us_per_query": micro_distance_bench(),
+                "errors": errors,
+                "micro_us_per_query": micro,
                 "sf": sf,
             }
         )

@@ -57,16 +57,19 @@ def test_streaming_requires_stream(engine):
 
 
 def _staged_events(spark, tmp_path):
-    """Spark-written copy with microsecond timestamps: the raw testdata uses
-    TIMESTAMP(NANOS), which Spark only reads via the nanos-as-long legacy
-    conf and the streaming source rejects outright."""
+    """Spark-written copy with a plain TIMESTAMP ``ts`` column, whatever the
+    raw testdata's physical type (legacy TIMESTAMP(NANOS)-as-long vs
+    timestamp[us]/TIMESTAMP_NTZ) — the streaming source needs a stable,
+    watermarkable timestamp."""
     path = str(tmp_path / "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        ).write.parquet(path)
+        if dict(raw.dtypes)["ts"] == "bigint":  # legacy nanos-as-long
+            ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        else:  # TIMESTAMP / TIMESTAMP_NTZ (session tz is UTC in conftest)
+            ts = F.col("ts").cast("timestamp")
+        raw.withColumn("ts", ts).write.parquet(path)
     finally:
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     return spark.read.parquet(path), path
