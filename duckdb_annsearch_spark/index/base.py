@@ -51,6 +51,15 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
         base.repartitionByRange(n_parts, "row_id")
         .sortWithinPartitions("row_id")
         .withColumn("__part", F.spark_partition_id())
+        # freeze ONE physical partitioning: repartitionByRange samples its
+        # range boundaries per execution, so without this barrier the counts
+        # collect below and the consumer's final job could see *different*
+        # partition layouts (nondeterministic source, task retry, AQE
+        # re-plan) and silently corrupt the label<->row_id bijection that
+        # every index build depends on. localCheckpoint materializes the
+        # blocks once (memory+disk) and truncates lineage, so both actions
+        # read the same rows in the same partitions.
+        .localCheckpoint()
     )
     counts = {
         r["__part"]: r["cnt"]

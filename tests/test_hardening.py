@@ -126,3 +126,34 @@ def test_hybrid_search_rejects_mismatched_ids(engine, spark):
         engine.hybrid_search(
             "docs", "didx", "wrong_col", "doc_id", [1.0, 0.0], "fast", k=3
         )
+
+
+def test_with_labels_stable_under_nondeterministic_source(spark):
+    # with_labels runs two jobs (a per-partition count collect, then the
+    # numbering select). If the input re-executes differently per job —
+    # nondeterministic source, task retry, resampled range boundaries —
+    # the label<->row_id bijection silently corrupts. The localCheckpoint
+    # barrier must pin one materialization for both jobs.
+    import random
+
+    from duckdb_annsearch_spark.index.base import with_labels
+
+    @F.udf("long")
+    def _jitter():
+        return random.randint(0, 1 << 40)
+
+    jitter = _jitter.asNondeterministic()
+    df = (
+        spark.range(0, 2000, 1, 8)
+        .select(
+            jitter().alias("rid"),
+            F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>").alias("v"),
+        )
+    )
+    out = with_labels(df, "rid", "v").collect()
+    assert len(out) == 2000
+    labels = sorted(r["label"] for r in out)
+    assert labels == list(range(2000))  # dense, no dup/missing labels
+    by_label = sorted(out, key=lambda r: r["label"])
+    rids = [r["row_id"] for r in by_label]
+    assert rids == sorted(rids)  # label order == row_id order
