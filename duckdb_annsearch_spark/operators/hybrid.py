@@ -62,6 +62,13 @@ def rrf_fuse(
     )
 
 
-def rank_by(df: DataFrame, order_cols: list, rank_name: str) -> DataFrame:
-    w = Window.orderBy(*order_cols)
+def rank_by(
+    df: DataFrame, order_cols: list, rank_name: str, key_col: str = "row_id"
+) -> DataFrame:
+    """Global 1-based rank. Callers pass bounded candidate sets (top-N
+    truncated upstream), so the single-partition sort is k-bounded.
+    ``key_col * 0`` is a constant-valued but non-foldable partition key
+    (Catalyst can't fold x*0: NULL semantics), giving WindowExec a real
+    single-group spec instead of a flagged-empty one."""
+    w = Window.partitionBy(F.col(key_col) * 0).orderBy(*order_cols)
     return df.withColumn(rank_name, F.row_number().over(w).cast("int"))

@@ -151,9 +151,14 @@ def lsh_duplicate_pairs(
     bucket (the oracle-checked mode)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # persist: both sides of the self-join read this tiny (n_docs x bands)
-    # relation; without it the whole signature pipeline runs twice
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    # both sides of the self-join read this tiny (n_docs x bands) relation;
+    # without a barrier the whole signature pipeline runs twice. Lazy
+    # localCheckpoint (not .persist()): checkpoint blocks are reclaimed by
+    # the ContextCleaner once the DataFrame is dropped, while .persist()
+    # pins a CacheManager entry for the life of the session.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -244,7 +249,8 @@ def simhash_hamming_pairs(
             f"(got bands={bands}) for the pigeonhole recall guarantee"
         )
     block = bits // bands
-    sigs = simhash(df, text_col, id_col, bits).persist()
+    # lazy localCheckpoint, not .persist(): see lsh_candidate_pairs
+    sigs = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -299,12 +305,13 @@ def ngram_jaccard_pairs(
     for both intersection and union, the standard stop-shingle semantics.
     Default None keeps exact full-universe jaccard (the oracle-checked
     mode)."""
-    # persist: the shingle arrays feed three consumers (sizes + both join
-    # sides); recomputing the gram expression per consumer dominates cost
+    # barrier: the shingle arrays feed three consumers (sizes + both join
+    # sides); recomputing the gram expression per consumer dominates cost.
+    # Lazy localCheckpoint, not .persist(): see lsh_candidate_pairs.
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # join on an 8-byte hash of the shingle, not the string itself — the
     # posting-list shuffle moves fixed-width keys (collision odds ~2^-64
@@ -320,7 +327,7 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= int(max_df))
             .select("shingle")
         )
-        exploded = exploded.join(keep, "shingle").persist()
+        exploded = exploded.join(keep, "shingle").localCheckpoint(eager=False)
         # sizes over the filtered universe so union matches intersection;
         # docs whose every shingle was ubiquitous drop out entirely
         sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
