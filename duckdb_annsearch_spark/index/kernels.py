@@ -27,20 +27,44 @@ PROBE_SCHEMA = "query_idx int, row_id long, _distance float"
 
 
 def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> np.ndarray:
-    """(nq, n) float32 distance matrix; one GEMM for the whole batch."""
+    """(nq, n) float32 distance matrix; one GEMM for the whole batch.
+
+    nq==1 takes GEMV fast paths: the GEMM identity's extra numpy dispatches
+    (~1 µs each) dominate at single-query sizes, and a direct
+    ``einsum('ij,ij->i')`` halves the wall time at every grid point of the
+    reference's micro bench (BASELINE.md). Small problems (n*d <= ~24k)
+    fuse the subtraction instead — fewer passes win when the data fits L2
+    cache; above that the norms identity wins (one read of x, no (n,d)
+    temp)."""
     q = np.ascontiguousarray(queries, dtype=np.float32)
     x = np.ascontiguousarray(cands, dtype=np.float32)
+    if metric == "l2" and q.shape[0] == 1:  # squared L2, single query
+        qv = q[0]
+        if x.size <= 24576:
+            diff = x - qv
+            d = np.einsum("ij,ij->i", diff, diff)
+        else:
+            d = np.einsum("ij,ij->i", x, x)
+            d -= 2.0 * (x @ qv)
+            d += qv @ qv
+            np.maximum(d, 0.0, out=d)
+        return d[None, :]
     if metric == "ip":
+        if q.shape[0] == 1:
+            return -(x @ q[0])[None, :]
         return -(q @ x.T)
     if metric == "cosine":
         qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        if q.shape[0] == 1:
+            return (1.0 - xn @ qn[0])[None, :].astype(np.float32, copy=False)
         return (1.0 - qn @ xn.T).astype(np.float32)
-    # squared L2 via ||q||^2 - 2 q.x + ||x||^2 (one GEMM), clamped at 0
+    # squared L2 via ||q||^2 - 2 q.x + ||x||^2 (one GEMM), clamped at 0;
+    # einsum for the candidate norms avoids the (n, d) x*x temporary
     d = (
         (q * q).sum(axis=1, keepdims=True)
         - 2.0 * (q @ x.T)
-        + (x * x).sum(axis=1)[None, :]
+        + np.einsum("ij,ij->i", x, x)[None, :]
     )
     return np.maximum(d, 0.0, out=d).astype(np.float32, copy=False)
 
