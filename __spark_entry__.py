@@ -301,6 +301,27 @@ def q_sql_topk(spark, sf_dir):
     )
 
 
+def q_accel_topk(spark, sf_dir):
+    """Transparent *DataFrame-API* rewrite (engine.accelerate): a plain
+    ``df.orderBy(array_distance(...)).limit(k)`` plan — no engine call in
+    the user's query — is matched on the analyzed plan and answered from
+    the Flat index; explain-asserted like the SQL path."""
+    from duckdb_annsearch_spark.functions.distance import array_distance
+
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    emb = eng.table("embeddings").df
+    plain = emb.orderBy(array_distance("embedding", q)).limit(10)
+    expl = {}
+    res = eng.accelerate(plain, explain=expl)
+    assert expl.get("rewritten"), f"DataFrame topk did not rewrite: {expl}"
+    assert expl.get("index") == "emb_flat", expl
+    assert res is not plain
+    return res.select(
+        "vec_id", _dec(F.sqrt(_sqdist64("embedding", q))).alias("_distance")
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """ann_search_table semantics by pure composition: 5 query rows x base,
     rank per query (SURVEY §2.2 S5)."""
@@ -816,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "vector_distances": q_vector_distances,
         "sql_topk": q_sql_topk,
+        "accel_topk": q_accel_topk,
         "knn_join": q_knn_join,
         "ann_search_flat": q_ann_search_flat,
         "ann_batch_flat": q_ann_batch_flat,
@@ -881,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["topk_l2"] = _brute_topk_sql(sq)
     oracles["sql_topk"] = _brute_topk_sql(f"sqrt({sq})")
+    oracles["accel_topk"] = _brute_topk_sql(f"sqrt({sq})")
     oracles["topk_ip"] = _brute_topk_sql(f"-({dot})")
     oracles["topk_cosine"] = _brute_topk_sql(cos_d)
     oracles["vector_distances"] = f"""

@@ -1061,6 +1061,79 @@ class AnnEngine:
             self._sql_fns_registered = True
         return self.spark.sql(sql_text)
 
+    def accelerate(self, df: DataFrame, explain: dict | None = None) -> DataFrame:
+        """Transparent top-k rewrite for the *DataFrame* API — the drop-in
+        twin of :meth:`sql` for users who build plans with Columns instead
+        of SQL strings (the reference rewrites every query through its
+        pre-optimizer hook, ``src/ann_optimizer.cpp:568-576``; Spark has no
+        Python-side optimizer injection, so this is an explicit wrap)::
+
+            eng.accelerate(df.orderBy(array_distance("emb", q)).limit(10))
+
+        Matches the ANALYZED plan (plans/rewrite_df.py): limit-k over a
+        single-key sort whose key is one of the engine's distance builders
+        applied to (indexed column, constant vector), over a registered
+        table, with only identity projections / one trailing withColumn
+        alias in between. On a match that passes the cost gates, the sort
+        is answered by an index probe + broadcast row fetch and re-sorting
+        k rows; otherwise (including any Filter between sort and scan —
+        ``ann_optimizer.cpp:478-481``) the original ``df`` is returned
+        unchanged, so ``accelerate`` is always semantics-preserving*.
+
+        *One documented deviation, shared with the SQL path: NULL-vector
+        rows never appear in accelerated results (an index cannot return
+        them), while a plain ascending sort would rank NULL distances
+        first (Spark default NULLS FIRST).
+
+        ``explain``: dict to capture the decision (EXPLAIN annotation
+        parity — ``ann_optimizer.cpp:510-524``)."""
+        from duckdb_annsearch_spark.plans.rewrite_df import (
+            _build_probe,
+            match_topk_df,
+        )
+
+        decision = {"rewritten": False, "reason": None, "index": None}
+        m = match_topk_df(self, df)
+        meta = None
+        if m is None:
+            decision["reason"] = "no rewritable top-k-by-distance pattern"
+        elif m.filter_sql is not None:
+            decision["reason"] = m.filter_sql
+        else:
+            meta = self._choose_index(m.table, m.column, m.metric, m.k, decision)
+        if meta is None:
+            if explain is not None:
+                explain.update(decision)
+            return df
+
+        t = self._tables[m.table]
+        idx = self.get_index(meta.name)
+        hits = idx.search(m.query_vector, m.k)
+        base = t.df.join(
+            F.broadcast(hits.select(F.col("row_id").alias(t.row_id))),
+            on=t.row_id,
+            how="inner",
+        ).select(*t.df.columns)
+        dist = _build_probe(m.fn_name, F.col(m.column), m.query_vector)
+        alias = m.alias or "__ann_order"
+        # faithful direction: the matcher only admits orderings an index
+        # serves literally (sqrt/squared L2 asc, raw IP desc, neg-IP asc)
+        order = (
+            F.col(alias).desc_nulls_last()
+            if m.fn_name == "array_inner_product"
+            else F.col(alias).asc_nulls_last()
+        )
+        out = (
+            base.withColumn(alias, dist)
+            .orderBy(order, F.col(t.row_id).asc())
+            .limit(m.k)
+        )
+        if m.alias is None:
+            out = out.select(*t.df.columns)
+        if explain is not None:
+            explain.update(decision)
+        return out
+
     def explain_sql(self, sql_text: str) -> str:
         """EXPLAIN with the rewrite decision — parity with the reference's
         EXPLAIN annotation tests (``faiss_optimizer.test:171-175`` asserts

@@ -66,16 +66,77 @@ def _vector_matrix(col) -> np.ndarray:
     return scan._fixed_matrix(col.combine_chunks(), dim)
 
 
+class _MmapVamana(VamanaGraph):
+    """VamanaGraph over np.memmap views — no ascontiguousarray copy, so the
+    vector block and adjacency stay on disk and page in on demand. Search
+    code paths are inherited unchanged: fancy indexing on a memmap reads
+    only the touched pages, and the DANN u32 0xFFFFFFFF padding viewed as
+    int32 is exactly NO_NEIGHBOR (-1)."""
+
+    def __init__(self, vectors, neighbors, entry_point, metric, row_ids):
+        self.vectors = vectors
+        self.neighbors = neighbors
+        self.entry_point = int(entry_point)
+        self.metric = metric
+        self.row_ids = row_ids
+
+
+def _mmap_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
+    """Serve a graph straight off its DANN v2 binary via np.memmap — the
+    Spark rendering of the reference's mmap'd disk provider
+    (``rust_lib/src/disk_provider.rs:182-332``): a worker never holds the
+    whole graph in RAM, only the pages its searches touch (beam search on
+    a well-linked Vamana graph visits O(L * degree * hops) nodes)."""
+    import os
+    import struct as _struct
+
+    from duckdb_annsearch_spark.index.dann_format import HEADER_SIZE, MAGIC
+
+    fn = os.path.join(path, "_graph.diskann")
+    with open(fn, "rb") as f:
+        head = f.read(HEADER_SIZE)
+    if head[:4] != MAGIC:
+        raise ValueError("not a DANN file (bad magic)")
+    _version, n, dim, max_degree, n_eps, metric_u8, _pad, _build_l = _struct.unpack(
+        "<IIIII B 3s I", head[4:HEADER_SIZE]
+    )
+    off = HEADER_SIZE
+    eps = np.fromfile(fn, dtype="<u4", count=n_eps, offset=off)
+    off += n_eps * 4
+    vectors = np.memmap(fn, dtype="<f4", mode="r", offset=off, shape=(n, dim))
+    off += n * dim * 4
+    # u32 adjacency viewed as little-endian int32: 0xFFFFFFFF pad == -1
+    adj = np.memmap(fn, dtype="<i4", mode="r", offset=off, shape=(n, max_degree))
+    row_ids = np.memmap(
+        os.path.join(path, "_row_ids.bin"), dtype="<i8", mode="r", shape=(n,)
+    )
+    metric = {0: "l2", 1: "ip"}.get(int(metric_u8), "l2")
+    ep = int(eps[0]) if n_eps else 0
+    g = _MmapVamana(vectors, adj, ep, metric, row_ids)
+    return g, row_ids
+
+
 def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
-    """Load a graph artifact into numpy (pyarrow, no Spark needed — runs in
-    executor python workers).  Quantized artifacts (SQ8 codes + per-dim
-    min/scale in the sidecar) are dequantized on load, so searches see the
-    same approximated values the reference computes on the fly
+    """Load a graph artifact (pyarrow, no Spark needed — runs in executor
+    python workers).  When the artifact carries its DANN v2 binary sidecar
+    (driver-built graphs write one), the graph is mmap-served instead of
+    materialized — identical values (quantized artifacts store dequantized
+    vectors in the binary), bounded worker RAM at any graph size.  Set
+    ``SPARK_GRAFT_GRAPH_MMAP=0`` to force the in-RAM parquet load.
+    Quantized parquet artifacts (SQ8 codes + per-dim min/scale in the
+    sidecar) are dequantized on load, so searches see the same approximated
+    values the reference computes on the fly
     (``rust_lib/src/provider.rs:161-210``)."""
     import json
     import os
 
     import pyarrow.parquet as pq
+
+    if os.environ.get("SPARK_GRAFT_GRAPH_MMAP", "1").lower() not in ("0", "false"):
+        if os.path.exists(os.path.join(path, "_graph.diskann")) and os.path.exists(
+            os.path.join(path, "_row_ids.bin")
+        ):
+            return _mmap_graph(path)
 
     t = pq.read_table(path).sort_by("label")
     side = {}
@@ -229,6 +290,40 @@ class GraphIndex(BaseIndex):
 
         with open(os.path.join(path, "_graph_meta.json"), "w") as f:
             json.dump(side, f)
+
+        # DANN v2 binary + row_id sidecar: the mmap serving path
+        # (_mmap_graph) pages vectors/adjacency straight off this file
+        # instead of materializing the graph per worker — the reference
+        # serves .diskann the same way (rust_lib/src/disk_provider.rs:182-332).
+        # Quantized indexes store the DEQUANTIZED values so mmap search sees
+        # exactly what the parquet load path computes from the codes.
+        if meta.metric in ("l2", "ip"):
+            from duckdb_annsearch_spark.index import dann_format
+
+            if meta.quantized:
+                mins = np.asarray(meta.extra["sq8_mins"], dtype=np.float32)
+                scales = np.asarray(meta.extra["sq8_scales"], dtype=np.float32)
+                q8 = np.clip(
+                    np.rint((g.vectors - mins) / scales * 255.0), 0, 255
+                ).astype(np.uint8)
+                vec_block = (q8.astype(np.float32) / 255.0 * scales + mins)
+                sq8 = {"mins": mins, "scales": scales, "codes": q8}
+            else:
+                vec_block = g.vectors
+                sq8 = None
+            dann_format.write_dann(
+                os.path.join(path, "_graph.diskann"),
+                vec_block,
+                [padded[i][padded[i] != NO_NEIGHBOR] for i in range(n)],
+                [g.entry_point] if n else [0],
+                metric=meta.metric,
+                max_degree=max_degree,
+                build_complexity=int(
+                    meta.params.get("build_complexity", DEFAULT_BUILD_COMPLEXITY)
+                ),
+                sq8=sq8,
+            )
+            row_ids.astype("<i8").tofile(os.path.join(path, "_row_ids.bin"))
 
     def artifact(self) -> DataFrame:
         return self.spark.read.parquet(self.catalog.data_path(self.meta.name))

@@ -1,0 +1,144 @@
+"""Transparent DataFrame-API top-k rewrite (engine.accelerate): the
+analyzed-plan twin of the SQL rewrite, asserted the same way the reference
+asserts its optimizer (faiss_optimizer.test:171-175 — EXPLAIN shows the
+index scan when the rewrite fires, the sort when it doesn't)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.functions.distance import (
+    array_distance,
+    array_inner_product,
+    list_cosine_similarity,
+    metric_distance,
+    vector_lit,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def eng(engine):
+    emb = engine.spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    engine.register_table("embeddings", emb, row_id="vec_id")
+    engine.create_index("accel_flat", "embeddings", "embedding", engine="faiss", index_type="Flat")
+    return engine
+
+
+def _qvec(eng, i=0):
+    t = eng.table("embeddings").df
+    return t.where(F.col("vec_id") == i).select("embedding").first()["embedding"]
+
+
+def test_orderby_limit_rewrites(eng):
+    q = [float(x) for x in _qvec(eng)]
+    df = eng.table("embeddings").df
+    plain = df.orderBy(array_distance("embedding", q)).limit(10)
+    exp = {}
+    out = eng.accelerate(plain, explain=exp)
+    assert exp["rewritten"] is True
+    assert exp["index"] == "accel_flat"
+    assert out is not plain
+    got = [r["vec_id"] for r in out.collect()]
+    want = [r["vec_id"] for r in plain.collect()]
+    assert got == want
+    assert out.columns == df.columns
+
+
+def test_withcolumn_alias_shape_rewrites(eng):
+    q = [float(x) for x in _qvec(eng, 3)]
+    df = eng.table("embeddings").df
+    plain = df.withColumn("d", array_distance("embedding", q)).orderBy("d").limit(5)
+    exp = {}
+    out = eng.accelerate(plain, explain=exp)
+    assert exp["rewritten"] is True
+    assert out.columns == plain.columns  # alias column preserved
+    got = [(r["vec_id"], round(r["d"], 5)) for r in out.collect()]
+    want = [(r["vec_id"], round(r["d"], 5)) for r in plain.collect()]
+    assert got == want
+
+
+def test_metric_distance_and_vector_lit_variants(eng):
+    q = [float(x) for x in _qvec(eng, 1)]
+    df = eng.table("embeddings").df
+    for dist in (
+        metric_distance("embedding", q, "l2"),
+        array_distance("embedding", vector_lit(q)),  # double-cast variant
+    ):
+        plain = df.orderBy(dist.asc()).limit(7)
+        exp = {}
+        out = eng.accelerate(plain, explain=exp)
+        assert exp["rewritten"] is True, exp
+        assert [r["vec_id"] for r in out.collect()] == [
+            r["vec_id"] for r in plain.collect()
+        ]
+
+
+def test_ip_direction_semantics(eng):
+    # raw inner product: only DESC (most similar first) is index-servable;
+    # ASC means least similar and must NOT rewrite
+    eng.create_index(
+        "accel_ip", "embeddings", "embedding",
+        engine="faiss", index_type="Flat", metric="ip",
+    )
+    q = [float(x) for x in _qvec(eng, 2)]
+    df = eng.table("embeddings").df
+    desc_plan = df.orderBy(array_inner_product("embedding", q).desc()).limit(6)
+    exp = {}
+    out = eng.accelerate(desc_plan, explain=exp)
+    assert exp["rewritten"] is True
+    assert [r["vec_id"] for r in out.collect()] == [
+        r["vec_id"] for r in desc_plan.collect()
+    ]
+    asc_plan = df.orderBy(array_inner_product("embedding", q).asc()).limit(6)
+    exp2 = {}
+    out2 = eng.accelerate(asc_plan, explain=exp2)
+    assert exp2["rewritten"] is False
+    assert out2 is asc_plan
+
+
+def test_filter_between_sort_and_scan_refuses(eng):
+    q = [float(x) for x in _qvec(eng)]
+    df = eng.table("embeddings").df
+    plain = (
+        df.where(F.col("vec_id") < 100)
+        .orderBy(array_distance("embedding", q))
+        .limit(10)
+    )
+    exp = {}
+    out = eng.accelerate(plain, explain=exp)
+    assert exp["rewritten"] is False
+    assert "filter" in exp["reason"].lower()
+    assert out is plain
+
+
+def test_foreign_read_same_data_rewrites(eng):
+    # the user re-read the parquet path themselves: leaf sameResult + the
+    # exprId-normalized expression compare must still match
+    q = [float(x) for x in _qvec(eng)]
+    other = eng.spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plain = other.orderBy(array_distance("embedding", q)).limit(10)
+    exp = {}
+    out = eng.accelerate(plain, explain=exp)
+    assert exp["rewritten"] is True
+    assert [r["vec_id"] for r in out.collect()] == [
+        r["vec_id"] for r in plain.collect()
+    ]
+
+
+def test_non_rewritable_shapes_pass_through(eng):
+    q = [float(x) for x in _qvec(eng)]
+    df = eng.table("embeddings").df
+    shapes = [
+        df.select("vec_id", "embedding")  # subset projection
+        .orderBy(array_distance("embedding", q))
+        .limit(10),
+        df.orderBy(list_cosine_similarity("embedding", q).desc()).limit(10),  # cosine
+        df.orderBy(array_distance("embedding", q)),  # no limit
+        df.orderBy(array_distance("embedding", q), F.col("vec_id")).limit(10),  # 2 keys
+    ]
+    for plain in shapes:
+        exp = {}
+        out = eng.accelerate(plain, explain=exp)
+        assert exp["rewritten"] is False
+        assert out is plain

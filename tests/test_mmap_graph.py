@@ -1,0 +1,95 @@
+"""mmap graph serving: driver-built graph artifacts carry a DANN v2 binary
+sidecar and are served via np.memmap — no full-graph materialization per
+worker (reference semantics: rust_lib/src/disk_provider.rs:182-332), with
+results bit-identical to the in-RAM parquet load."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.index.graph import _load_graph, _MmapVamana
+
+
+def _build(engine, name, n=1200, dim=16, seed=0, **params):
+    rng = np.random.RandomState(seed)
+    rows = [(i, rng.rand(dim).astype("float32").tolist()) for i in range(n)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table(f"t_{name}", df, row_id="id")
+    engine.create_index(name, f"t_{name}", "embedding", engine="diskann", **params)
+    return rows, engine.catalog.data_path(name)
+
+
+def test_mmap_serving_identical_to_ram_load(engine, monkeypatch):
+    rows, path = _build(engine, "mmg")
+    assert os.path.exists(os.path.join(path, "_graph.diskann"))
+    assert os.path.exists(os.path.join(path, "_row_ids.bin"))
+
+    g_m, rid_m = _load_graph(path)  # default: mmap serving
+    assert isinstance(g_m, _MmapVamana)
+    assert isinstance(g_m.vectors, np.memmap)  # vectors NOT materialized
+    assert isinstance(g_m.neighbors, np.memmap)  # adjacency NOT materialized
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_MMAP", "0")
+    g_r, rid_r = _load_graph(path)
+    assert not isinstance(g_r, _MmapVamana)
+
+    assert np.array_equal(np.asarray(rid_m), np.asarray(rid_r))
+    rng = np.random.RandomState(7)
+    qs = rng.rand(16, 16).astype(np.float32)
+    res_m = g_m.beam_search_batch(qs, 10, 64)
+    res_r = g_r.beam_search_batch(qs, 10, 64)
+    for (lm, dm), (lr, dr) in zip(res_m, res_r):
+        assert np.array_equal(np.asarray(lm), np.asarray(lr))
+        assert np.array_equal(np.asarray(dm), np.asarray(dr))  # bit-identical
+
+
+def test_mmap_serving_quantized_matches_parquet_dequant(engine, monkeypatch):
+    # SQ8 artifacts store DEQUANTIZED vectors in the binary: mmap search
+    # must see exactly what the parquet path computes from the codes
+    rows, path = _build(engine, "mmq", n=600, quantization="sq8")
+    g_m, _ = _load_graph(path)
+    assert isinstance(g_m, _MmapVamana)
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_MMAP", "0")
+    g_r, _ = _load_graph(path)
+    assert np.allclose(
+        np.asarray(g_m.vectors[:50]), np.asarray(g_r.vectors[:50]), atol=0
+    )
+    q = np.asarray([rows[5][1]], dtype=np.float32)
+    (lm, dm), = g_m.beam_search_batch(q, 5, 32)
+    (lr, dr), = g_r.beam_search_batch(q, 5, 32)
+    assert np.array_equal(np.asarray(lm), np.asarray(lr))
+    assert np.array_equal(np.asarray(dm), np.asarray(dr))
+
+
+def test_engine_search_via_mmap_end_to_end(engine):
+    rows, path = _build(engine, "mme", n=800)
+    # executor workers take the mmap path (default env): self-query top-1
+    hits = engine.ann_search("t_mme", "mme", rows[13][1], k=3).collect()
+    assert hits[0]["id"] == 13
+    assert hits[0]["_distance"] < 1e-6
+
+
+def test_cosine_graph_has_no_binary_and_still_serves(engine):
+    # DANN format is l2|ip only: cosine graphs keep the parquet-only path
+    rows, path = _build(engine, "mmc", n=300, metric="cosine")
+    assert not os.path.exists(os.path.join(path, "_graph.diskann"))
+    g, _ = _load_graph(path)
+    assert not isinstance(g, _MmapVamana)
+    hits = engine.ann_search("t_mmc", "mmc", rows[7][1], k=1).collect()
+    assert hits[0]["id"] == 7
+
+
+def test_mmap_invalidates_after_vacuum(engine):
+    rows, path = _build(engine, "mmv", n=400)
+    engine.delete("t_mmv", [5])
+    engine.vacuum("mmv")
+    idx = engine.get_index("mmv")
+    assert idx.meta.num_vectors == 399
+    # binary sidecar was rewritten with the rebuilt graph
+    g, rid = _load_graph(path)
+    assert isinstance(g, _MmapVamana)
+    assert 5 not in set(np.asarray(rid).tolist())
+    got = [r["row_id"] for r in idx.search(rows[9][1], 1).collect()]
+    assert got == [9]
