@@ -388,25 +388,35 @@ def q_ivf_hier_probe(spark, sf_dir):
 
 def q_graph_topk(spark, sf_dir):
     """DiskANN graph search — approximate; no oracle (rows-only check), but
-    the query itself asserts a recall floor vs brute force, mirroring the
+    the PLAN asserts a recall floor vs brute force, mirroring the
     reference's own certification (test/sql/diskann_streaming.test:44-49:
-    >=7/10 top-10 overlap) so the rows-only row carries real evidence."""
+    >=7/10 top-10 overlap) so the rows-only row carries real evidence.
+    The check is embedded as an ``assert_true`` filter over the semi-join
+    overlap count — one Spark job, no driver-side collects."""
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
-    hits = eng.ann_search("embeddings", "emb_graph", q, k=10)
-    approx = [r["vec_id"] for r in hits.select("vec_id").collect()]
-    exact = {
-        r["vec_id"]
-        for r in eng.ann_search("embeddings", "emb_flat", q, k=10)
-        .select("vec_id")
-        .collect()
-    }
-    overlap = len(set(approx) & exact)
-    if overlap < 7:
-        raise AssertionError(
-            f"graph recall floor violated: {overlap}/10 top-10 overlap vs brute force"
+    hits = eng.ann_search("embeddings", "emb_graph", q, k=10).select("vec_id")
+    exact = eng.ann_search("embeddings", "emb_flat", q, k=10).select("vec_id")
+    overlap = hits.join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("__ov")
+    )
+    # assert_true returns NULL on pass -> the filter keeps every row; a
+    # recall violation throws at execution. A filter (not a projected
+    # column) so column pruning can never skip the check.
+    return (
+        hits.crossJoin(F.broadcast(overlap))
+        .where(
+            F.assert_true(
+                F.col("__ov") >= 7,
+                F.concat(
+                    F.lit("graph recall floor violated: "),
+                    F.col("__ov").cast("string"),
+                    F.lit("/10 top-10 overlap vs brute force"),
+                ),
+            ).isNull()
         )
-    return spark.createDataFrame([(int(v),) for v in approx], "vec_id long")
+        .select("vec_id")
+    )
 
 
 def q_hybrid_rrf(spark, sf_dir):
