@@ -260,6 +260,19 @@ def _dists_pairs(metric: str, x: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.einsum("ij,ij->i", d, d).astype(np.float32, copy=False)
 
 
+def _pairwise_matrix(metric: str, X: np.ndarray) -> np.ndarray:
+    """(m, m) all-pairs distance matrix among candidate vectors — ONE GEMM
+    per RobustPrune call instead of one einsum per selected neighbor."""
+    if metric == "ip":
+        return -(X @ X.T)
+    if metric == "cosine":
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        return 1.0 - Xn @ Xn.T
+    sq = np.einsum("ij,ij->i", X, X)
+    D = sq[:, None] - 2.0 * (X @ X.T) + sq[None, :]
+    return np.maximum(D, 0.0, out=D)
+
+
 def robust_prune(
     p: int,
     candidates: np.ndarray,
@@ -269,7 +282,10 @@ def robust_prune(
     max_degree: int,
     metric: str,
 ) -> np.ndarray:
-    """DiskANN RobustPrune: pick closest, occlude its alpha-shadow, repeat."""
+    """DiskANN RobustPrune: pick closest, occlude its alpha-shadow, repeat.
+
+    The occlusion distances d(p*, v) come from one precomputed all-pairs
+    matrix (GEMM identity) — the loop itself is pure boolean masking."""
     order = np.argsort(cand_dists, kind="stable")
     cands = candidates[order]
     dists = cand_dists[order]
@@ -278,22 +294,22 @@ def robust_prune(
     # shift every d(p, v) one slot and corrupt the occlusion test
     mask = cands != p
     cands, dists = cands[mask], dists[mask]
-    alive = np.ones(len(cands), dtype=bool)
+    m = len(cands)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    D = _pairwise_matrix(metric, vectors[cands])
+    alive = np.ones(m, dtype=bool)
     out: list[int] = []
-    for i in range(len(cands)):
+    for i in range(m):
         if not alive[i]:
             continue
-        pstar = int(cands[i])
-        out.append(pstar)
+        out.append(int(cands[i]))
         if len(out) >= max_degree:
             break
-        rest = np.where(alive)[0]
-        rest = rest[rest > i]
-        if len(rest) == 0:
-            continue
-        d_pstar = _dists(metric, vectors[cands[rest]], vectors[pstar])
-        # v is occluded when alpha * d(p*, v) <= d(p, v)
-        alive[rest[alpha * d_pstar <= dists[rest]]] = False
+        # v (alive, after i) is occluded when alpha * d(p*, v) <= d(p, v)
+        occl = (alpha * D[i] <= dists) & alive
+        occl[: i + 1] = False
+        alive[occl] = False
     return np.asarray(out, dtype=np.int64)
 
 
@@ -304,37 +320,80 @@ def build_vamana(
     build_complexity: int = DEFAULT_BUILD_COMPLEXITY,
     alpha: float = DEFAULT_ALPHA,
     seed: int = 42,
+    max_batch: int = 128,
 ) -> VamanaGraph:
-    """Sequential Vamana construction (the reference inserts one-by-one too —
-    ``src/diskann_index.cpp:202-300``)."""
+    """Vamana construction with lock-step batched insert searches.
+
+    The reference inserts one-by-one (``src/diskann_index.cpp:202-300``);
+    semantically this does too — RobustPrune and backedge updates apply
+    per point in insertion order — but the *candidate searches* for a
+    batch of upcoming points run as ONE lock-step multi-query beam search
+    over the pre-batch graph (the standard parallel-DiskANN batching; the
+    reference's patched crate batches inserts the same way). Points in a
+    batch therefore don't see each other as candidates; backedges still
+    connect them, and the recall floor is test-asserted. ``max_batch=1``
+    reproduces the sequential build exactly (the lock-step kernel is
+    bit-identical to ``beam_search`` per query).
+
+    Adjacency lives in ONE preallocated (n, slack+1) int32 buffer (shared
+    with the lock-step kernel as its padded matrix) instead of n python
+    arrays — no per-batch re-padding, no churn.
+    """
     x = np.ascontiguousarray(vectors, dtype=np.float32)
     n = x.shape[0]
     if n == 0:
         return VamanaGraph(x, [], 0, metric)
     mean = x.mean(axis=0)
     medoid = int(np.argmin(_dists("l2", x, mean)))
-    g = VamanaGraph(x, [np.empty(0, dtype=np.int64) for _ in range(n)], medoid, metric)
+    slack = int(max_degree * 1.3)  # graph slack 1.3x (defaults.rs:14-34)
+    width = slack + 1
+    nbr_buf = np.full((n, width), NO_NEIGHBOR, dtype=np.int32)
+    deg = np.zeros(n, dtype=np.int32)
+    g = VamanaGraph(x, nbr_buf, medoid, metric)
+    g._padded = nbr_buf  # the kernel reads this; in-place edits are visible
     rng = np.random.RandomState(seed)
     order = rng.permutation(n)
-    slack = int(max_degree * 1.3)  # graph slack 1.3x (defaults.rs:14-34)
-    for p in order:
-        p = int(p)
-        labels, dists = g.beam_search(x[p], build_complexity, build_complexity)
-        if len(labels) == 0 or (len(labels) == 1 and labels[0] == p):
-            continue
-        nbrs = robust_prune(p, labels, dists, x, alpha, max_degree, metric)
-        g.neighbors[p] = nbrs
-        for nb in nbrs:
-            nb = int(nb)
-            cur = g.neighbors[nb]
-            if p in cur:
+
+    def set_row(p: int, arr: np.ndarray) -> None:
+        m = len(arr)
+        nbr_buf[p, :m] = arr
+        nbr_buf[p, m:] = NO_NEIGHBOR
+        deg[p] = m
+
+    i = 0
+    while i < n:
+        # near-sequential while the graph is tiny (quality), growing to
+        # max_batch once enough structure exists to search against
+        b = 1 if i < 64 else min(max_batch, max(1, i // 8))
+        pts = order[i : i + b]
+        i += b
+        results = g.beam_search_batch(x[pts], build_complexity, build_complexity)
+        for p, (labels, dists) in zip(pts, results):
+            p = int(p)
+            if len(labels) == 0 or (len(labels) == 1 and labels[0] == p):
                 continue
-            cur = np.append(cur, p)
-            if len(cur) > slack:
-                cd = _dists(metric, x[cur], x[nb])
-                cur = robust_prune(nb, cur, cd, x, alpha, max_degree, metric)
-            g.neighbors[nb] = cur
-    return g
+            nbrs = robust_prune(
+                p, np.asarray(labels), np.asarray(dists), x, alpha, max_degree, metric
+            )
+            set_row(p, nbrs)
+            for nb in nbrs:
+                nb = int(nb)
+                cur = nbr_buf[nb, : deg[nb]]
+                if p in cur:
+                    continue
+                if deg[nb] < slack:
+                    nbr_buf[nb, deg[nb]] = p
+                    deg[nb] += 1
+                else:
+                    cand = np.concatenate([cur.astype(np.int64), [p]])
+                    cd = _dists(metric, x[cand], x[nb])
+                    set_row(nb, robust_prune(nb, cand, cd, x, alpha, max_degree, metric))
+    return VamanaGraph(
+        x,
+        [nbr_buf[j, : deg[j]].astype(np.int64) for j in range(n)],
+        medoid,
+        metric,
+    )
 
 
 def prune_to_degree(
