@@ -43,6 +43,8 @@ OVERFETCH_BONUS = 100
 # auto-routes to the out-of-core streaming builder instead. Override per call
 # with driver_build_max_rows=N (None disables routing).
 DRIVER_BUILD_MAX_ROWS = 100_000
+# auto-routed sharded builds aim for ~this many rows per shard subgraph
+SHARD_TARGET_ROWS = 50_000
 
 _INDEX_CLASSES = {
     "flat": FlatIndex,
@@ -213,13 +215,22 @@ class AnnEngine:
         if itype == "diskann":
             # GraphIndex.build is the reference-parity in-RAM build (every
             # vector collected to the driver). Above a row cap that is an
-            # OOM, not a trade-off — route to the out-of-core streaming
-            # builder, which registers the same searchable DISKANN index.
+            # OOM, not a trade-off — route to the out-of-core builder, which
+            # registers the same searchable DISKANN index. Kmeans-sharded,
+            # not the unsharded two-pass: measured on 50k uniform vectors,
+            # sharded search holds recall@10 = 1.0 at the default beam while
+            # the pilot+partition-insert graph needs L=512 for 0.92 (weak
+            # cross-partition linkage) — and shards also remove the
+            # single-worker RAM ceiling on the serving side.
             cap = params.pop("driver_build_max_rows", DRIVER_BUILD_MAX_ROWS)
             if cap is not None:
                 n_rows = t.df.where(F.col(column).isNotNull()).count()
                 if n_rows > int(cap):
-                    self.streaming_build(name, table, column, metric=metric, **params)
+                    shards = min(64, max(2, -(-n_rows // SHARD_TARGET_ROWS)))
+                    self.streaming_build(
+                        name, table, column, metric=metric,
+                        shards=shards, shard_by="kmeans", **params,
+                    )
                     return self.get_index(name)
 
         meta = IndexMeta(

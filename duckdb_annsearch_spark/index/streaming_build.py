@@ -38,7 +38,6 @@ from duckdb_annsearch_spark.index.vamana import (
     DEFAULT_ALPHA,
     DEFAULT_BUILD_COMPLEXITY,
     DEFAULT_MAX_DEGREE,
-    VamanaGraph,
     _dists,
     build_vamana,
     robust_prune,
@@ -251,6 +250,8 @@ def streaming_build(
         def insert_partition(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
+            from duckdb_annsearch_spark.index.vamana import batched_insert
+
             pv, pn_packed, pglobal, entry_local = bc.value
             pdfs = [b for b in batches if len(b)]
             if not pdfs:
@@ -261,31 +262,20 @@ def streaming_build(
             )
             npilot, nlocal = pv.shape[0], len(part)
             x = np.vstack([pv, local_vecs])
-            nbrs = [row[row != -1] for row in pn_packed] + [
-                np.empty(0, dtype=np.int64) for _ in range(nlocal)
-            ]
-            lg = VamanaGraph(x, nbrs, entry_local, metric)
             slack = int(max_degree * 1.3)
-            touched_pilot: set[int] = set()
-            for i in range(nlocal):
-                pos = npilot + i
-                labels, dists = lg.beam_search(x[pos], build_L, build_L)
-                if len(labels) == 0:
-                    continue
-                out = robust_prune(pos, labels, dists, x, alpha, max_degree, metric)
-                lg.neighbors[pos] = out
-                for nb in out:
-                    nb = int(nb)
-                    cur = lg.neighbors[nb]
-                    if pos in cur:
-                        continue
-                    cur = np.append(cur, pos)
-                    if len(cur) > slack:
-                        cd_ = _dists(metric, x[cur], x[nb])
-                        cur = robust_prune(nb, cur, cd_, x, alpha, max_degree, metric)
-                    lg.neighbors[nb] = cur
-                    if nb < npilot:
-                        touched_pilot.add(nb)
+            ntot = npilot + nlocal
+            # one padded adjacency buffer: pilot rows preloaded, local rows
+            # empty; batched_insert runs the lock-step insert rounds over it
+            nbr_buf = np.full((ntot, slack + 1), -1, dtype=np.int32)
+            nbr_buf[:npilot, : pn_packed.shape[1]] = pn_packed
+            deg = np.zeros(ntot, dtype=np.int32)
+            deg[:npilot] = (pn_packed != -1).sum(axis=1)
+            touched_pilot = batched_insert(
+                x, nbr_buf, deg, entry_local, metric,
+                np.arange(npilot, ntot, dtype=np.int64),
+                max_degree, build_L, alpha,
+                start_size=npilot, touched_below=npilot,
+            )
 
             def to_global(positions: np.ndarray) -> np.ndarray:
                 out = np.empty(len(positions), dtype=np.int64)
@@ -300,7 +290,9 @@ def streaming_build(
                 "row_id": part["row_id"].to_numpy(np.int64),
                 "vector": [local_vecs[i] for i in range(nlocal)],
                 "neighbors": [
-                    to_global(lg.neighbors[npilot + i]).astype(np.int32)
+                    to_global(
+                        nbr_buf[npilot + i, : deg[npilot + i]].astype(np.int64)
+                    ).astype(np.int32)
                     for i in range(nlocal)
                 ],
                 "is_patch": [False] * nlocal,
@@ -314,7 +306,10 @@ def streaming_build(
                         "row_id": [-1] * len(tp),
                         "vector": [None] * len(tp),
                         "neighbors": [
-                            to_global(lg.neighbors[q]).astype(np.int32) for q in tp
+                            to_global(
+                                nbr_buf[q, : deg[q]].astype(np.int64)
+                            ).astype(np.int32)
+                            for q in tp
                         ],
                         "is_patch": [True] * len(tp),
                     }

@@ -313,46 +313,45 @@ def robust_prune(
     return np.asarray(out, dtype=np.int64)
 
 
-def build_vamana(
-    vectors: np.ndarray,
-    metric: str = "l2",
-    max_degree: int = DEFAULT_MAX_DEGREE,
-    build_complexity: int = DEFAULT_BUILD_COMPLEXITY,
-    alpha: float = DEFAULT_ALPHA,
-    seed: int = 42,
+def batched_insert(
+    x: np.ndarray,
+    nbr_buf: np.ndarray,
+    deg: np.ndarray,
+    entry_point: int,
+    metric: str,
+    positions: np.ndarray,
+    max_degree: int,
+    build_complexity: int,
+    alpha: float,
+    start_size: int,
     max_batch: int = 128,
-) -> VamanaGraph:
-    """Vamana construction with lock-step batched insert searches.
+    touched_below: int | None = None,
+) -> set[int]:
+    """Insert ``positions`` into the graph held in ``(nbr_buf, deg)`` using
+    lock-step batched candidate searches.
 
     The reference inserts one-by-one (``src/diskann_index.cpp:202-300``);
     semantically this does too — RobustPrune and backedge updates apply
     per point in insertion order — but the *candidate searches* for a
     batch of upcoming points run as ONE lock-step multi-query beam search
-    over the pre-batch graph (the standard parallel-DiskANN batching; the
+    over the pre-batch graph (standard parallel-DiskANN batching; the
     reference's patched crate batches inserts the same way). Points in a
-    batch therefore don't see each other as candidates; backedges still
-    connect them, and the recall floor is test-asserted. ``max_batch=1``
-    reproduces the sequential build exactly (the lock-step kernel is
+    batch don't see each other as search candidates; backedges still
+    connect them, and recall floors are test-asserted. ``max_batch=1``
+    reproduces the sequential loop exactly (the lock-step kernel is
     bit-identical to ``beam_search`` per query).
 
-    Adjacency lives in ONE preallocated (n, slack+1) int32 buffer (shared
-    with the lock-step kernel as its padded matrix) instead of n python
-    arrays — no per-batch re-padding, no churn.
+    ``nbr_buf`` is ONE preallocated (n, >=slack+1) int32 NO_NEIGHBOR-padded
+    matrix shared with the lock-step kernel as its padded adjacency — no
+    per-batch re-padding. ``deg`` is the per-node degree. ``start_size``
+    sizes the batch ramp (near-sequential while the graph is tiny).
+    Returns the set of pre-existing nodes (< ``touched_below``) whose
+    adjacency changed — the streaming builder emits those as patches.
     """
-    x = np.ascontiguousarray(vectors, dtype=np.float32)
-    n = x.shape[0]
-    if n == 0:
-        return VamanaGraph(x, [], 0, metric)
-    mean = x.mean(axis=0)
-    medoid = int(np.argmin(_dists("l2", x, mean)))
     slack = int(max_degree * 1.3)  # graph slack 1.3x (defaults.rs:14-34)
-    width = slack + 1
-    nbr_buf = np.full((n, width), NO_NEIGHBOR, dtype=np.int32)
-    deg = np.zeros(n, dtype=np.int32)
-    g = VamanaGraph(x, nbr_buf, medoid, metric)
+    g = VamanaGraph(x, nbr_buf, entry_point, metric)
     g._padded = nbr_buf  # the kernel reads this; in-place edits are visible
-    rng = np.random.RandomState(seed)
-    order = rng.permutation(n)
+    touched: set[int] = set()
 
     def set_row(p: int, arr: np.ndarray) -> None:
         m = len(arr)
@@ -361,11 +360,11 @@ def build_vamana(
         deg[p] = m
 
     i = 0
-    while i < n:
-        # near-sequential while the graph is tiny (quality), growing to
-        # max_batch once enough structure exists to search against
-        b = 1 if i < 64 else min(max_batch, max(1, i // 8))
-        pts = order[i : i + b]
+    n_ins = len(positions)
+    while i < n_ins:
+        sz = start_size + i
+        b = 1 if sz < 64 else min(max_batch, max(1, sz // 8))
+        pts = positions[i : i + b]
         i += b
         results = g.beam_search_batch(x[pts], build_complexity, build_complexity)
         for p, (labels, dists) in zip(pts, results):
@@ -388,6 +387,37 @@ def build_vamana(
                     cand = np.concatenate([cur.astype(np.int64), [p]])
                     cd = _dists(metric, x[cand], x[nb])
                     set_row(nb, robust_prune(nb, cand, cd, x, alpha, max_degree, metric))
+                if touched_below is not None and nb < touched_below:
+                    touched.add(nb)
+    return touched
+
+
+def build_vamana(
+    vectors: np.ndarray,
+    metric: str = "l2",
+    max_degree: int = DEFAULT_MAX_DEGREE,
+    build_complexity: int = DEFAULT_BUILD_COMPLEXITY,
+    alpha: float = DEFAULT_ALPHA,
+    seed: int = 42,
+    max_batch: int = 128,
+) -> VamanaGraph:
+    """Vamana construction from scratch via :func:`batched_insert`
+    (entry = medoid, randomized insertion order)."""
+    x = np.ascontiguousarray(vectors, dtype=np.float32)
+    n = x.shape[0]
+    if n == 0:
+        return VamanaGraph(x, [], 0, metric)
+    mean = x.mean(axis=0)
+    medoid = int(np.argmin(_dists("l2", x, mean)))
+    slack = int(max_degree * 1.3)
+    nbr_buf = np.full((n, slack + 1), NO_NEIGHBOR, dtype=np.int32)
+    deg = np.zeros(n, dtype=np.int32)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n)
+    batched_insert(
+        x, nbr_buf, deg, medoid, metric, order, max_degree, build_complexity,
+        alpha, start_size=1, max_batch=max_batch,
+    )
     return VamanaGraph(
         x,
         [nbr_buf[j, : deg[j]].astype(np.int64) for j in range(n)],

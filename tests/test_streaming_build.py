@@ -54,16 +54,17 @@ def test_streaming_build_small_table_all_pilot(engine, rows):
 
 def test_create_index_autoroutes_big_diskann_to_streaming(engine, rows):
     """create_index(engine='diskann') must not collect an above-cap table to
-    the driver: it routes to the two-pass streaming builder and registers
-    the same searchable index (VERDICT r1 item 7)."""
+    the driver: it routes to the kmeans-sharded out-of-core builder (full
+    default-beam recall, no single-worker RAM ceiling) and registers the
+    same searchable index (VERDICT r1 item 7)."""
     df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
     engine.register_table("autoroute", df, row_id="id")
     idx = engine.create_index(
         "ar", "autoroute", "embedding", engine="diskann",
         driver_build_max_rows=100, partition_rows=40,
     )
-    # streaming-built graphs carry the pilot sample size; driver builds don't
-    assert idx.meta.extra.get("sample_size"), "expected the streaming-build path"
+    # auto-routed builds are sharded; driver builds aren't
+    assert idx.meta.extra.get("shards"), "expected the sharded out-of-core path"
     q = rows[5][1]
     got = {r["row_id"] for r in idx.search(q, 10, search_complexity=128).collect()}
     assert len(got & _brute_top10(rows, q)) >= 7
