@@ -58,8 +58,10 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
         # re-plan) and silently corrupt the label<->row_id bijection that
         # every index build depends on. localCheckpoint materializes the
         # blocks once (memory+disk) and truncates lineage, so both actions
-        # read the same rows in the same partitions.
-        .localCheckpoint()
+        # read the same rows in the same partitions. Lazy: the counts
+        # collect below is the materializing action; the numbering job
+        # then reads the same checkpointed blocks.
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["__part"]: r["cnt"]

@@ -399,6 +399,7 @@ def streaming_build(
 
     inserted.unpersist()
     art.unpersist()
+    final.unpersist()  # no-op unless the sq8 branch persisted it
     meta.extra["entry_point"] = entry_global
     meta.extra["sample_size"] = len(pilot_global)
     meta.num_vectors = n
