@@ -322,6 +322,61 @@ def q_accel_topk(spark, sf_dir):
     )
 
 
+def q_lifecycle_search(spark, sf_dir):
+    """Index lifecycle, oracle-certified (D3 append / D4 delete / D5
+    vacuum): build Flat on vec_id<400, INSERT the 400-499 tail (delta =
+    unindexed, searched brute-force and merged — diskann_index.cpp:316-361),
+    DELETE every 7th row (tombstone anti-join compensation), search; then
+    VACUUM (staged rebuild) and assert the compacted index returns the
+    same rows. Flat is exact, so the whole lifecycle is DuckDB-checkable."""
+    import tempfile as _tf
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_lifecycle_"))
+    emb = _read(spark, sf_dir, "embeddings")
+    eng.register_table("lc", emb.where(F.col("vec_id") < 400), row_id="vec_id")
+    eng.create_index("lc_flat", "lc", "embedding", engine="faiss", index_type="Flat")
+    eng.insert("lc", emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)))
+    eng.delete("lc", [int(i) for i in range(0, 500, 7)])
+    q = _qvec(spark, sf_dir)
+    before = sorted(
+        r["vec_id"] for r in eng.ann_search("lc", "lc_flat", q, k=20).collect()
+    )
+    eng.vacuum("lc_flat")
+    after = eng.ann_search("lc", "lc_flat", q, k=20)
+    got = sorted(r["vec_id"] for r in after.select("vec_id").collect())
+    assert got == before, f"vacuum changed results: {before} -> {got}"
+    return after.select(
+        "vec_id", _dec(_sqdist64("embedding", q)).alias("_distance")
+    )
+
+
+def q_persistence_search(spark, sf_dir):
+    """D8 restart parity, oracle-certified: build a Flat index in a
+    workdir, instantiate a FRESH engine over the same workdir (= process
+    restart; catalog + artifact reload from disk — diskann_persist.test /
+    faiss_bind_after_restart.test semantics), search through the reloaded
+    index. Flat is exact, so the reloaded results are DuckDB-checkable."""
+    import tempfile as _tf
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    wd = _tf.mkdtemp(prefix="ann_persist_")
+    emb = _read(spark, sf_dir, "embeddings")
+    eng1 = AnnEngine(spark, workdir=wd)
+    eng1.register_table("pt", emb, row_id="vec_id")
+    eng1.create_index("pt_flat", "pt", "embedding", engine="faiss", index_type="Flat")
+    del eng1
+    eng2 = AnnEngine(spark, workdir=wd)  # restart: reload catalog from disk
+    q = _qvec(spark, sf_dir)
+    hits = eng2.get_index("pt_flat").search([float(x) for x in q], 10)
+    out = emb.join(
+        F.broadcast(hits.withColumnRenamed("row_id", "vec_id")), on="vec_id"
+    )
+    return out.select("vec_id", _dec(_sqdist64("embedding", q)).alias("_distance"))
+
+
 def q_knn_join(spark, sf_dir):
     """ann_search_table semantics by pure composition: 5 query rows x base,
     rank per query (SURVEY §2.2 S5)."""
@@ -848,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_distances": q_vector_distances,
         "sql_topk": q_sql_topk,
         "accel_topk": q_accel_topk,
+        "lifecycle_search": q_lifecycle_search,
+        "persistence_search": q_persistence_search,
         "knn_join": q_knn_join,
         "ann_search_flat": q_ann_search_flat,
         "ann_batch_flat": q_ann_batch_flat,
@@ -914,6 +971,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["topk_l2"] = _brute_topk_sql(sq)
     oracles["sql_topk"] = _brute_topk_sql(f"sqrt({sq})")
     oracles["accel_topk"] = _brute_topk_sql(f"sqrt({sq})")
+    oracles["lifecycle_search"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, {sq} AS _d FROM embeddings e, q
+          WHERE e.vec_id < 500 AND e.vec_id % 7 != 0)
+    SELECT vec_id, CAST(round(_d, 6) + 0.0 AS DOUBLE) AS _distance
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT 20
+    """
+    oracles["persistence_search"] = _brute_topk_sql(sq)
     oracles["topk_ip"] = _brute_topk_sql(f"-({dot})")
     oracles["topk_cosine"] = _brute_topk_sql(cos_d)
     oracles["vector_distances"] = f"""
