@@ -21,6 +21,7 @@ Tombstone compensation: over-fetch ``k + num_deleted`` then filter
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -169,11 +170,55 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     return VamanaGraph(vectors, neighbors, ep, metric, row_ids), row_ids
 
 
+def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: int) -> None:
+    """Write a shard's mmap sidecars (_graph.diskann + _row_ids.bin) from
+    its parquet: vectors/adjacency in sorted-global-label order with
+    neighbors REMAPPED to local indices, so the mmap load needs zero remap
+    work. Runs inside executor tasks in the sharded-build post-pass —
+    assumes the artifact dir is plain-file writable (local mode / shared
+    fs); callers treat failures as 'no sidecar' and the loader falls back
+    to the parquet path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_annsearch_spark.index.dann_format import write_dann
+
+    t = pq.read_table(shard_dir).sort_by("label")
+    glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    vectors = _vector_matrix(t.column("vector"))
+    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    neighbors = [
+        np.searchsorted(glabels, nb)
+        for nb in _split_list_column(t.column("neighbors"), np.int64)
+    ]
+    entry_global = int(t.column("entry").to_pylist()[0]) if len(glabels) else 0
+    ep_local = int(np.searchsorted(glabels, entry_global))
+    write_dann(
+        os.path.join(shard_dir, "_graph.diskann"),
+        vectors,
+        neighbors,
+        [ep_local],
+        metric=metric,
+        max_degree=max_degree,
+        build_complexity=build_L,
+    )
+    row_ids.astype("<i8").tofile(os.path.join(shard_dir, "_row_ids.bin"))
+
+
 def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
     """Load one shard subgraph: labels are GLOBAL (non-dense within the
     shard), so remap neighbors/entry to local positions via searchsorted
-    over the shard's sorted label set."""
+    over the shard's sorted label set.  When the shard carries its mmap
+    sidecars (sharded-build post-pass, already local-remapped), it is
+    mmap-served exactly like single graphs — same env toggle."""
     import pyarrow.parquet as pq
+
+    if os.environ.get("SPARK_GRAFT_GRAPH_MMAP", "1").lower() not in ("0", "false"):
+        if os.path.exists(os.path.join(shard_dir, "_graph.diskann")) and os.path.exists(
+            os.path.join(shard_dir, "_row_ids.bin")
+        ):
+            return _mmap_graph(shard_dir)
 
     t = pq.read_table(shard_dir).sort_by("label")
     glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -187,7 +232,6 @@ def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
     ep = int(np.searchsorted(glabels, entry_global))
     metric = "l2"
     import json
-    import os
 
     sidecar = os.path.join(os.path.dirname(shard_dir), "_graph_meta.json")
     if os.path.exists(sidecar):

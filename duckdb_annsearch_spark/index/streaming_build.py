@@ -153,6 +153,34 @@ def sharded_build(
     with open(os.path.join(path, "_graph_meta.json"), "w") as f:
         json.dump({"metric": metric, "shards": entries, "entry_point": 0}, f)
 
+    if metric in ("l2", "ip"):
+        # mmap sidecar post-pass: one task per shard writes the shard's DANN
+        # binary (_graph.diskann, local-remapped adjacency) + _row_ids.bin,
+        # so serving pages the shard off disk instead of materializing it
+        # per worker. Plain-file writes — on storage where that can't work
+        # (object store), the loader just falls back to the parquet path.
+        shard_list = sorted(entries)
+        md_, bl_, pth_, metric_ = max_degree, build_L, path, metric
+
+        def _sidecars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from duckdb_annsearch_spark.index.graph import write_shard_binary
+
+            for pdf in batches:
+                for sid in pdf["shard"]:
+                    ok = True
+                    try:
+                        write_shard_binary(
+                            os.path.join(pth_, f"shard={int(sid)}"), metric_, md_, bl_
+                        )
+                    except Exception:
+                        ok = False
+                    yield pd.DataFrame({"shard": [int(sid)], "ok": [ok]})
+
+        sdf = spark.createDataFrame([(int(s),) for s in shard_list], "shard int")
+        sdf.repartition(len(shard_list), "shard").mapInPandas(
+            _sidecars, "shard int, ok boolean"
+        ).count()
+
     n = spark.read.parquet(path).count()
     meta.extra["shards"] = shards
     meta.extra["shard_ids"] = sorted(entries)

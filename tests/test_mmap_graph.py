@@ -93,3 +93,42 @@ def test_mmap_invalidates_after_vacuum(engine):
     assert 5 not in set(np.asarray(rid).tolist())
     got = [r["row_id"] for r in idx.search(rows[9][1], 1).collect()]
     assert got == [9]
+
+
+def test_sharded_mmap_sidecars_identical_results(engine, monkeypatch):
+    # sharded builds write per-shard DANN sidecars (local-remapped) in a
+    # distributed post-pass; shard loads mmap-serve with identical results
+    from duckdb_annsearch_spark.index.graph import _load_shard
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.rand(8).astype("float32").tolist()) for i in range(600)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("t_shm", df, row_id="id")
+    engine.streaming_build("shm", "t_shm", "embedding", shards=3)
+    path = engine.catalog.data_path("shm")
+    sdirs = sorted(
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("shard=")
+    )
+    assert sdirs
+    for sdir in sdirs:
+        assert os.path.exists(os.path.join(sdir, "_graph.diskann")), sdir
+        assert os.path.exists(os.path.join(sdir, "_row_ids.bin")), sdir
+
+    g_m, rid_m = _load_shard(sdirs[0])
+    assert isinstance(g_m, _MmapVamana)
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_MMAP", "0")
+    g_r, rid_r = _load_shard(sdirs[0])
+    assert not isinstance(g_r, _MmapVamana)
+    assert np.array_equal(np.asarray(rid_m), np.asarray(rid_r))
+    qs = rng.rand(8, 8).astype(np.float32)
+    for (lm, dm), (lr, dr) in zip(
+        g_m.beam_search_batch(qs, 5, 32), g_r.beam_search_batch(qs, 5, 32)
+    ):
+        assert np.array_equal(np.asarray(lm), np.asarray(lr))
+        assert np.array_equal(np.asarray(dm), np.asarray(dr))
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_MMAP")
+
+    # engine-level fan-out search over the mmap-served shards
+    idx = engine.get_index("shm")
+    got = [r["row_id"] for r in idx.search(rows[11][1], 1).collect()]
+    assert got == [11]
