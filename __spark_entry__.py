@@ -377,6 +377,35 @@ def q_persistence_search(spark, sf_dir):
     return out.select("vec_id", _dec(_sqdist64("embedding", q)).alias("_distance"))
 
 
+def q_merge_scan(spark, sf_dir):
+    """D6 MergeIndexes + S1 index_scan, oracle-certified: two Flat indexes
+    over disjoint tables (the reference's per-transaction local-index
+    shape, faiss_basic.test:216-256), merge source into target, raw
+    (row_id, distance) scan sees BOTH tables' vectors. Flat is exact ->
+    the merged top-k is DuckDB-checkable."""
+    import tempfile as _tf
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_merge_"))
+    emb = _read(spark, sf_dir, "embeddings")
+    eng.register_table("ma", emb.where(F.col("vec_id") < 300), row_id="vec_id")
+    eng.register_table(
+        "mb",
+        emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        row_id="vec_id",
+    )
+    eng.create_index("m_main", "ma", "embedding", engine="faiss", index_type="Flat")
+    eng.create_index("m_other", "mb", "embedding", engine="faiss", index_type="Flat")
+    eng.merge_index("m_main", "m_other")
+    q = _qvec(spark, sf_dir)
+    hits = eng.index_scan("m_main", [float(x) for x in q], 15)
+    out = emb.join(
+        F.broadcast(hits.withColumnRenamed("row_id", "vec_id")), on="vec_id"
+    )
+    return out.select("vec_id", _dec(_sqdist64("embedding", q)).alias("_distance"))
+
+
 def q_knn_join(spark, sf_dir):
     """ann_search_table semantics by pure composition: 5 query rows x base,
     rank per query (SURVEY §2.2 S5)."""
@@ -905,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accel_topk": q_accel_topk,
         "lifecycle_search": q_lifecycle_search,
         "persistence_search": q_persistence_search,
+        "merge_scan": q_merge_scan,
         "knn_join": q_knn_join,
         "ann_search_flat": q_ann_search_flat,
         "ann_batch_flat": q_ann_batch_flat,
@@ -979,6 +1009,13 @@ def oracle_sql() -> dict[str, str]:
     FROM d ORDER BY _d ASC, vec_id ASC LIMIT 20
     """
     oracles["persistence_search"] = _brute_topk_sql(sq)
+    oracles["merge_scan"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, {sq} AS _d FROM embeddings e, q
+          WHERE e.vec_id < 400)
+    SELECT vec_id, CAST(round(_d, 6) + 0.0 AS DOUBLE) AS _distance
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT 15
+    """
     oracles["topk_ip"] = _brute_topk_sql(f"-({dot})")
     oracles["topk_cosine"] = _brute_topk_sql(cos_d)
     oracles["vector_distances"] = f"""
