@@ -458,6 +458,32 @@ def q_ivf_full_probe(spark, sf_dir):
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def q_ivf_partial_probe(spark, sf_dir):
+    """IVFFlat at nprobe < nlist — the production probe mode (approximate:
+    only the query's closest cells are scanned, which is parquet partition
+    pruning here). No oracle; the PLAN asserts a >=7/10 recall floor vs the
+    exact Flat index, the same certification shape as graph_topk."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "emb_ivf", q, k=10, nprobe=6).select("vec_id")
+    exact = eng.ann_search("embeddings", "emb_flat", q, k=10).select("vec_id")
+    overlap = hits.join(exact, "vec_id", "left_semi").agg(F.count("*").alias("__ov"))
+    return (
+        hits.crossJoin(F.broadcast(overlap))
+        .where(
+            F.assert_true(
+                F.col("__ov") >= 7,
+                F.concat(
+                    F.lit("ivf partial-probe recall floor violated: "),
+                    F.col("__ov").cast("string"),
+                    F.lit("/10 vs exact"),
+                ),
+            ).isNull()
+        )
+        .select("vec_id")
+    )
+
+
 def q_ivf_hier_probe(spark, sf_dir):
     """Hierarchical (two-level-trained, cell-capped) IVF at full probe —
     exhaustive, so exact vs the brute-force oracle regardless of how the
@@ -939,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_search_flat": q_ann_search_flat,
         "ann_batch_flat": q_ann_batch_flat,
         "ivf_full_probe": q_ivf_full_probe,
+        "ivf_partial_probe": q_ivf_partial_probe,
         "ivf_hier_probe": q_ivf_hier_probe,
         "graph_topk": q_graph_topk,
         "hybrid_rrf": q_hybrid_rrf,
