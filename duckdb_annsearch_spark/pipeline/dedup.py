@@ -566,6 +566,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 25,
+    max_driver_edges: int | None = 200_000,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph:
     ``(id_col, cluster)`` with cluster = min id reachable from the node.
@@ -577,13 +578,53 @@ def duplicate_clusters(
     aggregation per round; lineage is cut per round with
     ``localCheckpoint`` so the plan stays flat. Driver holds only the
     changed-row *count* per round, never data. Raises if the loop exits
-    without converging — silently-partial components would under-dedup."""
+    without converging — silently-partial components would under-dedup.
+
+    Small-edge-set fast path (the same cap+route shape as the embedding
+    near-dup operator): when the verified pair graph has at most
+    ``max_driver_edges`` edges — the count the loop's first round would
+    materialize anyway — the components come from one driver-side
+    union-find over just the edge list (NOT the id table, which stays
+    distributed and picks up labels via a broadcast join). At training-data
+    scale the verified-duplicate graph is orders of magnitude smaller than
+    the corpus; above the cap the distributed rounds run unchanged.
+    ``max_driver_edges=None`` forces the distributed loop."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    if max_driver_edges is not None and edges.count() <= int(max_driver_edges):
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(u):
+            r = u
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(u, u) != r:  # path compression
+                parent[u], u = r, parent[u]
+            return r
+
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        mapping = [(u, find(u)) for u in list(parent)]
+        ids_out = ids.select(F.col(id_col).alias("id"))
+        if not mapping:
+            return ids_out.select(
+                F.col("id").alias(id_col), F.col("id").alias("cluster")
+            )
+        mdf = ids.sparkSession.createDataFrame(mapping, ["id", "__root"])
+        return (
+            ids_out.join(F.broadcast(mdf), "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("__root", F.col("id")).alias("cluster"),
+            )
+        )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
     ).localCheckpoint()

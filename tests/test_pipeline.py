@@ -332,3 +332,26 @@ def test_simhash_hamming_pairs(docs):
     # identical texts (docs 1 and 2 in the fixture) have hamming 0
     assert (1, 2) in pairs
     assert all(r["hamming"] <= 3 for r in got)
+
+
+def test_duplicate_clusters_driver_fastpath_matches_distributed(spark):
+    from duckdb_annsearch_spark.pipeline.dedup import duplicate_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # chains, a triangle, singletons: A~B~C transitivity must hold
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    fast = {
+        (r["doc_id"], r["cluster"])
+        for r in duplicate_clusters(ids, pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster"])
+        for r in duplicate_clusters(ids, pairs, max_driver_edges=None).collect()
+    }
+    assert fast == dist
+    by_id = dict(fast)
+    assert by_id[4] == 1 and by_id[12] == 10 and by_id[22] == 20
+    assert by_id[30] == 30  # singleton keeps its own id
