@@ -580,7 +580,7 @@ class GraphIndex(BaseIndex):
         return (
             self._search_batch_df_impl(
                 qdf.repartition(n_parts), k, "query", "query_idx",
-                search_complexity=search_complexity,
+                search_complexity=search_complexity, **kw,
             )
             .withColumn("query_idx", F.col("query_idx").cast("int"))
         )

@@ -132,3 +132,21 @@ def test_sharded_mmap_sidecars_identical_results(engine, monkeypatch):
     idx = engine.get_index("shm")
     got = [r["row_id"] for r in idx.search(rows[11][1], 1).collect()]
     assert got == [11]
+
+
+def test_search_batch_forwards_nprobe_shards(engine):
+    # driver-list search_batch must forward shard-pruning params to the
+    # sharded fan-out (a dropped kwarg silently probes every shard)
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.rand(6).astype("float32").tolist()) for i in range(300)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("t_npb", df, row_id="id")
+    engine.streaming_build("npb", "t_npb", "embedding", shards=3, shard_by="kmeans")
+    idx = engine.get_index("npb")
+    pruned = idx.search_batch([rows[7][1]], 1, nprobe_shards=1)
+    # the centroid-routing branch tags the plan with its __cvec column
+    assert "__cvec" in pruned._jdf.queryExecution().analyzed().toString()
+    assert [r["row_id"] for r in pruned.collect()] == [7]
+    full = idx.search_batch([rows[7][1]], 1)
+    assert "__cvec" not in full._jdf.queryExecution().analyzed().toString()
+    assert [r["row_id"] for r in full.collect()] == [7]
