@@ -19,9 +19,11 @@ from duckdb_annsearch_spark.streaming.events import (
     windowed_event_counts,
 )
 from duckdb_annsearch_spark.streaming.search import ann_search_stream
+from duckdb_annsearch_spark.streaming.sources import parse_vector_messages
 
 __all__ = [
     "ann_search_stream",
+    "parse_vector_messages",
     "windowed_event_counts",
     "sessionize_stream",
     "running_user_totals",

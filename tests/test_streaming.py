@@ -194,3 +194,39 @@ def test_vacuum_sharded_stays_sharded(engine):
     assert idx.meta.num_vectors == 119
     got = [r["row_id"] for r in idx.search(rows[7][1], 1).collect()]
     assert got == [7]
+
+
+def test_parse_vector_messages_end_to_end(engine, tmp_path):
+    # kafka-shaped payloads (JSON in a value column) through the parser
+    # into the continuous search — file stream carries the same shape the
+    # kafka source would deliver
+    import json
+
+    from duckdb_annsearch_spark.streaming import (
+        ann_search_stream,
+        parse_vector_messages,
+    )
+
+    spark = engine.spark
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    engine.register_table("embeddings", emb, row_id="vec_id")
+    engine.create_index("msrc", "embeddings", "embedding", engine="faiss", index_type="Flat")
+    dim = len(emb.first()["embedding"])
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(3).collect()}
+    lines = [json.dumps({"qid": int(i), "qvec": [float(x) for x in v]}) for i, v in vecs.items()]
+    lines.append("not json at all")                      # malformed -> dropped
+    lines.append(json.dumps({"qid": 99, "qvec": [1.0]}))  # wrong dim -> dropped
+    path = tmp_path / "msgs"
+    path.mkdir()
+    (path / "batch0.txt").write_text("\n".join(lines))
+
+    stream = spark.readStream.format("text").load(str(path))
+    queries = parse_vector_messages(stream, dim=dim)
+    out = ann_search_stream(engine, queries, "embeddings", "msrc", k=1,
+                            query_col="qvec", id_col="qid")
+    got = _run_to_memory(out, spark, "msg_hits")
+    rows = got.select("qid", "vec_id", "_distance").collect()
+    assert len(rows) == 3  # malformed + wrong-dim dropped
+    assert {r["qid"]: r["vec_id"] for r in rows} == {i: i for i in vecs}
+    assert all(r["_distance"] < 1e-6 for r in rows)
