@@ -13,10 +13,13 @@ Prints one JSON line:
 The query vector for row ``value`` is the embedding of ``value mod N`` from
 a driver-collected sample — deterministic, no per-row randomness. Swap the
 ``rate`` source for ``kafka`` (``spark.readStream.format("kafka")
-.option("kafka.bootstrap.servers", ...).option("subscribe", topic)`` with
-the vector parsed from the message value) for a production feed; the rest
-of the pipeline is identical. The kafka connector jar is not bundled here,
-so the rate source is the runnable benchmark.
+.option("kafka.bootstrap.servers", ...).option("subscribe", topic)``) and
+parse the message value with
+``duckdb_annsearch_spark.streaming.parse_vector_messages`` for a
+production feed; the rest of the pipeline is identical. The kafka
+connector jar is not bundled here, so the rate source is the runnable
+benchmark (the parser itself is end-to-end tested against a file stream
+carrying kafka-shaped payloads — tests/test_streaming.py).
 """
 
 from __future__ import annotations
