@@ -129,6 +129,40 @@ def _engine_for(spark: SparkSession, sf_dir: str):
     return eng
 
 
+def _const_key(col_name):
+    """NULL/NaN-safe non-foldable constant partition key (see
+    operators/hybrid.constant_partition_key)."""
+    from duckdb_annsearch_spark.operators.hybrid import constant_partition_key
+
+    return constant_partition_key(col_name)
+
+
+def _recall_floor_certified(hits, exact, floor: int, what: str):
+    """Embed a recall-floor assertion in the plan itself: semi-join overlap
+    count, crossJoin(broadcast) onto the hits, assert_true as a FILTER so
+    column pruning can never skip the check (assert_true returns NULL on
+    pass -> the filter keeps every row; a violation throws at execution).
+    One Spark job, no driver-side collects — the certification shape of
+    the reference's own recall tests (diskann_streaming.test:44-49)."""
+    overlap = hits.join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("__ov")
+    )
+    return (
+        hits.crossJoin(F.broadcast(overlap))
+        .where(
+            F.assert_true(
+                F.col("__ov") >= floor,
+                F.concat(
+                    F.lit(f"{what} recall floor violated: "),
+                    F.col("__ov").cast("string"),
+                    F.lit(f"/{10} top-10 overlap vs exact"),
+                ),
+            ).isNull()
+        )
+        .select("vec_id")
+    )
+
+
 def _dec(col, prec=18, scale=6):
     """Canonical float output: round in double — both engines produce the
     correctly-rounded (hence bit-identical) double, which any reasonable
@@ -433,7 +467,7 @@ def q_ann_search_flat(spark, sf_dir):
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_flat", q, k=10)
-    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(_const_key("_distance")).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
@@ -454,7 +488,7 @@ def q_ivf_full_probe(spark, sf_dir):
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_ivf", q, k=10)
-    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(_const_key("_distance")).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
@@ -467,21 +501,7 @@ def q_ivf_partial_probe(spark, sf_dir):
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_ivf", q, k=10, nprobe=6).select("vec_id")
     exact = eng.ann_search("embeddings", "emb_flat", q, k=10).select("vec_id")
-    overlap = hits.join(exact, "vec_id", "left_semi").agg(F.count("*").alias("__ov"))
-    return (
-        hits.crossJoin(F.broadcast(overlap))
-        .where(
-            F.assert_true(
-                F.col("__ov") >= 7,
-                F.concat(
-                    F.lit("ivf partial-probe recall floor violated: "),
-                    F.col("__ov").cast("string"),
-                    F.lit("/10 vs exact"),
-                ),
-            ).isNull()
-        )
-        .select("vec_id")
-    )
+    return _recall_floor_certified(hits, exact, 7, "ivf partial-probe")
 
 
 def q_ivf_hier_probe(spark, sf_dir):
@@ -492,7 +512,7 @@ def q_ivf_hier_probe(spark, sf_dir):
     q = _qvec(spark, sf_dir)
     nlist = int(eng.catalog.load("emb_ivf_hier").extra["nlist"])
     hits = eng.ann_search("embeddings", "emb_ivf_hier", q, k=10, nprobe=nlist)
-    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(_const_key("_distance")).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
@@ -507,26 +527,7 @@ def q_graph_topk(spark, sf_dir):
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_graph", q, k=10).select("vec_id")
     exact = eng.ann_search("embeddings", "emb_flat", q, k=10).select("vec_id")
-    overlap = hits.join(exact, "vec_id", "left_semi").agg(
-        F.count("*").alias("__ov")
-    )
-    # assert_true returns NULL on pass -> the filter keeps every row; a
-    # recall violation throws at execution. A filter (not a projected
-    # column) so column pruning can never skip the check.
-    return (
-        hits.crossJoin(F.broadcast(overlap))
-        .where(
-            F.assert_true(
-                F.col("__ov") >= 7,
-                F.concat(
-                    F.lit("graph recall floor violated: "),
-                    F.col("__ov").cast("string"),
-                    F.lit("/10 top-10 overlap vs brute force"),
-                ),
-            ).isNull()
-        )
-        .select("vec_id")
-    )
+    return _recall_floor_certified(hits, exact, 7, "graph")
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -544,7 +545,7 @@ def q_hybrid_rrf(spark, sf_dir):
         .withColumn(
             "_vector_rank",
             F.row_number().over(
-                Window.partitionBy(F.col("_d") * 0).orderBy(F.col("_d").asc(), F.col("row_id").asc())
+                Window.partitionBy(_const_key("_d")).orderBy(F.col("_d").asc(), F.col("row_id").asc())
             ),
         )
         .select("row_id", "_vector_rank")
@@ -567,7 +568,7 @@ def q_hybrid_rrf(spark, sf_dir):
         .withColumn(
             "_bm25_rank",
             F.row_number().over(
-                Window.partitionBy(F.col("_s") * 0).orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+                Window.partitionBy(_const_key("_s")).orderBy(F.col("_s").desc(), F.col("doc_id").asc())
             ),
         )
         .select(F.col("doc_id").alias("row_id"), "_bm25_rank")
@@ -686,7 +687,7 @@ def q_topk_filtered(spark, sf_dir):
     hits = eng.topk_filtered(
         "embeddings", F.col("label") == 3, q, 10, overfetch_multiplier=100000
     )
-    w = Window.partitionBy(F.col("_distance") * 0).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
+    w = Window.partitionBy(_const_key("_distance")).orderBy(F.col("_distance").asc(), F.col("vec_id").asc())
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 

@@ -226,11 +226,24 @@ class AnnEngine:
             if cap is not None:
                 n_rows = t.df.where(F.col(column).isNotNull()).count()
                 if n_rows > int(cap):
-                    shards = min(64, max(2, -(-n_rows // SHARD_TARGET_ROWS)))
-                    self.streaming_build(
-                        name, table, column, metric=metric,
-                        shards=shards, shard_by="kmeans", **params,
+                    # explicit shards/shard_by pass through untouched; sq8
+                    # stays on the two-pass builder (the only out-of-core
+                    # path that applies quantization) instead of silently
+                    # losing it on the sharded route
+                    shards = params.pop("shards", None)
+                    shard_by = params.pop("shard_by", "kmeans")
+                    wants_sq8 = (
+                        str(params.get("quantization", "")).lower() == "sq8"
                     )
+                    if shards is None and not wants_sq8:
+                        shards = min(64, max(2, -(-n_rows // SHARD_TARGET_ROWS)))
+                    if shards:
+                        self.streaming_build(
+                            name, table, column, metric=metric,
+                            shards=int(shards), shard_by=shard_by, **params,
+                        )
+                    else:
+                        self.streaming_build(name, table, column, metric=metric, **params)
                     return self.get_index(name)
 
         meta = IndexMeta(
@@ -478,6 +491,14 @@ class AnnEngine:
             params=params,
         )
         if shards:
+            if str(params.get("quantization", "")).lower() == "sq8":
+                # sharded_build has no quantization stage; failing beats
+                # silently building full-precision under an sq8 label
+                raise ValueError(
+                    "quantization='sq8' is not supported with shards=N; "
+                    "use the two-pass streaming build (no shards) for "
+                    "quantized out-of-core graphs"
+                )
             return sharded_build(
                 self.catalog, meta, t.df, t.row_id, column, shards, by=shard_by
             )
@@ -1028,20 +1049,13 @@ class AnnEngine:
                     decision["reason"] = f"table {m.table!r} not registered with the engine"
                 cols = base.columns  # original projection order, pre-join
                 if meta is not None:
-                    # index path: probe for k row ids, fetch rows, sort k rows
-                    idx = self.get_index(meta.name)
-                    hits = idx.search(m.query_vector, m.k)
-                    base = base.join(
-                        F.broadcast(hits.select(F.col("row_id").alias(tie))),
-                        on=tie,
-                        how="inner",
-                    ).select(*cols)
-                    # reference IP convention: index order = descending raw
-                    # dot product (negated-IP distance ascending)
-                    order = (
-                        F.col(alias).desc_nulls_last()
-                        if m.metric == "ip"
-                        else F.col(alias).asc_nulls_last()
+                    # index path: probe for k row ids, fetch rows, sort k
+                    # rows — shared with engine.accelerate. Reference IP
+                    # convention: index order = descending raw dot product
+                    # (negated-IP distance ascending)
+                    out = self._serve_index_topk(
+                        meta, base, cols, tie, dist, alias, m.k,
+                        m.query_vector, descending=(m.metric == "ip"),
                     )
                 else:
                     # matched but unrewritten: brute force via the Column API
@@ -1053,13 +1067,12 @@ class AnnEngine:
                     # returns NULL-vector rows).
                     if m.filter_sql is not None:
                         base = base.where(F.expr(m.filter_sql))
-                    order = F.col(alias).asc_nulls_last()
-                ties = [F.col(tie).asc()] if tie else []
-                out = (
-                    base.withColumn(alias, dist)
-                    .orderBy(order, *ties)
-                    .limit(m.k)
-                )
+                    ties = [F.col(tie).asc()] if tie else []
+                    out = (
+                        base.withColumn(alias, dist)
+                        .orderBy(F.col(alias).asc_nulls_last(), *ties)
+                        .limit(m.k)
+                    )
                 if m.alias is None:
                     out = out.select(*cols)
                 if explain is not None:
@@ -1118,32 +1131,45 @@ class AnnEngine:
             return df
 
         t = self._tables[m.table]
-        idx = self.get_index(meta.name)
-        hits = idx.search(m.query_vector, m.k)
-        base = t.df.join(
-            F.broadcast(hits.select(F.col("row_id").alias(t.row_id))),
-            on=t.row_id,
-            how="inner",
-        ).select(*t.df.columns)
         dist = _build_probe(m.fn_name, F.col(m.column), m.query_vector)
         alias = m.alias or "__ann_order"
         # faithful direction: the matcher only admits orderings an index
         # serves literally (sqrt/squared L2 asc, raw IP desc, neg-IP asc)
-        order = (
-            F.col(alias).desc_nulls_last()
-            if m.fn_name == "array_inner_product"
-            else F.col(alias).asc_nulls_last()
-        )
-        out = (
-            base.withColumn(alias, dist)
-            .orderBy(order, F.col(t.row_id).asc())
-            .limit(m.k)
+        out = self._serve_index_topk(
+            meta, t.df, t.df.columns, t.row_id, dist, alias, m.k,
+            m.query_vector, descending=(m.fn_name == "array_inner_product"),
         )
         if m.alias is None:
             out = out.select(*t.df.columns)
         if explain is not None:
             explain.update(decision)
         return out
+
+    def _serve_index_topk(
+        self, meta, base, cols, tie, dist, alias, k, query_vector, descending
+    ) -> DataFrame:
+        """The rewrite-serving plan both transparent rewrites share
+        (``engine.sql`` and ``engine.accelerate``): index probe for k row
+        ids -> broadcast row fetch -> recompute the ordering expression on
+        the k rows -> sort k rows only. Changes to the probe path (delta
+        compensation, oversample, tombstones) live here once."""
+        idx = self.get_index(meta.name)
+        hits = idx.search(list(query_vector), k)
+        fetched = base.join(
+            F.broadcast(hits.select(F.col("row_id").alias(tie))),
+            on=tie,
+            how="inner",
+        ).select(*cols)
+        order = (
+            F.col(alias).desc_nulls_last()
+            if descending
+            else F.col(alias).asc_nulls_last()
+        )
+        return (
+            fetched.withColumn(alias, dist)
+            .orderBy(order, F.col(tie).asc())
+            .limit(k)
+        )
 
     def explain_sql(self, sql_text: str) -> str:
         """EXPLAIN with the rewrite decision — parity with the reference's

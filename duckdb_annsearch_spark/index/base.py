@@ -67,6 +67,12 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
         r["__part"]: r["cnt"]
         for r in srt.groupBy("__part").agg(F.count("*").alias("cnt")).collect()
     }
+    if not counts:
+        # zero indexable rows (legal: delete-all + vacuum rebuilds over an
+        # empty relation) — an empty create_map() below would not analyze
+        return srt.select(
+            F.lit(None).cast("int").alias("label"), "row_id", "vector"
+        ).where(F.lit(False))
     offsets, acc = {}, 0
     for p in sorted(counts):
         offsets[p] = acc

@@ -82,17 +82,34 @@ def write_dann(
             f.write(codes.tobytes())
 
 
+def parse_header(head: bytes) -> dict:
+    """Validate + decode the 32-byte DANN header. Raises on bad magic or a
+    version this engine doesn't speak — both the full reader and the mmap
+    server go through here, so a v1/v3 file fails fast instead of being
+    sliced with v2 offsets."""
+    if head[:4] != MAGIC:
+        raise ValueError("not a DANN file (bad magic)")
+    version, n, dim, max_degree, n_eps, metric_u8, _pad, build_l = struct.unpack(
+        "<IIIII B 3s I", head[4:HEADER_SIZE]
+    )
+    if version != VERSION:
+        raise ValueError(f"unsupported DANN version {version} (engine supports {VERSION})")
+    return {
+        "n": n,
+        "dim": dim,
+        "max_degree": max_degree,
+        "n_entry_points": n_eps,
+        "metric": _U8_TO_METRIC.get(metric_u8, "l2"),
+        "build_complexity": build_l,
+    }
+
+
 def read_dann(path: str) -> dict:
     """Read a ``.diskann`` file into numpy structures."""
     with open(path, "rb") as f:
         data = f.read()
-    if data[:4] != MAGIC:
-        raise ValueError("not a DANN file (bad magic)")
-    version, n, dim, max_degree, n_eps, metric_u8, _pad, build_l = struct.unpack(
-        "<IIIII B 3s I", data[4:HEADER_SIZE]
-    )
-    if version != VERSION:
-        raise ValueError(f"unsupported DANN version {version} (engine supports {VERSION})")
+    h = parse_header(data[:HEADER_SIZE])
+    n, dim, max_degree, n_eps = h["n"], h["dim"], h["max_degree"], h["n_entry_points"]
     off = HEADER_SIZE
     eps = np.frombuffer(data, dtype="<u4", count=n_eps, offset=off)
     off += n_eps * 4
@@ -118,8 +135,8 @@ def read_dann(path: str) -> dict:
         "vectors": vectors,
         "neighbors": neighbors,
         "entry_points": eps.astype(np.int64).tolist(),
-        "metric": _U8_TO_METRIC.get(metric_u8, "l2"),
+        "metric": h["metric"],
         "max_degree": int(max_degree),
-        "build_complexity": int(build_l),
+        "build_complexity": int(h["build_complexity"]),
         "sq8": sq8,
     }

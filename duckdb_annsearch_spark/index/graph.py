@@ -89,18 +89,14 @@ def _mmap_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     whole graph in RAM, only the pages its searches touch (beam search on
     a well-linked Vamana graph visits O(L * degree * hops) nodes)."""
     import os
-    import struct as _struct
 
-    from duckdb_annsearch_spark.index.dann_format import HEADER_SIZE, MAGIC
+    from duckdb_annsearch_spark.index.dann_format import HEADER_SIZE, parse_header
 
     fn = os.path.join(path, "_graph.diskann")
     with open(fn, "rb") as f:
         head = f.read(HEADER_SIZE)
-    if head[:4] != MAGIC:
-        raise ValueError("not a DANN file (bad magic)")
-    _version, n, dim, max_degree, n_eps, metric_u8, _pad, _build_l = _struct.unpack(
-        "<IIIII B 3s I", head[4:HEADER_SIZE]
-    )
+    h = parse_header(head)  # validates magic + version before any slicing
+    n, dim, max_degree, n_eps = h["n"], h["dim"], h["max_degree"], h["n_entry_points"]
     off = HEADER_SIZE
     eps = np.fromfile(fn, dtype="<u4", count=n_eps, offset=off)
     off += n_eps * 4
@@ -111,7 +107,7 @@ def _mmap_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     row_ids = np.memmap(
         os.path.join(path, "_row_ids.bin"), dtype="<i8", mode="r", shape=(n,)
     )
-    metric = {0: "l2", 1: "ip"}.get(int(metric_u8), "l2")
+    metric = h["metric"]
     ep = int(eps[0]) if n_eps else 0
     g = _MmapVamana(vectors, adj, ep, metric, row_ids)
     return g, row_ids
@@ -134,8 +130,15 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     import pyarrow.parquet as pq
 
     if os.environ.get("SPARK_GRAFT_GRAPH_MMAP", "1").lower() not in ("0", "false"):
-        if os.path.exists(os.path.join(path, "_graph.diskann")) and os.path.exists(
-            os.path.join(path, "_row_ids.bin")
+        binf = os.path.join(path, "_graph.diskann")
+        ridf = os.path.join(path, "_row_ids.bin")
+        # n==0 artifacts (legal: delete-all + vacuum) have a 0-byte row_ids
+        # file, and np.memmap refuses empty files — serve those (and any
+        # unreadable sidecar) through the parquet path instead of crashing
+        if (
+            os.path.exists(binf)
+            and os.path.exists(ridf)
+            and os.path.getsize(ridf) > 0
         ):
             return _mmap_graph(path)
 
@@ -215,8 +218,12 @@ def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
     import pyarrow.parquet as pq
 
     if os.environ.get("SPARK_GRAFT_GRAPH_MMAP", "1").lower() not in ("0", "false"):
-        if os.path.exists(os.path.join(shard_dir, "_graph.diskann")) and os.path.exists(
-            os.path.join(shard_dir, "_row_ids.bin")
+        binf = os.path.join(shard_dir, "_graph.diskann")
+        ridf = os.path.join(shard_dir, "_row_ids.bin")
+        if (
+            os.path.exists(binf)
+            and os.path.exists(ridf)
+            and os.path.getsize(ridf) > 0  # 0-byte = empty shard; parquet path
         ):
             return _mmap_graph(shard_dir)
 

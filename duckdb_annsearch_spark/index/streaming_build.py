@@ -409,12 +409,16 @@ def streaming_build(
         pilot_final
     )
     side = {"entry_point": entry_global, "metric": metric}
+    persisted_pre_codes = None
     if p.get("quantization") == "sq8":
         from duckdb_annsearch_spark.index.base import add_sq8_codes, compute_sq8_stats
 
-        final = final.persist()
-        mins, scales = compute_sq8_stats(final, dim)
-        final = add_sq8_codes(final, dim, mins, scales)
+        # keep a handle on the frame that is actually cached: rebinding
+        # `final` to the codes projection would otherwise make the
+        # unpersist below a no-op and pin the pre-codes frame forever
+        persisted_pre_codes = final.persist()
+        mins, scales = compute_sq8_stats(persisted_pre_codes, dim)
+        final = add_sq8_codes(persisted_pre_codes, dim, mins, scales)
         meta.quantized = True
         meta.extra["sq8_mins"] = mins
         meta.extra["sq8_scales"] = scales
@@ -427,7 +431,8 @@ def streaming_build(
 
     inserted.unpersist()
     art.unpersist()
-    final.unpersist()  # no-op unless the sq8 branch persisted it
+    if persisted_pre_codes is not None:
+        persisted_pre_codes.unpersist()
     meta.extra["entry_point"] = entry_global
     meta.extra["sample_size"] = len(pilot_global)
     meta.num_vectors = n

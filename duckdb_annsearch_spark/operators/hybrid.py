@@ -62,13 +62,21 @@ def rrf_fuse(
     )
 
 
+def constant_partition_key(col_name: str):
+    """A constant-valued but non-foldable partition key: Catalyst can't
+    fold ``x*0`` (NULL semantics), so WindowExec sees a real single-group
+    spec instead of a flagged-empty one. NULL and NaN inputs — which would
+    otherwise each open a SECOND partition and restart row_number — are
+    normalized into the same group."""
+    return F.coalesce(
+        F.nanvl(F.col(col_name).cast("double") * 0, F.lit(0.0)), F.lit(0.0)
+    )
+
+
 def rank_by(
     df: DataFrame, order_cols: list, rank_name: str, key_col: str = "row_id"
 ) -> DataFrame:
     """Global 1-based rank. Callers pass bounded candidate sets (top-N
-    truncated upstream), so the single-partition sort is k-bounded.
-    ``key_col * 0`` is a constant-valued but non-foldable partition key
-    (Catalyst can't fold x*0: NULL semantics), giving WindowExec a real
-    single-group spec instead of a flagged-empty one."""
-    w = Window.partitionBy(F.col(key_col) * 0).orderBy(*order_cols)
+    truncated upstream), so the single-partition sort is k-bounded."""
+    w = Window.partitionBy(constant_partition_key(key_col)).orderBy(*order_cols)
     return df.withColumn(rank_name, F.row_number().over(w).cast("int"))

@@ -596,7 +596,15 @@ def duplicate_clusters(
         .localCheckpoint()
     )
     if max_driver_edges is not None and edges.count() <= int(max_driver_edges):
-        rows = edges.collect()
+        # match the distributed loop exactly: labels exist only for ids, so
+        # edges touching out-of-ids endpoints never propagate there — drop
+        # them here too (pairs from a wider corpus than ids is a legal call)
+        idsr = ids.select(F.col(id_col).alias("__id"))
+        edges_in = (
+            edges.join(idsr.withColumnRenamed("__id", "src"), "src", "left_semi")
+            .join(idsr.withColumnRenamed("__id", "dst"), "dst", "left_semi")
+        )
+        rows = edges_in.collect()
         parent: dict = {}
 
         def find(u):

@@ -150,3 +150,15 @@ def test_search_batch_forwards_nprobe_shards(engine):
     full = idx.search_batch([rows[7][1]], 1)
     assert "__cvec" not in full._jdf.queryExecution().analyzed().toString()
     assert [r["row_id"] for r in full.collect()] == [7]
+
+
+def test_empty_graph_after_delete_all_vacuum_still_searchable(engine):
+    # n==0 artifacts are legal; the mmap path must not choke on the 0-byte
+    # row_ids sidecar (np.memmap refuses empty files) — searches fall back
+    # to the parquet path and return empty results
+    rows, path = _build(engine, "mm0", n=120)
+    engine.delete("t_mm0", [i for i, _ in rows])
+    engine.vacuum("mm0")
+    idx = engine.get_index("mm0")
+    assert idx.meta.num_vectors == 0
+    assert idx.search(rows[0][1], 3).count() == 0

@@ -338,9 +338,13 @@ def test_duplicate_clusters_driver_fastpath_matches_distributed(spark):
     from duckdb_annsearch_spark.pipeline.dedup import duplicate_clusters
 
     ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
-    # chains, a triangle, singletons: A~B~C transitivity must hold
+    # chains, a triangle, singletons: A~B~C transitivity must hold; pairs
+    # touching ids OUTSIDE the id table (100, 101) must not link anything —
+    # the distributed loop only propagates through labeled nodes and the
+    # fast path must match
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21), (21, 22), (20, 22)],
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21), (21, 22), (20, 22),
+         (5, 100), (100, 6), (101, 7)],
         "doc_a long, doc_b long",
     )
     fast = {
@@ -355,3 +359,5 @@ def test_duplicate_clusters_driver_fastpath_matches_distributed(spark):
     by_id = dict(fast)
     assert by_id[4] == 1 and by_id[12] == 10 and by_id[22] == 20
     assert by_id[30] == 30  # singleton keeps its own id
+    # 5 and 6 are linked only through 100, which is not in ids: no merge
+    assert by_id[5] == 5 and by_id[6] == 6 and by_id[7] == 7
