@@ -147,20 +147,22 @@ def _recall_floor_certified(hits, exact, floor: int, what: str):
     overlap = hits.join(exact, "vec_id", "left_semi").agg(
         F.count("*").alias("__ov")
     )
-    return (
-        hits.crossJoin(F.broadcast(overlap))
-        .where(
-            F.assert_true(
-                F.col("__ov") >= floor,
-                F.concat(
-                    F.lit(f"{what} recall floor violated: "),
-                    F.col("__ov").cast("string"),
-                    F.lit(f"/{10} top-10 overlap vs exact"),
-                ),
-            ).isNull()
-        )
-        .select("vec_id")
+    # Anchor the assert on the overlap aggregate itself — count(*) over an
+    # empty input still yields exactly one row, so a TOTAL recall failure
+    # (hits empty -> __ov = 0) throws here instead of vanishing in a
+    # zero-row crossJoin.  The broadcast materializes this 1-row frame (and
+    # with it the assert) even when the hits side is empty.
+    certified = overlap.where(
+        F.assert_true(
+            F.col("__ov") >= floor,
+            F.concat(
+                F.lit(f"{what} recall floor violated: overlap "),
+                F.col("__ov").cast("string"),
+                F.lit(f" < floor {int(floor)} vs exact top-k"),
+            ),
+        ).isNull()
     )
+    return hits.crossJoin(F.broadcast(certified)).select("vec_id")
 
 
 def _dec(col, prec=18, scale=6):

@@ -191,10 +191,21 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
     glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     vectors = _vector_matrix(t.column("vector"))
     row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    neighbors = [
-        np.searchsorted(glabels, nb)
-        for nb in _split_list_column(t.column("neighbors"), np.int64)
-    ]
+    neighbors = []
+    for nb in _split_list_column(t.column("neighbors"), np.int64):
+        idx = np.searchsorted(glabels, nb)
+        # searchsorted silently clamps out-of-shard labels to a wrong local
+        # index; this sidecar is PERSISTENT, so a bad remap would bake the
+        # corruption in (the parquet loader merely recomputes per load).
+        # Verify membership and bail — the caller's try/except treats the
+        # failure as 'no sidecar' and serving falls back to parquet.
+        if idx.size and (
+            (idx >= len(glabels)).any() or not np.array_equal(glabels[idx], nb)
+        ):
+            raise ValueError(
+                f"shard {shard_dir}: neighbor label(s) outside shard label set"
+            )
+        neighbors.append(idx)
     entry_global = int(t.column("entry").to_pylist()[0]) if len(glabels) else 0
     ep_local = int(np.searchsorted(glabels, entry_global))
     write_dann(

@@ -105,13 +105,33 @@ def _extract_candidates(expr) -> tuple[str | None, list[float] | None]:
 _EXPRID = re.compile(r"#\d+")
 
 
+def _attr_identities(expr) -> list[tuple[str, str]]:
+    """(name, dataType) of every AttributeReference under ``expr``."""
+    out = []
+    for e in _walk_exprs(expr):
+        if _cls(e) == "AttributeReference":
+            try:
+                out.append((str(e.name()), str(e.dataType())))
+            except Exception:
+                out.append((str(e.name()), "?"))
+    return out
+
+
 def _same_expr(a, b) -> bool:
     if a.semanticEquals(b):
         return True
-    # same data read through different attribute ids (user re-read the
+    # Same data read through different attribute ids (user re-read the
     # parquet path instead of using engine.table().df): compare the
-    # canonicalized trees with exprIds normalized away — safe here because
-    # the trees carry exactly one attribute each (checked by extraction)
+    # canonicalized trees with exprIds normalized away.  Catalyst
+    # canonicalization ALSO drops attribute names, so the string compare
+    # alone carries no attribute identity — it is sound only while each
+    # tree holds exactly one AttributeReference and that attribute's
+    # name/type match (``_extract_candidates`` enforces the single-attr
+    # shape upstream; we re-check it here so a future caller can't
+    # silently weaken this into matching across different columns).
+    ia, ib = _attr_identities(a), _attr_identities(b)
+    if len(ia) != 1 or len(ib) != 1 or ia[0] != ib[0]:
+        return False
     sa = _EXPRID.sub("#x", a.canonicalized().toString())
     sb = _EXPRID.sub("#x", b.canonicalized().toString())
     return sa == sb

@@ -49,9 +49,13 @@ def parse_vector_messages(
         F.col(f"__m.{vec_field}").cast("array<float>").alias(vec_field),
     )
     if drop_malformed:
+        # Element-level nulls (e.g. {"qvec": [1.0, null, ...]}) survive the
+        # size check but become NaN in the Arrow->pandas probe and would emit
+        # k arbitrary rows with NaN distances — drop them too.
         parsed = parsed.where(
             F.col(id_field).isNotNull()
             & F.col(vec_field).isNotNull()
             & (F.size(vec_field) == int(dim))
+            & ~F.exists(F.col(vec_field), lambda x: x.isNull())
         )
     return parsed

@@ -217,6 +217,10 @@ def test_parse_vector_messages_end_to_end(engine, tmp_path):
     lines = [json.dumps({"qid": int(i), "qvec": [float(x) for x in v]}) for i, v in vecs.items()]
     lines.append("not json at all")                      # malformed -> dropped
     lines.append(json.dumps({"qid": 99, "qvec": [1.0]}))  # wrong dim -> dropped
+    # right length but a null element -> would probe as NaN; must be dropped
+    null_vec = [1.0] * dim
+    null_vec[1] = None
+    lines.append(json.dumps({"qid": 98, "qvec": null_vec}))
     path = tmp_path / "msgs"
     path.mkdir()
     (path / "batch0.txt").write_text("\n".join(lines))
