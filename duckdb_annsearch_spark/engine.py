@@ -226,24 +226,18 @@ class AnnEngine:
             if cap is not None:
                 n_rows = t.df.where(F.col(column).isNotNull()).count()
                 if n_rows > int(cap):
-                    # explicit shards/shard_by pass through untouched; sq8
-                    # stays on the two-pass builder (the only out-of-core
-                    # path that applies quantization) instead of silently
-                    # losing it on the sharded route
+                    # explicit shards/shard_by pass through untouched;
+                    # sq8 rides the sharded route like everything else
+                    # (per-shard codes under index-global stats + a
+                    # dequantizing probe — streaming_build.sharded_build)
                     shards = params.pop("shards", None)
                     shard_by = params.pop("shard_by", "kmeans")
-                    wants_sq8 = (
-                        str(params.get("quantization", "")).lower() == "sq8"
-                    )
-                    if shards is None and not wants_sq8:
+                    if shards is None:
                         shards = min(64, max(2, -(-n_rows // SHARD_TARGET_ROWS)))
-                    if shards:
-                        self.streaming_build(
-                            name, table, column, metric=metric,
-                            shards=int(shards), shard_by=shard_by, **params,
-                        )
-                    else:
-                        self.streaming_build(name, table, column, metric=metric, **params)
+                    self.streaming_build(
+                        name, table, column, metric=metric,
+                        shards=int(shards), shard_by=shard_by, **params,
+                    )
                     return self.get_index(name)
 
         meta = IndexMeta(
@@ -491,14 +485,6 @@ class AnnEngine:
             params=params,
         )
         if shards:
-            if str(params.get("quantization", "")).lower() == "sq8":
-                # sharded_build has no quantization stage; failing beats
-                # silently building full-precision under an sq8 label
-                raise ValueError(
-                    "quantization='sq8' is not supported with shards=N; "
-                    "use the two-pass streaming build (no shards) for "
-                    "quantized out-of-core graphs"
-                )
             return sharded_build(
                 self.catalog, meta, t.df, t.row_id, column, shards, by=shard_by
             )

@@ -80,6 +80,15 @@ def sharded_build(
     spark = catalog.spark
 
     art = with_labels(df, row_id_col, vector_col)
+    sq8_mins = sq8_scales = None
+    if str(p.get("quantization", "")).lower() == "sq8":
+        # GLOBAL per-dim min/scale (one map-only pass), not per-shard: codes
+        # from different shards must dequantize to comparable distances for
+        # the cross-shard top-k merge, and the reference quantizes per index
+        # (rust_lib/src/provider.rs:157-230), not per partition.
+        from duckdb_annsearch_spark.index.base import compute_sq8_stats
+
+        sq8_mins, sq8_scales = compute_sq8_stats(art, meta.dim)
     centroids = None
     if by == "kmeans":
         # SPANN-style clustered shards: rows go to their nearest centroid's
@@ -119,6 +128,11 @@ def sharded_build(
     else:
         raise ValueError(f"unknown shard assignment {by!r} (hash | kmeans)")
 
+    q_mins = np.asarray(sq8_mins, dtype=np.float32) if sq8_mins is not None else None
+    q_scales = (
+        np.asarray(sq8_scales, dtype=np.float32) if sq8_scales is not None else None
+    )
+
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("label").reset_index(drop=True)
@@ -128,21 +142,28 @@ def sharded_build(
 
         prune_to_degree(g, max_degree, alpha)
         glabels = pdf["label"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                "shard": np.full(len(pdf), sid, dtype=np.int32),
-                "label": glabels.astype(np.int32),
-                "row_id": pdf["row_id"].to_numpy(np.int64),
-                "vector": [x[i] for i in range(len(pdf))],
-                # neighbors as global labels (within-shard only)
-                "neighbors": [
-                    glabels[g.neighbors[i]].astype(np.int32) for i in range(len(pdf))
-                ],
-                "entry": np.full(len(pdf), int(glabels[g.entry_point]), dtype=np.int32),
-            }
-        )
+        cols = {
+            "shard": np.full(len(pdf), sid, dtype=np.int32),
+            "label": glabels.astype(np.int32),
+            "row_id": pdf["row_id"].to_numpy(np.int64),
+            "vector": [x[i] for i in range(len(pdf))],
+            # neighbors as global labels (within-shard only)
+            "neighbors": [
+                glabels[g.neighbors[i]].astype(np.int32) for i in range(len(pdf))
+            ],
+            "entry": np.full(len(pdf), int(glabels[g.entry_point]), dtype=np.int32),
+        }
+        if q_mins is not None:
+            # per-shard u8 codes under the GLOBAL min/scale — the serving
+            # side dequantizes (code/255)*scale + min (provider.rs:161-210)
+            q = np.clip(
+                np.rint((x - q_mins) / q_scales * 255.0), 0, 255
+            ).astype(np.uint8)
+            cols["codes"] = [q[i].tobytes() for i in range(len(pdf))]
+        return pd.DataFrame(cols)
 
-    built = sharded.groupBy("shard").applyInPandas(build_shard, SHARD_SCHEMA)
+    out_schema = SHARD_SCHEMA + (", codes binary" if q_mins is not None else "")
+    built = sharded.groupBy("shard").applyInPandas(build_shard, out_schema)
     path = catalog.data_path(meta.name)
     built.write.mode("overwrite").partitionBy("shard").parquet(path)
 
@@ -150,8 +171,12 @@ def sharded_build(
         int(r["shard"]): int(r["entry"])
         for r in spark.read.parquet(path).select("shard", "entry").distinct().collect()
     }
+    side = {"metric": metric, "shards": entries, "entry_point": 0}
+    if sq8_mins is not None:
+        side["sq8_mins"] = sq8_mins
+        side["sq8_scales"] = sq8_scales
     with open(os.path.join(path, "_graph_meta.json"), "w") as f:
-        json.dump({"metric": metric, "shards": entries, "entry_point": 0}, f)
+        json.dump(side, f)
 
     if metric in ("l2", "ip"):
         # mmap sidecar post-pass: one task per shard writes the shard's DANN
@@ -188,6 +213,10 @@ def sharded_build(
         # kmeans may collapse to fewer distinct shards than requested
         meta.extra["shards"] = int(centroids.shape[0])
         meta.extra["shard_centroids"] = centroids.tolist()
+    if sq8_mins is not None:
+        meta.quantized = True
+        meta.extra["sq8_mins"] = sq8_mins
+        meta.extra["sq8_scales"] = sq8_scales
     meta.num_vectors = n
     catalog.save(meta)
     return {"num_vectors": n, "dimension": meta.dim, "shards": meta.extra["shards"]}

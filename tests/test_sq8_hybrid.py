@@ -141,6 +141,87 @@ def test_sq8_on_streaming_build(engine):
     assert res[0]["row_id"] == 7 and res[0]["_distance"] < 1e-3
 
 
+def test_sq8_on_sharded_build(engine):
+    """SQ8 on the out-of-core sharded path (provider.rs:157-230 applies SQ8
+    regardless of index size): per-shard u8 codes under index-global
+    min/scale, quantized flag set, DANN sidecars carry the SQ8 trailer
+    (file_format.rs:84-120), search parity with the full-precision shards."""
+    import os
+
+    from duckdb_annsearch_spark.index.dann_format import read_dann
+
+    rng = np.random.RandomState(21)
+    n, dim = 400, 8
+    rows = [(i, rng.rand(dim).astype(np.float32).tolist()) for i in range(n)]
+    df = make_vectors_df(engine.spark, rows, dim=dim)
+    engine.register_table("shv", df, row_id="id")
+    engine.streaming_build(
+        "shq8", "shv", shards=4, shard_by="kmeans", quantization="sq8"
+    )
+    engine.streaming_build("shfp", "shv", shards=4, shard_by="kmeans")
+
+    info = {r["name"]: r for r in engine.ann_index_info().collect()}
+    assert info["shq8"]["quantized"] is True
+    idx = engine.get_index("shq8")
+    assert idx.meta.extra.get("shards")
+
+    # every shard's parquet has codes and its DANN sidecar an SQ8 trailer
+    path = engine.catalog.data_path("shq8")
+    for sid in idx.meta.extra["shard_ids"]:
+        d = read_dann(os.path.join(path, f"shard={sid}", "_graph.diskann"))
+        assert d["sq8"] is not None
+        assert d["sq8"]["codes"].shape[1] == dim
+        # f32 block stores the dequantized codes — the two serve modes agree
+        mins, scales = d["sq8"]["mins"], d["sq8"]["scales"]
+        deq = d["sq8"]["codes"].astype(np.float32) / 255.0 * scales + mins
+        assert np.array_equal(deq, d["vectors"])
+
+    # exact-match top-1 survives quantization (diskann_quantization.test)
+    for probe_id in (3, 111, 222):
+        q = rows[probe_id][1]
+        res = engine.ann_search("shv", "shq8", q, k=1).collect()
+        assert res[0]["id"] == probe_id and res[0]["_distance"] < 1e-3
+    # quantized vs full-precision sharded search: top-10 overlap
+    q = rows[42][1]
+    quant = {r["id"] for r in engine.ann_search("shv", "shq8", q, k=10).collect()}
+    full = {r["id"] for r in engine.ann_search("shv", "shfp", q, k=10).collect()}
+    assert len(quant & full) >= 8
+
+
+def test_sharded_sq8_mmap_matches_parquet(engine, monkeypatch):
+    """Quantized shards mmap-serve FROM the u8 code pages (_Sq8View) with
+    results bit-identical to the parquet dequantize load."""
+    import os
+
+    from duckdb_annsearch_spark.index.graph import _load_shard, _MmapVamana, _Sq8View
+
+    rng = np.random.RandomState(23)
+    n, dim = 300, 8
+    rows = [(i, rng.rand(dim).astype(np.float32).tolist()) for i in range(n)]
+    df = make_vectors_df(engine.spark, rows, dim=dim)
+    engine.register_table("shv2", df, row_id="id")
+    engine.streaming_build("shm8", "shv2", shards=3, quantization="sq8")
+    idx = engine.get_index("shm8")
+    path = engine.catalog.data_path("shm8")
+    sid = idx.meta.extra["shard_ids"][0]
+    shard_dir = os.path.join(path, f"shard={sid}")
+
+    g_m, rid_m = _load_shard(shard_dir)
+    assert isinstance(g_m, _MmapVamana)
+    assert isinstance(g_m.vectors, _Sq8View)  # serving off code pages
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_MMAP", "0")
+    g_r, rid_r = _load_shard(shard_dir)
+    assert not isinstance(g_r, _MmapVamana)
+    assert np.array_equal(np.asarray(rid_m), np.asarray(rid_r))
+
+    qs = rng.rand(8, dim).astype(np.float32)
+    res_m = g_m.beam_search_batch(qs, 5, 32)
+    res_r = g_r.beam_search_batch(qs, 5, 32)
+    for (lm, dm), (lr, dr) in zip(res_m, res_r):
+        assert np.array_equal(np.asarray(lm), np.asarray(lr))
+        assert np.array_equal(np.asarray(dm), np.asarray(dr))  # bit-identical
+
+
 def test_sq8_on_ivfflat(engine):
     """SQ8 inside IVF cells: codes column in the hive partitions, both probe
     shapes dequantize, quantized flag set."""
