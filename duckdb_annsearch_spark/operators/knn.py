@@ -8,8 +8,10 @@ partition — per-partition batched top-k, no crossJoin row explosion, no
 shuffle beyond the final per-query merge (none needed: each left row's
 top-k is complete within its own task).
 
-For a right side too big to broadcast, build a Flat/IVF index on it and use
-``AnnEngine.ann_search_table`` instead (query-distributed artifact scan).
+A right side above ``max_broadcast_rows`` never reaches the driver: the
+join auto-routes to a temp Flat index + the query-distributed artifact
+probe (``AnnEngine.ann_search_table`` shape) — still exact, each task
+streams the artifact for its own slice of left rows.
 """
 
 from __future__ import annotations
@@ -20,8 +22,55 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.index import kernels
+
+# right-side rows above which the broadcast-GEMM path would be a driver
+# OOM hazard; same cap-plus-route discipline as dedup.max_exact_rows and
+# engine.driver_build_max_rows
+DEFAULT_MAX_BROADCAST_ROWS = 500_000
+
+
+def _knn_join_indexed(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_vec: str,
+    right_id: str,
+    right_vec: str,
+    k: int,
+    metric: str,
+    engine=None,
+) -> DataFrame:
+    """Scale path: temp Flat index on the right side (distributed build, no
+    driver materialization) + query-distributed exact probe. Same output
+    contract as the broadcast path. The temp artifact lives in the engine's
+    workdir (a mkdtemp when none is passed) until the returned DataFrame is
+    consumed; pass ``engine=`` to own artifact lifecycle."""
+    import tempfile
+    import uuid
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    eng = engine or AnnEngine(
+        left.sparkSession, workdir=tempfile.mkdtemp(prefix="knn_join_")
+    )
+    tag = uuid.uuid4().hex[:8]
+    tbl, idx = f"__knn_right_{tag}", f"__knn_rix_{tag}"
+    rbase = right.select(
+        F.col(right_id).cast("long").alias("__rid"),
+        F.col(right_vec).cast("array<float>").alias("__rvec"),
+    )
+    eng.register_table(tbl, rbase, row_id="__rid")
+    eng.create_index(idx, tbl, "__rvec", engine="faiss", index_type="Flat", metric=metric)
+    out_r = right_id if right_id != left_id else f"r_{right_id}"
+    hits = eng.ann_search_table(
+        left.select(left_id, left_vec), tbl, idx, k=k, query_col=left_vec
+    )
+    return hits.select(
+        F.col(left_id), F.col("__rid").alias(out_r), F.col("_distance")
+    )
 
 
 def knn_join(
@@ -33,15 +82,29 @@ def knn_join(
     right_vec: str,
     k: int,
     metric: str = "l2",
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+    engine=None,
 ) -> DataFrame:
     """(left_id, right_id, _distance) — exact k nearest right rows per left
     row, ascending distance, ties by right id. NULL / wrong-dimension left
     vectors produce no output rows (the engine's query contract,
     ``search_batch_df``); an empty or ragged right side is a driver-side
-    error, not an executor crash."""
+    error, not an executor crash.
+
+    Right sides above ``max_broadcast_rows`` auto-route to
+    :func:`_knn_join_indexed` (temp Flat index + distributed probe) instead
+    of collecting to the driver; pass ``None`` to disable the gate."""
     from duckdb_annsearch_spark.shipping import ensure_shipped
 
     ensure_shipped(left.sparkSession)  # probe closure imports the package
+    if max_broadcast_rows is not None:
+        # limit(cap+1).count() touches at most cap+1 rows — not a full scan
+        cap = int(max_broadcast_rows)
+        if right.select(right_id).limit(cap + 1).count() > cap:
+            return _knn_join_indexed(
+                left, right, left_id, left_vec, right_id, right_vec,
+                k, metric, engine,
+            )
     rows = right.select(right_id, right_vec).collect()
     vecs = [r[1] for r in rows]
     if not rows:

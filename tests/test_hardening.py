@@ -113,6 +113,39 @@ def test_knn_join_edge_cases(spark):
         knn_join(left, ragged, "lid", "v", "rid", "v", k=1)
 
 
+def test_knn_join_cap_routes_to_index_and_matches_broadcast(engine):
+    """Above max_broadcast_rows the right side must NOT be collected: the
+    join routes to a temp Flat index + distributed probe with identical
+    results (exact both ways)."""
+    import numpy as np
+
+    spark = engine.spark
+    rng = np.random.RandomState(31)
+    nl, nr, dim = 20, 50, 6
+    left = spark.createDataFrame(
+        [(i, rng.rand(dim).astype("float32").tolist()) for i in range(nl)],
+        "lid long, v array<float>",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, rng.rand(dim).astype("float32").tolist()) for i in range(nr)],
+        "rid long, w array<float>",
+    )
+    from duckdb_annsearch_spark import knn_join
+
+    fast = knn_join(left, right, "lid", "v", "rid", "w", k=3)
+    routed = knn_join(
+        left, right, "lid", "v", "rid", "w", k=3,
+        max_broadcast_rows=10, engine=engine,  # force the index route
+    )
+    assert fast.columns == routed.columns
+    def norm(df):
+        return sorted(
+            (r["lid"], r["rid"], round(float(r["_distance"]), 5))
+            for r in df.collect()
+        )
+    assert norm(fast) == norm(routed)
+
+
 def test_hybrid_search_rejects_mismatched_ids(engine, spark):
     rows = [(i, f"text {i} fast query", [float(i), 0.0]) for i in range(5)]
     df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<float>")
