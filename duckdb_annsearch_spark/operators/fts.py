@@ -40,14 +40,27 @@ def tokenize_py(text: str) -> list[str]:
 def build_fts_artifacts(
     df: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(postings, doclens): postings = (term, doc_id, tf);
+    """(postings, doclens): postings = (term, doc_id, tf, df);
     doclens = (doc_id, dl).  Both are groupBy jobs — partial map-side
-    aggregation, scales linearly with the corpus."""
+    aggregation, scales linearly with the corpus.
+
+    ``df`` (documents containing the term) is corpus-constant, so it is
+    denormalized into the postings at BUILD time — query-time scoring then
+    needs zero aggregation jobs before the final per-doc sum (the
+    reference's FTS extension likewise materializes df in its index
+    tables)."""
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("term"),
     )
     postings = toks.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+    # postings are unique on (term, doc_id) -> count over the term partition
+    # IS the document frequency; one build-time shuffle, no query-time agg
+    postings = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("int")
+    )
     doclens = toks.groupBy("doc_id").agg(F.count("*").cast("int").alias("dl"))
     return postings, doclens
 
@@ -64,8 +77,11 @@ def bm25_scores(
     """(doc_id, _bm25_score) for documents matching >=1 query term.
 
     The terms list is tiny -> the postings filter is a pushed-down IN
-    predicate; the per-term doc-frequency aggregation and the final
-    per-doc sum are both partial-aggregated map-side.
+    predicate.  Artifacts built by :func:`build_fts_artifacts` carry the
+    per-term document frequency already (``df`` column), so the only
+    query-time aggregation is the final per-doc sum; postings without the
+    column (pre-existing artifacts, ad-hoc frames) fall back to computing
+    it with one extra job.
     """
     if not query_terms:
         return postings.sparkSession.createDataFrame(
@@ -73,9 +89,13 @@ def bm25_scores(
         )
     terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
     matched = postings.where(F.col("term").isin(terms))
-    df_per_term = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    if "df" not in postings.columns:
+        df_per_term = matched.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        matched = matched.join(F.broadcast(df_per_term), "term")
     scored = (
-        matched.join(F.broadcast(df_per_term), "term")
+        matched
         .join(doclens, "doc_id")
         .withColumn(
             "idf",
