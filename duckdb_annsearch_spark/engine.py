@@ -1131,6 +1131,26 @@ class AnnEngine:
             explain.update(decision)
         return out
 
+    def enable_auto_acceleration(self) -> None:
+        """Make the transparent top-k rewrite IMPLICIT for this session —
+        the reference's hook rewrites every query unasked
+        (``src/ann_optimizer.cpp:568-576``); after this call so does the
+        engine: ``df.orderBy(array_distance(col, q)).limit(k)`` followed by
+        any action hits the index with zero engine calls in user code, and
+        ``spark.sql(...)`` routes through :meth:`sql`.  Non-matching plans
+        run unchanged and every hook fails open (see ``plans/auto.py``).
+        Scope: DataFrame actions process-wide, ``spark.sql`` this session;
+        undo with :meth:`disable_auto_acceleration`."""
+        from duckdb_annsearch_spark.plans import auto
+
+        auto.enable(self)
+
+    def disable_auto_acceleration(self) -> None:
+        """Restore the original DataFrame actions and ``spark.sql``."""
+        from duckdb_annsearch_spark.plans import auto
+
+        auto.disable()
+
     def _serve_index_topk(
         self, meta, base, cols, tie, dist, alias, k, query_vector, descending
     ) -> DataFrame:

@@ -142,3 +142,60 @@ def test_non_rewritable_shapes_pass_through(eng):
         out = eng.accelerate(plain, explain=exp)
         assert exp["rewritten"] is False
         assert out is plain
+
+
+def test_auto_acceleration_implicit_rewrite(eng, monkeypatch):
+    """enable_auto_acceleration: df.orderBy(dist).limit(k).collect() hits the
+    index with ZERO engine calls in user code (ann_optimizer.cpp:568-576
+    rewrites unasked); spark.sql routes through engine.sql; non-matching
+    plans and disable() behave exactly as before."""
+    q = [float(x) for x in _qvec(eng)]
+    df = eng.table("embeddings").df
+    plain = df.orderBy(array_distance("embedding", q)).limit(10)
+    want = [r["vec_id"] for r in eng.accelerate(plain).collect()]
+
+    seen = []
+    orig_accel = eng.accelerate
+
+    def spy(frame, explain=None):
+        e = {}
+        out = orig_accel(frame, explain=e)
+        seen.append(e)
+        return out
+
+    monkeypatch.setattr(eng, "accelerate", spy)
+    eng.enable_auto_acceleration()
+    try:
+        got = [r["vec_id"] for r in plain.collect()]  # no engine call here
+        assert got == want
+        assert seen and seen[-1]["rewritten"] is True
+        assert seen[-1]["index"] == "accel_flat"
+
+        # toPandas takes the same hook
+        seen.clear()
+        pdf = plain.toPandas()
+        assert list(pdf["vec_id"]) == want
+        assert seen and seen[-1]["rewritten"] is True
+
+        # non-matching plan passes through (offered, declined, identical)
+        seen.clear()
+        other = df.orderBy(F.col("vec_id").desc()).limit(3)
+        ids = [r["vec_id"] for r in other.collect()]
+        assert seen and seen[-1]["rewritten"] is False
+        assert len(ids) == 3
+
+        # spark.sql routes through the SQL rewrite: "embeddings" is the
+        # ENGINE-registered name (no temp view exists), so only the
+        # rewrite path can answer this — raw spark.sql would fail
+        vec = "array(" + ",".join(f"CAST({x} AS FLOAT)" for x in q) + ")"
+        res = eng.spark.sql(
+            f"SELECT * FROM embeddings ORDER BY array_distance(embedding, {vec}) ASC LIMIT 10"
+        )
+        assert [r["vec_id"] for r in res.collect()] == want
+    finally:
+        eng.disable_auto_acceleration()
+
+    # after disable: original methods restored, no more offers
+    seen.clear()
+    assert [r["vec_id"] for r in plain.limit(2).collect()] is not None
+    assert not seen
