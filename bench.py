@@ -51,6 +51,17 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # Micro kernel grid FIRST, before the Spark JVM exists: the grid measures
+    # the probe kernel's single-core capability (BASELINE.md's comparison
+    # point); 32 live executor threads contending for the same cores inflate
+    # a 6 µs kernel call to ~9 µs and measure scheduler noise, not the kernel.
+    errors = {}
+    try:
+        micro = micro_distance_bench()
+    except Exception as exc:
+        errors["micro"] = f"{type(exc).__name__}: {exc}"[:300]
+        micro = {}
+
     import __spark_entry__ as entrymod
     from duckdb_annsearch_spark.session import get_spark
 
@@ -88,7 +99,6 @@ def main():
     # warm the engine (Flat/IVF/graph/FTS index builds) as its own entry so
     # search timings measure search, not DDL
     t0 = time.time()
-    errors = {}
     try:
         entrymod._engine_for(spark, sf_dir)
         timings["index_build"] = round(time.time() - t0, 3)
@@ -108,12 +118,6 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.time() - t_start, 3)
-
-    try:
-        micro = micro_distance_bench()
-    except Exception as exc:
-        errors["micro"] = f"{type(exc).__name__}: {exc}"[:300]
-        micro = {}
 
     print(
         json.dumps(
