@@ -532,6 +532,102 @@ def q_graph_topk(spark, sf_dir):
     return _recall_floor_certified(hits, exact, 7, "graph")
 
 
+_SQ8_ENGINE_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _sq8_engine_for(spark, sf_dir):
+    """Engine with the quantized-index family, built once per process+sf:
+    Flat, SQ8-Flat, and the sharded out-of-core SQ8 graph (per-shard u8
+    codes under index-global min/scale — rust_lib/src/provider.rs:157-230,
+    DANN SQ8 trailing section rust_lib/src/file_format.rs:84-120)."""
+    import tempfile as _tf
+    from concurrent.futures import ThreadPoolExecutor
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    key = (id(spark), sf_dir)
+    if key in _SQ8_ENGINE_CACHE:
+        return _SQ8_ENGINE_CACHE[key]
+    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_sq8_"))
+    eng.register_table("embeddings", _read(spark, sf_dir, "embeddings"), row_id="vec_id")
+    builds = [
+        lambda: eng.create_index(
+            "info_flat", "embeddings", "embedding", engine="faiss", index_type="Flat"
+        ),
+        lambda: eng.create_index(
+            "info_sq8", "embeddings", "embedding", engine="faiss",
+            index_type="Flat", quantization="sq8",
+        ),
+        lambda: eng.streaming_build(
+            "info_gsq8", "embeddings", "embedding",
+            shards=4, shard_by="kmeans", quantization="sq8",
+        ),
+    ]
+    with ThreadPoolExecutor(3) as ex:
+        for f in [ex.submit(b) for b in builds]:
+            f.result()
+    _SQ8_ENGINE_CACHE[key] = eng
+    return eng
+
+
+def q_ann_list_info(spark, sf_dir):
+    """S8 ann_list + S9 ann_index_info, oracle-certified: catalog listing
+    joined to per-index diagnostics (src/ann_list.cpp:16-90,92-221) over a
+    deterministic index family (Flat, SQ8-Flat, sharded SQ8 graph).  The
+    artifact-size column is excluded (bytes are layout-dependent); name,
+    engine, table, column, num_vectors, num_deleted, and the quantized
+    flag are exact and DuckDB-checkable as literals."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    lst = eng.ann_list()
+    info = eng.ann_index_info().select(
+        "name",
+        F.col("column").alias("col_name"),
+        "num_vectors",
+        "num_deleted",
+        "quantized",
+    )
+    return (
+        lst.join(info, "name")
+        .select(
+            "name", "engine", "table_name", "col_name",
+            "num_vectors", "num_deleted", "quantized",
+        )
+        .orderBy("name")
+    )
+
+
+def q_sq8_rerank(spark, sf_dir):
+    """R4 SQ8 search, oracle-certified end-to-end: the quantized index
+    generates candidates (over-fetch 5x — dequantized u8 codes,
+    rust_lib/src/provider.rs:161-210), then an exact f64 re-rank on the
+    fetched rows restores full precision — the standard quantized-serving
+    shape (candidates from codes, re-rank from the source vectors), which
+    makes a lossy index brute-force-checkable."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_sq8", q, k=10, oversample=5)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_graph_sq8_topk(spark, sf_dir):
+    """Sharded out-of-core SQ8 graph search — approximate (no oracle), but
+    the plan embeds the same >=7/10 recall-floor certification as
+    ``graph_topk`` (diskann_streaming.test:44-49), here additionally
+    covering the quantization error: the floor is asserted against the
+    exact full-precision Flat top-10."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_gsq8", q, k=10).select("vec_id")
+    exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
+    return _recall_floor_certified(hits, exact, 7, "sharded-sq8 graph")
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """BM25 + f64 vector ranks + weighted RRF (engine FTS + rrf_fuse)."""
     from duckdb_annsearch_spark.operators.hybrid import rrf_fuse
@@ -971,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_partial_probe": q_ivf_partial_probe,
         "ivf_hier_probe": q_ivf_hier_probe,
         "graph_topk": q_graph_topk,
+        "ann_list_info": q_ann_list_info,
+        "sq8_rerank": q_sq8_rerank,
+        "graph_sq8_topk": q_graph_sq8_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "topk_filtered": q_topk_filtered,
         "ann_search_table": q_ann_search_table,
@@ -1088,6 +1187,20 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings e, q WHERE e.label = 3)
     SELECT vec_id, CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
     FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
+    """
+    oracles["sq8_rerank"] = _brute_topk_sql(sq)
+    oracles["ann_list_info"] = """
+    WITH nv AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT t.name AS name, t.engine AS engine, t.table_name AS table_name,
+           t.col_name AS col_name, nv.n AS num_vectors,
+           CAST(0 AS BIGINT) AS num_deleted, t.quantized AS quantized
+    FROM (VALUES
+      ('info_flat', 'faiss',   'embeddings', 'embedding', false),
+      ('info_gsq8', 'diskann', 'embeddings', 'embedding', true),
+      ('info_sq8',  'faiss',   'embeddings', 'embedding', true)
+    ) AS t(name, engine, table_name, col_name, quantized)
+    CROSS JOIN nv
+    ORDER BY name
     """
     d_qt = _sql_sqdist("e.embedding", "f.embedding")
     oracles["ann_search_table"] = f"""
