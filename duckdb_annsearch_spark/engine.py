@@ -55,20 +55,39 @@ _INDEX_CLASSES = {
 
 
 def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
-    """Map the FAISS factory-string subset the reference builds
-    (``src/faiss_index.cpp:39-60``: "Flat"/"IDMap,Flat", "HNSW<M>",
-    "IVF<nlist>,Flat") onto our index types + params."""
+    """Map FAISS factory strings onto our index types + params: the subset
+    the reference constructs (``src/faiss_index.cpp:39-60``: "Flat"/
+    "IDMap,Flat", "HNSW<M>", "IVF<nlist>,Flat") plus the quantized
+    composites its parser accepts but its tests never exercise — "SQ8",
+    "PQ<m>", "IVF<nlist>,SQ8", "IVF<nlist>,PQ<m>" — mapped to the native
+    SQ8/PQ machinery.  Anything else (OPQ/LSH/refine chains) is rejected
+    loudly rather than silently downgraded."""
     import re
 
     d = desc.strip().replace("IDMap,", "")
     if d.lower() == "flat":
         return "Flat", {}
+    if d.upper() == "SQ8":
+        return "Flat", {"quantization": "sq8"}
+    m = re.fullmatch(r"PQ(\d+)", d, re.IGNORECASE)
+    if m:
+        return "Flat", {"quantization": "pq", "pq_m": int(m.group(1))}
     m = re.fullmatch(r"HNSW(\d+)?", d, re.IGNORECASE)
     if m:
         return "HNSW", {"hnsw_m": int(m.group(1))} if m.group(1) else {}
     m = re.fullmatch(r"IVF(\d+),Flat", d, re.IGNORECASE)
     if m:
         return "IVFFlat", {"ivf_nlist": int(m.group(1))}
+    m = re.fullmatch(r"IVF(\d+),SQ8", d, re.IGNORECASE)
+    if m:
+        return "IVFFlat", {"ivf_nlist": int(m.group(1)), "quantization": "sq8"}
+    m = re.fullmatch(r"IVF(\d+),PQ(\d+)", d, re.IGNORECASE)
+    if m:
+        return "IVFFlat", {
+            "ivf_nlist": int(m.group(1)),
+            "quantization": "pq",
+            "pq_m": int(m.group(2)),
+        }
     raise ValueError(f"unsupported FAISS factory description {desc!r}")
 
 
@@ -182,6 +201,24 @@ class AnnEngine:
         else:
             raise ValueError(f"unknown index engine {engine!r} (diskann | faiss)")
         params.pop("type", None)
+
+        # quantization is an enum, not a hint: an unknown value silently
+        # building an UNquantized index would be a 4-32x memory surprise at
+        # serving time. PQ is implemented for the cell/flat artifacts; graph
+        # adjacency search uses SQ8 (reference parity: provider.rs SQ8 only)
+        quant = params.get("quantization")
+        if quant is not None:
+            quant = str(quant).lower()
+            params["quantization"] = quant
+            if quant not in ("sq8", "pq"):
+                raise ValueError(
+                    f"unknown quantization {quant!r} (sq8 | pq)"
+                )
+            if quant == "pq" and itype not in ("flat", "ivfflat"):
+                raise ValueError(
+                    "quantization='pq' is supported on Flat/IVFFlat indexes; "
+                    "graph indexes quantize with 'sq8'"
+                )
 
         # dimension: from metadata or a one-row probe (Spark arrays are not
         # fixed-size; the engine owns the dimension — SURVEY §1.2)
@@ -474,6 +511,12 @@ class AnnEngine:
         )
         if probe is None:
             raise ValueError(f"cannot infer dimension: {table}.{column} has no rows")
+        quant = params.get("quantization")
+        if quant is not None and str(quant).lower() != "sq8":
+            raise ValueError(
+                f"unknown quantization {quant!r} for graph builds (sq8 only; "
+                "'pq' is a Flat/IVFFlat option)"
+            )
         meta = IndexMeta(
             name=name,
             engine="diskann",

@@ -266,9 +266,17 @@ class BaseIndex:
         return np.asarray([r["row_id"] for r in rows], dtype=np.int64)
 
     def _dequant_args(self) -> dict | None:
-        if self.meta.quantized:
-            return {
-                "mins": self.meta.extra["sq8_mins"],
-                "scales": self.meta.extra["sq8_scales"],
-            }
-        return None
+        if not self.meta.quantized:
+            return None
+        if self.meta.extra.get("quantization") == "pq":
+            books = getattr(self, "_pq_codebooks", None)
+            if books is None:
+                from duckdb_annsearch_spark.index import pq
+
+                books = pq.load_codebooks(self.catalog.data_path(self.meta.name))
+                self._pq_codebooks = books
+            return {"codebooks": books}
+        return {
+            "mins": self.meta.extra["sq8_mins"],
+            "scales": self.meta.extra["sq8_scales"],
+        }

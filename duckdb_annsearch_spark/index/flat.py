@@ -39,13 +39,31 @@ class FlatIndex(BaseIndex):
         vector_col: str,
     ) -> "FlatIndex":
         art = with_labels(df, row_id_col, vector_col)
-        if meta.params.get("quantization") == "sq8":
+        quant = meta.params.get("quantization")
+        books = None
+        if quant == "sq8":
             mins, scales = compute_sq8_stats(art, meta.dim)
             art = add_sq8_codes(art, meta.dim, mins, scales)
             meta.quantized = True
             meta.extra["sq8_mins"] = mins
             meta.extra["sq8_scales"] = scales
+        elif quant == "pq":
+            from duckdb_annsearch_spark.index import pq
+
+            m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"))
+            # the training sample collects twice (stats + encode read the
+            # artifact separately) — pin one label assignment first
+            art = art.localCheckpoint(eager=False)
+            books = pq.train_pq(pq.stride_sample(art, meta.dim), m)
+            art = pq.add_pq_codes(art, meta.dim, books)
+            meta.quantized = True
+            meta.extra["quantization"] = "pq"
+            meta.extra["pq_m"] = m
         art.write.mode("overwrite").parquet(catalog.data_path(meta.name))
+        if books is not None:
+            from duckdb_annsearch_spark.index import pq
+
+            pq.write_codebooks(catalog.data_path(meta.name), books)
         idx = cls(catalog, meta)
         meta.num_vectors = idx.artifact().count()
         catalog.save(meta)

@@ -536,10 +536,24 @@ class IvfFlatIndex(BaseIndex):
             meta.quantized = True
             meta.extra["sq8_mins"] = mins
             meta.extra["sq8_scales"] = scales
+        books = None
+        if meta.params.get("quantization") == "pq":
+            from duckdb_annsearch_spark.index import pq
+
+            m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"))
+            books = pq.train_pq(pq.stride_sample(art, meta.dim), m)
+            assigned = pq.add_pq_codes(assigned, meta.dim, books)
+            meta.quantized = True
+            meta.extra["quantization"] = "pq"
+            meta.extra["pq_m"] = m
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
             catalog.data_path(meta.name)
         )
         art.unpersist()
+        if books is not None:
+            from duckdb_annsearch_spark.index import pq
+
+            pq.write_codebooks(catalog.data_path(meta.name), books)
         _write_centroids(catalog.data_path(meta.name), centroids)
         meta.extra["nlist"] = int(centroids.shape[0])
         idx = cls(catalog, meta)
@@ -590,9 +604,6 @@ class IvfFlatIndex(BaseIndex):
         dim, metric, k_ = self.meta.dim, self.meta.metric, k
         dq = self._dequant_args()
         vcol = "codes" if dq else "vector"
-        if dq:
-            dq_mins = np.asarray(dq["mins"], dtype=np.float32)
-            dq_scales = np.asarray(dq["scales"], dtype=np.float32)
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -603,10 +614,7 @@ class IvfFlatIndex(BaseIndex):
                     if not qids:
                         continue
                     if dq:
-                        codes = np.stack(
-                            [np.frombuffer(b, dtype=np.uint8) for b in grp[vcol]]
-                        ).astype(np.float32)
-                        x = codes / 255.0 * dq_scales + dq_mins
+                        x = kernels.decode_codes(grp[vcol], dq)
                     else:
                         x = kernels.stack_vectors(grp[vcol], dim)
                     d = kernels.pairwise_distances(qarr[qids], x, metric)
@@ -737,9 +745,6 @@ def _iter_cell_batches(path: str, dim: int, cells: list[int], dequantize: dict |
     data = ds.dataset(path, format="parquet", partitioning="hive")
     flt = ds.field("cluster_id").isin([int(c) for c in cells])
     vcol = "codes" if dequantize else "vector"
-    if dequantize:
-        mins = np.asarray(dequantize["mins"], dtype=np.float32)
-        scales = np.asarray(dequantize["scales"], dtype=np.float32)
     for batch in data.to_batches(
         columns=["row_id", vcol, "cluster_id"], filter=flt,
         batch_size=scan.DEFAULT_BATCH_ROWS,
@@ -748,10 +753,9 @@ def _iter_cell_batches(path: str, dim: int, cells: list[int], dequantize: dict |
             continue
         rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if dequantize:
-            codes = np.stack(
-                [np.frombuffer(b.as_py(), dtype=np.uint8) for b in batch.column(vcol)]
-            ).astype(np.float32)
-            x = codes / 255.0 * scales + mins
+            x = kernels.decode_codes(
+                [b.as_py() for b in batch.column(vcol)], dequantize
+            )
         else:
             x = scan._fixed_matrix(batch.column(vcol), dim)
         cids = batch.column("cluster_id").to_numpy(zero_copy_only=False)

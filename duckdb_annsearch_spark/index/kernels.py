@@ -211,6 +211,23 @@ def stack_vectors(series: pd.Series, dim: int) -> np.ndarray:
     return out
 
 
+def decode_codes(bufs, dq: dict) -> np.ndarray:
+    """(n, dim) float32 from a sequence of code byte-strings.
+
+    One decoder for both quantizations: SQ8 (``{'mins','scales'}`` — per-dim
+    affine, ``rust_lib/src/provider.rs:161-210``) and PQ
+    (``{'codebooks': (m,256,dsub)}`` — per-subspace centroid gather).  Every
+    probe path then runs the same GEMM on the reconstruction."""
+    codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in bufs])
+    if "codebooks" in dq:
+        from duckdb_annsearch_spark.index.pq import decode_pq
+
+        return decode_pq(codes, np.asarray(dq["codebooks"], dtype=np.float32))
+    mins = np.asarray(dq["mins"], dtype=np.float32)
+    scales = np.asarray(dq["scales"], dtype=np.float32)
+    return codes.astype(np.float32) / 255.0 * scales + mins
+
+
 def probe_partitions(
     artifact: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -238,12 +255,7 @@ def probe_partitions(
             if len(pdf) == 0:
                 continue
             if dq is not None:
-                codes = np.stack(
-                    [np.frombuffer(b, dtype=np.uint8) for b in pdf[vector_col]]
-                ).astype(np.float32)
-                mins = np.asarray(dq["mins"], dtype=np.float32)
-                scales = np.asarray(dq["scales"], dtype=np.float32)
-                x = codes / 255.0 * scales + mins
+                x = decode_codes(pdf[vector_col], dq)
             else:
                 x = stack_vectors(pdf[vector_col], dim)
             d = pairwise_distances(qarr, x, metric)

@@ -1,0 +1,144 @@
+"""Product quantization (PQ): per-subspace codebooks, 8-bit codes, ADC search.
+
+The reference parses arbitrary FAISS factory strings
+(``/root/reference/src/faiss_index.cpp:39-60``); the composites it accepts but
+never exercises in its tests (``PQ<m>``, ``IVF<n>,PQ<m>``) are implemented
+natively here: ``m`` subspaces of ``dim/m`` each, 256 centroids per subspace
+(one u8 code per subspace), trained by per-subspace k-means on a deterministic
+stride sample — the same sampling discipline as the reference's IVF
+``train_sample`` (``src/faiss_index.cpp:219-258``).
+
+Search computes candidate distances on the PQ *reconstruction*.  This is
+value-identical to the classical ADC lookup-table formulation — for L2,
+``sum_j ||q_j - c_{j,code_j}||^2 == ||q - reconstruct(codes)||^2`` because the
+subspaces are disjoint coordinate blocks — but expressed as the same float32
+GEMM probe every other artifact uses, so the whole serving stack (partition
+probe, query-distributed probe, IVF cell iteration) is shared with SQ8 rather
+than forked.  Memory: ``m`` bytes/vector vs ``4*dim`` raw (e.g. 32x at
+dim=64, m=8) — the quantization whose compression actually matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from duckdb_annsearch_spark.index import kernels
+
+DEFAULT_PQ_M = 8
+PQ_KSUB = 256  # 8-bit codes: one byte per subspace
+PQ_TRAIN_SAMPLE = 25_000
+CODEBOOK_FILE = "_pq_codebooks.npy"  # "_"-prefix: ignored by Spark + pyarrow
+
+
+def pq_m_for(dim: int, m: int | None) -> int:
+    """Validated subspace count: dim must split evenly into m blocks."""
+    m = int(m or DEFAULT_PQ_M)
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"pq_m={m} must be a positive divisor of the vector dimension {dim}"
+        )
+    return m
+
+
+def stride_sample(artifact: DataFrame, dim: int, sample_size: int = PQ_TRAIN_SAMPLE) -> np.ndarray:
+    """(n, dim) float32 training sample, deterministic: every ``stride``-th
+    label (the reference's stride sampling, ``src/faiss_index.cpp:237-247``).
+    Bounded driver memory: at most ``sample_size`` rows collect."""
+    n = artifact.count()
+    stride = max(1, n // max(1, sample_size))
+    rows = (
+        artifact.where((artifact.label % stride) == 0)
+        .select("vector")
+        .limit(sample_size)
+        .collect()
+    )
+    return np.asarray([r["vector"] for r in rows], dtype=np.float32).reshape(-1, dim)
+
+
+def train_pq(sample: np.ndarray, m: int, iters: int = 15, seed: int = 0) -> np.ndarray:
+    """(m, 256, dim//m) float32 codebooks — per-subspace Lloyd k-means,
+    deterministic (fixed seed, fixed iteration count, empty clusters keep
+    their previous centroid)."""
+    n, dim = sample.shape
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, PQ_KSUB, dsub), dtype=np.float32)
+    for j in range(m):
+        xs = np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub])
+        if n >= PQ_KSUB:
+            cents = xs[rng.choice(n, size=PQ_KSUB, replace=False)].copy()
+        else:
+            cents = xs[rng.choice(n, size=PQ_KSUB, replace=True)].copy()
+            cents += rng.randn(PQ_KSUB, dsub).astype(np.float32) * 1e-4
+        for _ in range(iters):
+            d = kernels.pairwise_distances(cents, xs, "l2")  # (ksub, n)
+            assign = np.argmin(d, axis=0)
+            new = cents.copy()
+            for c in range(PQ_KSUB):
+                mask = assign == c
+                if mask.any():
+                    new[c] = xs[mask].mean(axis=0)
+            if np.allclose(new, cents, atol=1e-7):
+                cents = new
+                break
+            cents = new
+        books[j] = cents
+    return books
+
+
+def encode_pq(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per-subspace nearest centroid."""
+    n, dim = x.shape
+    m, _ksub, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        xs = np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub])
+        d = kernels.pairwise_distances(books[j], xs, "l2")  # (ksub, n)
+        codes[:, j] = np.argmin(d, axis=0).astype(np.uint8)
+    return codes
+
+
+def decode_pq(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) float32 reconstruction: concatenated per-subspace centroids."""
+    n, m = codes.shape
+    _m, _ksub, dsub = books.shape
+    out = np.empty((n, m * dsub), dtype=np.float32)
+    for j in range(m):
+        out[:, j * dsub : (j + 1) * dsub] = books[j][codes[:, j]]
+    return out
+
+
+def add_pq_codes(artifact: DataFrame, dim: int, books: np.ndarray) -> DataFrame:
+    """Distributed encode: codes column = ``m`` bytes per row (mapInPandas;
+    the codebooks ship in the task closure — m*256*dsub f32, tens of KiB)."""
+    bb = np.ascontiguousarray(books, dtype=np.float32)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = kernels.stack_vectors(pdf["vector"], dim)
+            codes = encode_pq(x, bb)
+            pdf = pdf.copy()
+            pdf["codes"] = [codes[i].tobytes() for i in range(codes.shape[0])]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in artifact.schema.fields
+    )
+    return artifact.mapInPandas(encode, schema + ", codes binary")
+
+
+def write_codebooks(artifact_dir: str, books: np.ndarray) -> None:
+    import os
+
+    np.save(os.path.join(artifact_dir, CODEBOOK_FILE), books.astype(np.float32))
+
+
+def load_codebooks(artifact_dir: str) -> np.ndarray:
+    import os
+
+    return np.load(os.path.join(artifact_dir, CODEBOOK_FILE))

@@ -16,6 +16,8 @@ from collections.abc import Iterator
 
 import numpy as np
 
+from duckdb_annsearch_spark.index import kernels
+
 DEFAULT_BATCH_ROWS = 8192
 
 
@@ -40,19 +42,13 @@ def iter_vector_batches(
     if cluster_ids is not None:
         flt = ds.field("cluster_id").isin([int(c) for c in cluster_ids])
     cols = ["row_id", vector_col]
-    if dequantize is not None:
-        mins = np.asarray(dequantize["mins"], dtype=np.float32)
-        scales = np.asarray(dequantize["scales"], dtype=np.float32)
     for batch in data.to_batches(columns=cols, filter=flt, batch_size=batch_rows):
         if batch.num_rows == 0:
             continue
         rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
         col = batch.column(vector_col)
         if dequantize is not None:
-            codes = np.stack(
-                [np.frombuffer(b.as_py(), dtype=np.uint8) for b in col]
-            ).astype(np.float32)
-            x = codes / 255.0 * scales + mins
+            x = kernels.decode_codes([b.as_py() for b in col], dequantize)
         else:
             x = _fixed_matrix(col, dim)
         yield rid, x

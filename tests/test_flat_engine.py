@@ -134,6 +134,12 @@ def test_faiss_factory_description_and_mode(engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown FAISS mode"):
         engine.create_index("bad", "fvecs", "embedding", engine="faiss", mode="tpu")
-    with _pytest.raises(ValueError, match="unsupported FAISS factory"):
+    # PQ<m> is now a supported composite (index/pq.py) — the parse succeeds
+    # and validation moves to the dimension check; truly unknown composites
+    # (OPQ/LSH/refine chains) still reject at the parser
+    with _pytest.raises(ValueError, match="divisor of the vector dimension"):
         engine.create_index("bad2", "fvecs", "embedding", engine="faiss",
                             description="PQ16")
+    with _pytest.raises(ValueError, match="unsupported FAISS factory"):
+        engine.create_index("bad3", "fvecs", "embedding", engine="faiss",
+                            description="OPQ16,IVF64,PQ16")

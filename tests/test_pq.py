@@ -1,0 +1,133 @@
+"""Product quantization: PQ codebooks/codes/ADC search and the FAISS
+factory composites the reference's parser accepts
+(``src/faiss_index.cpp:39-60``) mapped to native machinery."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_vectors_df
+
+
+def _rand_rows(seed, n, dim):
+    rng = np.random.RandomState(seed)
+    return [(i, rng.rand(dim).astype(np.float32).tolist()) for i in range(n)]
+
+
+def test_pq_flat_flag_top1_and_recall(engine):
+    rows = _rand_rows(3, 200, 16)
+    engine.register_table("pv", make_vectors_df(engine.spark, rows, dim=16), row_id="id")
+    engine.create_index("pq_full", "pv", engine="faiss", index_type="Flat")
+    engine.create_index(
+        "pqidx", "pv", engine="faiss", index_type="Flat",
+        quantization="pq", pq_m=4,
+    )
+    info = {r["name"]: r for r in engine.ann_index_info().collect()}
+    assert info["pqidx"]["quantized"] is True
+    # exact-match top-1 survives the code granularity (the probe vector is
+    # itself a dataset row, so its reconstruction is the nearest centroid
+    # tuple by construction)
+    for probe_id in (0, 77, 199):
+        q = rows[probe_id][1]
+        res = engine.ann_search("pv", "pqidx", q, k=1).collect()
+        assert res[0]["id"] == probe_id
+    # candidate recall: PQ top-10 vs exact top-10
+    q = rows[5][1]
+    full = {r["id"] for r in engine.ann_search("pv", "pq_full", q, k=10).collect()}
+    quant = {r["id"] for r in engine.ann_search("pv", "pqidx", q, k=10).collect()}
+    assert len(full & quant) >= 6
+
+
+def test_pq_adc_equals_reconstruction_distance(engine):
+    """The GEMM-on-reconstruction distance must equal the classical ADC
+    lookup-table sum — disjoint subspaces make them the same number."""
+    from duckdb_annsearch_spark.index import pq
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(64, 12).astype(np.float32)
+    books = pq.train_pq(x, m=3)
+    codes = pq.encode_pq(x, books)
+    recon = pq.decode_pq(codes, books)
+    q = rng.rand(12).astype(np.float32)
+    # ADC: per-subspace lookup tables
+    dsub = 4
+    lut = np.stack(
+        [
+            ((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            for j in range(3)
+        ]
+    )  # (m, ksub)
+    adc = lut[np.arange(3)[:, None], codes.T].sum(axis=0)
+    rec = ((recon - q) ** 2).sum(axis=1)
+    np.testing.assert_allclose(adc, rec, rtol=1e-4, atol=1e-5)
+
+
+def test_pq_ivf_and_query_distributed_parity(engine):
+    rows = _rand_rows(21, 300, 8)
+    engine.register_table("pv2", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index(
+        "pq_ivf", "pv2", engine="faiss", index_type="IVFFlat",
+        ivf_nlist=4, nprobe=4, quantization="pq", pq_m=4,
+    )
+    q = rows[8][1]
+    res = engine.ann_search("pv2", "pq_ivf", q, k=5).collect()
+    assert res[0]["id"] == 8
+    # query-distributed twin returns the same rows as the driver-list path
+    idx = engine.get_index("pq_ivf")
+    qdf = engine.spark.createDataFrame(
+        [(0, q)], "query_idx long, query array<float>"
+    )
+    dist = idx.search_batch_df(qdf, 5).collect()
+    assert sorted(r["row_id"] for r in dist) == sorted(r["id"] for r in res)
+
+
+def test_pq_persistence_reload(engine):
+    """Codebooks live in the artifact dir; a fresh engine over the same
+    workdir must search identically (D8 restart semantics)."""
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    rows = _rand_rows(31, 120, 8)
+    df = make_vectors_df(engine.spark, rows, dim=8)
+    engine.register_table("pv3", df, row_id="id")
+    engine.create_index(
+        "pq_p", "pv3", engine="faiss", index_type="Flat",
+        quantization="pq", pq_m=2,
+    )
+    q = rows[3][1]
+    before = [(r["id"], r["_distance"]) for r in engine.ann_search("pv3", "pq_p", q, k=5).collect()]
+    eng2 = AnnEngine(engine.spark, workdir=engine.workdir)
+    eng2.register_table("pv3", df, row_id="id")
+    after = [(r["id"], r["_distance"]) for r in eng2.ann_search("pv3", "pq_p", q, k=5).collect()]
+    assert after == before
+
+
+def test_factory_composites(engine):
+    rows = _rand_rows(41, 80, 8)
+    engine.register_table("pv4", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index("f_sq8", "pv4", engine="faiss", description="SQ8")
+    engine.create_index("f_pq", "pv4", engine="faiss", description="PQ4")
+    engine.create_index("f_ivfsq", "pv4", engine="faiss", description="IVF4,SQ8", nprobe=4)
+    engine.create_index("f_ivfpq", "pv4", engine="faiss", description="IVF4,PQ2", nprobe=4)
+    info = {r["name"]: r for r in engine.ann_index_info().collect()}
+    assert all(info[n]["quantized"] for n in ("f_sq8", "f_pq", "f_ivfsq", "f_ivfpq"))
+    assert engine.catalog.load("f_ivfpq").index_type == "ivfflat"
+    assert engine.catalog.load("f_pq").extra["pq_m"] == 4
+    q = rows[7][1]
+    for n in ("f_sq8", "f_pq", "f_ivfsq", "f_ivfpq"):
+        assert engine.ann_search("pv4", n, q, k=1).collect()[0]["id"] == 7
+
+
+def test_quantization_rejections(engine):
+    rows = _rand_rows(51, 30, 6)
+    engine.register_table("pv5", make_vectors_df(engine.spark, rows, dim=6), row_id="id")
+    with pytest.raises(ValueError, match="unknown quantization"):
+        engine.create_index("bad_q", "pv5", engine="faiss", quantization="int4")
+    with pytest.raises(ValueError, match="sq8"):
+        engine.create_index("bad_gq", "pv5", engine="diskann", quantization="pq")
+    with pytest.raises(ValueError, match="divisor"):
+        engine.create_index(
+            "bad_m", "pv5", engine="faiss", quantization="pq", pq_m=4
+        )
+    with pytest.raises(ValueError, match="unsupported FAISS factory"):
+        engine.create_index("bad_f", "pv5", engine="faiss", description="OPQ16,IVF64,PQ16")
+    with pytest.raises(ValueError, match="sq8 only"):
+        engine.streaming_build("bad_sb", "pv5", quantization="pq")
