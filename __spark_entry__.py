@@ -920,6 +920,69 @@ def q_doc_stats(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (pipeline/quality.py): typed placeholder replacement +
+    per-type match counts, pure JVM regexp chain (RE2-compatible patterns so
+    the DuckDB oracle matches byte-for-byte).  The corpus text carries no
+    PII, so each doc is augmented with deterministic synthetic PII derived
+    from its id — both engines build the identical augmented text."""
+    from duckdb_annsearch_spark.pipeline.quality import pii_counts, scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    cnts = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        scrub_pii(aug).alias("clean"),
+        cnts["email"].cast("long").alias("n_email"),
+        cnts["ip"].cast("long").alias("n_ip"),
+        cnts["phone"].cast("long").alias("n_phone"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics (pipeline/quality.py): duplicate-line
+    fraction (lines synthesized deterministically — the corpus has no
+    newlines), duplicate-token fraction, and the top-bigram character
+    fraction (two partial-aggregated groupBys, no driver work)."""
+    from duckdb_annsearch_spark.pipeline.quality import (
+        dup_line_fraction,
+        dup_token_fraction,
+        top_bigram_char_fraction,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = F.regexp_replace(F.col("text"), "table", "\n")
+    rep = docs.select(
+        "doc_id",
+        dup_line_fraction(lined).alias("dup_line_frac"),
+        dup_token_fraction(F.col("text")).alias("dup_token_frac"),
+    )
+    tb = top_bigram_char_fraction(docs, "doc_id", "text")
+    return rep.join(tb, "doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (pipeline/quality.py): docs sharing any
+    8-token-gram with the benchmark set (here: doc_id < 5, so those five
+    are contaminated by construction) are flagged with their distinct
+    overlap count.  Benchmark grams aggregate + broadcast; the corpus side
+    is a map-side semi join — no corpus-sized shuffle."""
+    from duckdb_annsearch_spark.pipeline.quality import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 5)
+    return decontaminate(docs, bench, "doc_id", "text")
+
+
 # ---- relational shell (Spark built-ins; SURVEY §2.4) ----
 
 
@@ -1116,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_corpus": q_prepare_corpus,
         "langid": q_langid,
         "doc_stats": q_doc_stats,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "shipping_priority": q_shipping_priority,
@@ -1562,6 +1628,79 @@ def oracle_sql() -> dict[str, str]:
     ) WHERE rn = 1
     """
 
+    from duckdb_annsearch_spark.pipeline.quality import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    tkq = _SQL_TOKS.format(t="text")
+    oracles["pii_scrub"] = f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+          || (doc_id % 256)::VARCHAR || '.7 tel +1 (555) 010-'
+          || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id,
+           len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_email,
+           regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM aug),
+    s2 AS (SELECT doc_id, n_email,
+           len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS n_ip,
+           regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2 FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ip,
+           len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS n_phone,
+           regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean FROM s2)
+    SELECT doc_id, clean, n_email::BIGINT AS n_email, n_ip::BIGINT AS n_ip,
+           n_phone::BIGINT AS n_phone
+    FROM s3 ORDER BY doc_id
+    """
+    oracles["repetition_stats"] = f"""
+    WITH tok AS (SELECT doc_id, text, {tkq} AS tkn FROM documents),
+    ln AS (SELECT doc_id, list_filter(
+             string_split(regexp_replace(text, 'table', chr(10), 'g'), chr(10)),
+             x -> trim(x) <> '') AS lines FROM documents),
+    dl AS (SELECT doc_id, CASE WHEN len(lines) > 0
+             THEN round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+             ELSE 0.0 END AS dup_line_frac FROM ln),
+    dt AS (SELECT doc_id, CASE WHEN len(tkn) > 0
+             THEN round(1.0 - len(list_distinct(tkn))::DOUBLE / len(tkn), 6)
+             ELSE 0.0 END AS dup_token_frac FROM tok),
+    bg AS (SELECT doc_id, length(text)::DOUBLE AS chars,
+             unnest(list_transform(range(1, len(tkn)),
+                                   i -> tkn[i] || ' ' || tkn[i+1])) AS bigram
+           FROM tok WHERE len(tkn) >= 2),
+    cnt AS (SELECT doc_id, chars, bigram, count(*) AS c
+            FROM bg GROUP BY doc_id, chars, bigram),
+    best AS (SELECT doc_id,
+             round(least(c * length(bigram) / chars, 1.0), 6) AS top_bigram_frac,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, bigram DESC) AS rn FROM cnt)
+    SELECT d.doc_id AS doc_id, dl.dup_line_frac AS dup_line_frac,
+           dt.dup_token_frac AS dup_token_frac,
+           coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM documents d
+    JOIN dl USING(doc_id) JOIN dt USING(doc_id)
+    LEFT JOIN (SELECT doc_id, top_bigram_frac FROM best WHERE rn = 1) b USING(doc_id)
+    ORDER BY doc_id
+    """
+    g8 = " || ' ' || ".join(["tkn[i]"] + [f"tkn[i+{j}]" for j in range(1, 8)])
+    oracles["decontaminate"] = f"""
+    WITH tok AS (SELECT doc_id, {tkq} AS tkn FROM documents),
+    gr AS (SELECT doc_id, list_distinct(CASE WHEN len(tkn) >= 8
+             THEN list_transform(range(1, len(tkn) - 6), i -> {g8})
+             ELSE [] END) AS gs FROM tok),
+    bg AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id < 5),
+    dg AS (SELECT doc_id, unnest(gs) AS g FROM gr),
+    hits AS (SELECT dg.doc_id, count(*) AS overlap_ngrams
+             FROM dg JOIN bg USING(g) GROUP BY dg.doc_id)
+    SELECT d.doc_id AS doc_id,
+           coalesce(h.overlap_ngrams, 0)::BIGINT AS overlap_ngrams,
+           (coalesce(h.overlap_ngrams, 0) > 0) AS contaminated
+    FROM documents d LEFT JOIN hits h USING(doc_id)
+    ORDER BY doc_id
+    """
     oracles["pricing_summary"] = """
     SELECT l_returnflag, l_linestatus,
       CAST(sum(l_quantity::BIGINT) AS BIGINT) AS sum_qty,

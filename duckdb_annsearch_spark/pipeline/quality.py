@@ -1,0 +1,188 @@
+"""Corpus-hygiene operators for training-data pipelines: PII scrubbing,
+repetition-based quality stats (Gopher-style), and benchmark
+decontamination.
+
+These extend the reference's data-processing surface the way a 100 TB
+pretraining pipeline needs (no reference twin — the components are standard
+published practice: repetition filters from the Gopher/MassiveText rules,
+n-gram decontamination from GPT-3/PaLM appendix methodology).
+
+Cross-engine determinism contract (same as pipeline/text.py): every regex is
+RE2-compatible (no lookaheads, no backrefs, ASCII classes) so Spark's Java
+regex and DuckDB's RE2 match identically; ratios are computed in double and
+rounded to 6; n-gram hashing is the shared md5-based 60-bit token hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.operators.fts import tokenize
+from duckdb_annsearch_spark.pipeline.text import token_hash
+
+# PII patterns — deliberately conservative, RE2-safe, and applied in a fixed
+# order (email first: its local part can contain digits a later phone pass
+# would otherwise mangle; phone last so it cannot eat IPv4 octets).
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# international-ish phone: 9+ digits with optional separators, anchored on
+# digits at both ends; requires a leading + or ( so plain long numbers
+# (ids, years, quantities) are not scrubbed
+PII_PHONE_RE = r"[+(][0-9][0-9()\-. ]{6,}[0-9]"
+
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ip", PII_IPV4_RE, "<IP>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Text with emails/IPv4s/phone numbers replaced by typed placeholders.
+    Pure JVM ``regexp_replace`` chain — whole-stage codegen, no UDF."""
+    out = text
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type PII match counts, e.g. for routing documents to redaction.
+    Counted on the same fixed rule order as :func:`scrub_pii` (each count
+    sees the previous rules' replacements, so overlapping matches are
+    never double-counted)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in PII_RULES:
+        out[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier line
+    (Gopher repetition rule #1): ``1 - n_distinct/n``; empty docs -> 0."""
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n = F.size(lines).cast("double")
+    nd = F.size(F.array_distinct(lines)).cast("double")
+    return F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token: ``1 - distinct/n``."""
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    return F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
+
+
+def top_bigram_char_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, top_bigram_frac): fraction of the document's characters covered
+    by occurrences of its most frequent token 2-gram (Gopher repetition
+    rule: high = boilerplate/spam).  Shape: explode bigrams -> count per
+    (doc, bigram) -> max per doc — two partial-aggregated groupBys, no
+    driver work, no all-pairs anything; ties on count break by the
+    lexicographically smallest bigram for cross-engine determinism."""
+    toks = tokenize(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.length(F.col(text_col)).cast("double").alias("__chars"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    per_bigram = base.groupBy("__id", "__chars", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    # most frequent bigram per doc (ties -> lexicographically largest
+    # bigram: struct max orders by (cnt, bigram), which the oracle renders
+    # as ORDER BY cnt DESC, bigram DESC LIMIT 1 per doc); its occurrences
+    # cover cnt * len(bigram) characters — token chars + the joining
+    # space, a consistent, easily oracle-able proxy for the covered span
+    best = per_bigram.groupBy("__id", "__chars").agg(
+        F.max(F.struct(F.col("cnt"), F.col("bigram"))).alias("top")
+    )
+    frac = F.when(
+        F.col("__chars") > 0,
+        F.col("top.cnt") * F.length(F.col("top.bigram")) / F.col("__chars"),
+    ).otherwise(0.0)
+    scored = best.select(
+        F.col("__id").alias(id_col),
+        F.round(F.least(frac, F.lit(1.0)), 6).alias("top_bigram_frac"),
+    )
+    # docs with <2 tokens have no bigrams at all -> 0.0
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def _ngram_hashes(text: Column, n: int) -> Column:
+    """Distinct md5-hashed token n-grams of ``text`` (60-bit longs)."""
+    toks = tokenize(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: token_hash(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """(id, overlap_ngrams, contaminated): benchmark-overlap flags by
+    n-gram collision — the GPT-3-style decontamination check.
+
+    The benchmark side is aggregated to DISTINCT n-gram hashes and
+    broadcast (benchmarks are small — test sets, not corpora); the corpus
+    side explodes its n-grams and joins.  Per-corpus-document output rows:
+    how many distinct benchmark n-grams the document shares, and a flag.
+    At 100 TB the shuffle is corpus-ngrams x broadcast — map-side only."""
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(_ngram_hashes(F.col(bcol), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("overlap_ngrams"), F.lit(0)).cast("long").alias(
+                "overlap_ngrams"
+            ),
+            (F.coalesce(F.col("overlap_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

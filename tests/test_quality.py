@@ -1,0 +1,110 @@
+"""Corpus-hygiene ops: PII scrub, repetition stats, decontamination
+(pipeline/quality.py)."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scrub_pii_and_counts(spark):
+    from duckdb_annsearch_spark.pipeline.quality import pii_counts, scrub_pii
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at a.user+tag@example.co.uk or call +1 (555) 010-7788"),
+            (2, "server at 10.1.255.3 responded; no pii here otherwise"),
+            (3, "plain text, year 20250101 must survive"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii(F.col("text")).alias("clean"),
+            *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1]["clean"] and "example" not in out[1]["clean"]
+    assert "<PHONE>" in out[1]["clean"] and "555" not in out[1]["clean"]
+    assert out[1]["email"] == 1 and out[1]["phone"] == 1 and out[1]["ip"] == 0
+    assert "<IP>" in out[2]["clean"] and "10.1.255.3" not in out[2]["clean"]
+    assert out[2]["ip"] == 1
+    # long plain numbers are NOT phone numbers (no +/( anchor)
+    assert out[3]["clean"] == "plain text, year 20250101 must survive"
+    assert out[3]["email"] == out[3]["ip"] == out[3]["phone"] == 0
+
+
+def test_repetition_fractions(spark):
+    from duckdb_annsearch_spark.pipeline.quality import (
+        dup_line_fraction,
+        dup_token_fraction,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),  # 3/4 tokens duplicate
+            (2, "all tokens unique here"),
+            (3, "a\nb\na\n\n  \nb"),  # 4 non-empty lines, 2 duplicates
+            (4, ""),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_token_fraction(F.col("text")).alias("dt"),
+            dup_line_fraction(F.col("text")).alias("dl"),
+        ).collect()
+    }
+    assert out[1]["dt"] == 0.75
+    assert out[2]["dt"] == 0.0
+    assert out[3]["dl"] == 0.5
+    assert out[4]["dt"] == 0.0 and out[4]["dl"] == 0.0
+
+
+def test_top_bigram_char_fraction(spark):
+    from duckdb_annsearch_spark.pipeline.quality import top_bigram_char_fraction
+
+    df = _docs(
+        spark,
+        [
+            (1, "buy now buy now buy now"),  # "buy now" x3 of 23 chars
+            (2, "one two"),  # single bigram covers everything (capped at 1)
+            (3, "solo"),  # no bigram -> 0
+        ],
+    )
+    out = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in top_bigram_char_fraction(df, "doc_id", "text").collect()
+    }
+    assert out[1] == round(3 * len("buy now") / 23, 6)
+    assert out[2] == 1.0
+    assert out[3] == 0.0
+
+
+def test_decontaminate(spark):
+    from duckdb_annsearch_spark.pipeline.quality import decontaminate
+
+    words = "w%d"
+    mk = lambda lo: " ".join(words % i for i in range(lo, lo + 10))
+    corpus = _docs(
+        spark,
+        [
+            (1, mk(0)),       # shares its 8-grams with the benchmark
+            (2, mk(100)),     # disjoint vocabulary
+            (3, mk(0) + " tail deviation"),  # prefix overlap only
+            (4, "short doc"),  # <8 tokens: no grams at all
+        ],
+    )
+    bench = _docs(spark, [(99, mk(0))])
+    out = {
+        r["doc_id"]: r for r in decontaminate(corpus, bench, "doc_id", "text").collect()
+    }
+    assert out[1]["contaminated"] and out[1]["overlap_ngrams"] == 3
+    assert not out[2]["contaminated"] and out[2]["overlap_ngrams"] == 0
+    assert out[3]["contaminated"] and out[3]["overlap_ngrams"] == 3
+    assert not out[4]["contaminated"]

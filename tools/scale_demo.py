@@ -1,0 +1,152 @@
+"""Scale demonstration: sharded out-of-core graph build + serving at
+hundreds of thousands of vectors (the ROADMAP 50k sweep at 4-10x).
+
+    python tools/scale_demo.py [N] [dim] [shards] [--sq8]
+
+Generates N synthetic vectors DISTRIBUTEDLY (mapInPandas, per-row seeded —
+no driver materialization), builds the kmeans-sharded streaming graph
+(mmap DANN sidecars on), then measures:
+  * build wall seconds,
+  * recall@10 over 20 spread queries vs exact brute force,
+  * mean per-query probe wall,
+  * peak python-worker RSS during the probe phase (sampled from /proc) —
+    the number that decides whether a shard fits an executor.
+
+Prints one JSON line. The measured table lives in ROADMAP.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _worker_rss_sampler(stop: threading.Event, out: dict) -> None:
+    """Sample RSS of pyspark worker processes (python daemons forked for
+    UDF execution); record peak single-process and peak total MiB."""
+    me = os.getpid()
+    while not stop.is_set():
+        single, total = 0, 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode("utf-8", "ignore")
+                if "pyspark" not in cmd and "daemon" not in cmd:
+                    continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            kb = int(line.split()[1])
+                            single = max(single, kb)
+                            total += kb
+                            break
+            except (OSError, ValueError):
+                continue
+        out["peak_worker_rss_mib"] = max(out.get("peak_worker_rss_mib", 0), single // 1024)
+        out["peak_total_worker_rss_mib"] = max(
+            out.get("peak_total_worker_rss_mib", 0), total // 1024
+        )
+        stop.wait(0.2)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 250_000
+    dim = int(args[1]) if len(args) > 1 else 64
+    shards = int(args[2]) if len(args) > 2 else 32
+    sq8 = "--sq8" in sys.argv
+    n_queries, k = 20, 10
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+    from duckdb_annsearch_spark.session import get_spark
+
+    spark = get_spark("scale-demo")
+    tmp = tempfile.mkdtemp(prefix="scale_demo_")
+    data_path = os.path.join(tmp, "vectors.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                rng = np.random.RandomState(int(i) % (2**31))
+                out.append(rng.rand(dim).astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in out]})
+
+    (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(data_path)
+    )
+
+    eng = AnnEngine(spark, workdir=os.path.join(tmp, "engine"))
+    eng.register_table("vectors", data_path, row_id="vec_id")
+
+    t0 = time.time()
+    params = {"quantization": "sq8"} if sq8 else {}
+    eng.streaming_build(
+        "big_graph", "vectors", "embedding", shards=shards, shard_by="kmeans", **params
+    )
+    build_wall = round(time.time() - t0, 1)
+
+    # ground truth: exact brute force, driver-side numpy (this is the
+    # oracle, not the operator; N*dim*4 bytes = tens of MiB here)
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(data_path).sort_by("vec_id")
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_numpy()
+    q_ids = np.linspace(0, n - 1, n_queries).astype(int)
+
+    stop = threading.Event()
+    rss: dict = {}
+    sampler = threading.Thread(target=_worker_rss_sampler, args=(stop, rss), daemon=True)
+    sampler.start()
+
+    recalls, walls = [], []
+    for qi in q_ids:
+        q = x[qi]
+        d = ((x - q) ** 2).sum(axis=1)
+        truth = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+        t1 = time.time()
+        got = {
+            r["row_id"]
+            for r in eng.get_index("big_graph").search(q.tolist(), k).collect()
+        }
+        walls.append(time.time() - t1)
+        recalls.append(len(truth & got) / k)
+    stop.set()
+    sampler.join(timeout=2)
+
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "dim": dim,
+                "shards": shards,
+                "sq8": sq8,
+                "build_wall_sec": build_wall,
+                "recall_at_10": round(float(np.mean(recalls)), 3),
+                "min_recall_at_10": round(float(np.min(recalls)), 3),
+                "mean_probe_sec": round(float(np.mean(walls)), 2),
+                **rss,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
