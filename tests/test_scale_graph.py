@@ -1,0 +1,67 @@
+"""Scale regression for the sharded out-of-core graph path: recall must
+hold at row counts far beyond the unit fixtures (the suite's other graph
+tests run at 200-600 rows; ROADMAP.md records the 250k/500k tool
+measurements — this is the in-suite assertion of the same property).
+
+Build shape mirrors ``tools/scale_demo.py``: distributed synthetic
+vectors (no driver materialization), kmeans shards, mmap DANN sidecars on.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+N_ROWS = 25_000
+DIM = 32
+SHARDS = 16
+
+
+@pytest.fixture(scope="module")
+def big_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("scale") / "vectors.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                rng = np.random.RandomState(int(i) % (2**31))
+                vecs.append(rng.rand(DIM).astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    (
+        spark.range(N_ROWS)
+        .repartition(16)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_sharded_graph_recall_at_25k(engine, big_table):
+    import pyarrow.parquet as pq_
+
+    engine.register_table("big", big_table, row_id="vec_id")
+    engine.streaming_build(
+        "big_g", "big", "embedding", shards=SHARDS, shard_by="kmeans"
+    )
+
+    t = pq_.read_table(big_table).sort_by("vec_id")
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_numpy()
+    idx = engine.get_index("big_g")
+
+    k = 10
+    recalls = []
+    for qi in np.linspace(0, N_ROWS - 1, 5).astype(int):
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        truth = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+        got = {r["row_id"] for r in idx.search(x[qi].tolist(), k).collect()}
+        recalls.append(len(truth & got) / k)
+    # the reference's own floor is 0.7 (diskann_streaming.test:44-49); the
+    # sharded build has measured 1.0 at 50k-500k — 0.9 catches a real
+    # regression without flaking on kmeans layout variation
+    assert float(np.mean(recalls)) >= 0.9, recalls
+    assert min(recalls) >= 0.7, recalls
