@@ -79,6 +79,8 @@ def main():
         "ivf_full_probe",
         "ivf_hier_probe",
         "graph_topk",
+        "sq8_rerank",
+        "pq_rerank",
         "hybrid_rrf",
         # pipeline
         "minhash_sigs",
@@ -88,6 +90,9 @@ def main():
         "jaccard_pairs",
         "neardup_embeddings",
         "doc_stats",
+        "pii_scrub",
+        "repetition_stats",
+        "decontaminate",
         # relational
         "pricing_summary",
         "top_orders",
@@ -101,6 +106,7 @@ def main():
     t0 = time.time()
     try:
         entrymod._engine_for(spark, sf_dir)
+        entrymod._sq8_engine_for(spark, sf_dir)  # quantized family (sq8/pq/sharded-sq8)
         timings["index_build"] = round(time.time() - t0, 3)
         print(f"# index_build: {timings['index_build']}s", file=sys.stderr)
     except Exception as exc:

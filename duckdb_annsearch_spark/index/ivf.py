@@ -541,11 +541,19 @@ class IvfFlatIndex(BaseIndex):
             from duckdb_annsearch_spark.index import pq
 
             m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"))
-            books = pq.train_pq(pq.stride_sample(art, meta.dim), m)
-            assigned = pq.add_pq_codes(assigned, meta.dim, books)
+            # FAISS IVFPQ semantics: codebooks are trained on, and codes
+            # encode, the residual to the assigned coarse centroid — the
+            # codes only have to cover the within-cell distribution
+            books = pq.train_pq(
+                pq.residual_sample(assigned, meta.dim, centroids), m
+            )
+            assigned = pq.add_pq_codes(
+                assigned, meta.dim, books, residual_centroids=centroids
+            )
             meta.quantized = True
             meta.extra["quantization"] = "pq"
             meta.extra["pq_m"] = m
+            meta.extra["pq_residual"] = True
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
             catalog.data_path(meta.name)
         )
@@ -581,6 +589,16 @@ class IvfFlatIndex(BaseIndex):
             os.path.join(self.catalog.data_path(self.meta.name), CENTROID_FILE)
         )
 
+    def _dequant_args(self) -> dict | None:
+        """IVFPQ codes are residuals — ship the coarse centroids alongside
+        the codebooks so the probe can add them back per cell (nlist x dim
+        f32 in the task closure; small by construction)."""
+        dq = super()._dequant_args()
+        if dq is not None and self.meta.extra.get("pq_residual"):
+            dq = dict(dq)
+            dq["residual_centroids"] = self._centroids()
+        return dq
+
     def _probe_cells(self, queries: np.ndarray, nprobe: int) -> list[np.ndarray]:
         cent = self._centroids()
         nprobe = min(max(1, nprobe), cent.shape[0])
@@ -615,6 +633,9 @@ class IvfFlatIndex(BaseIndex):
                         continue
                     if dq:
                         x = kernels.decode_codes(grp[vcol], dq)
+                        rc = dq.get("residual_centroids")
+                        if rc is not None:
+                            x = x + rc[int(c)]
                     else:
                         x = kernels.stack_vectors(grp[vcol], dim)
                     d = kernels.pairwise_distances(qarr[qids], x, metric)
@@ -752,13 +773,16 @@ def _iter_cell_batches(path: str, dim: int, cells: list[int], dequantize: dict |
         if batch.num_rows == 0:
             continue
         rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cids = batch.column("cluster_id").to_numpy(zero_copy_only=False)
         if dequantize:
             x = kernels.decode_codes(
                 [b.as_py() for b in batch.column(vcol)], dequantize
             )
+            rc = dequantize.get("residual_centroids")
+            if rc is not None:
+                x = x + rc[cids.astype(np.int64)]
         else:
             x = scan._fixed_matrix(batch.column(vcol), dim)
-        cids = batch.column("cluster_id").to_numpy(zero_copy_only=False)
         # a record batch can straddle cells only if pyarrow merges fragments;
         # split defensively by cluster_id
         for cid in np.unique(cids):

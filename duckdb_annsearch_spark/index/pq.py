@@ -60,6 +60,28 @@ def stride_sample(artifact: DataFrame, dim: int, sample_size: int = PQ_TRAIN_SAM
     return np.asarray([r["vector"] for r in rows], dtype=np.float32).reshape(-1, dim)
 
 
+def residual_sample(
+    assigned: DataFrame,
+    dim: int,
+    centroids: np.ndarray,
+    sample_size: int = PQ_TRAIN_SAMPLE,
+) -> np.ndarray:
+    """(n, dim) float32 training sample of RESIDUALS ``x - centroid[cell]``
+    — FAISS IVFPQ trains its codebooks on coarse residuals, not raw
+    vectors (the residual distribution is what the codes must cover)."""
+    n = assigned.count()
+    stride = max(1, n // max(1, sample_size))
+    rows = (
+        assigned.where((assigned.label % stride) == 0)
+        .select("vector", "cluster_id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["vector"] for r in rows], dtype=np.float32).reshape(-1, dim)
+    cids = np.asarray([r["cluster_id"] for r in rows], dtype=np.int64)
+    return x - centroids[cids]
+
+
 def train_pq(sample: np.ndarray, m: int, iters: int = 15, seed: int = 0) -> np.ndarray:
     """(m, 256, dim//m) float32 codebooks — per-subspace Lloyd k-means,
     deterministic (fixed seed, fixed iteration count, empty clusters keep
@@ -113,14 +135,28 @@ def decode_pq(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     return out
 
 
-def add_pq_codes(artifact: DataFrame, dim: int, books: np.ndarray) -> DataFrame:
+def add_pq_codes(
+    artifact: DataFrame,
+    dim: int,
+    books: np.ndarray,
+    residual_centroids: np.ndarray | None = None,
+) -> DataFrame:
     """Distributed encode: codes column = ``m`` bytes per row (mapInPandas;
-    the codebooks ship in the task closure — m*256*dsub f32, tens of KiB)."""
+    the codebooks ship in the task closure — m*256*dsub f32, tens of KiB).
+    With ``residual_centroids`` the codes encode ``x - centroid[cluster_id]``
+    (FAISS IVFPQ residual semantics; requires a ``cluster_id`` column)."""
     bb = np.ascontiguousarray(books, dtype=np.float32)
+    cent = (
+        np.ascontiguousarray(residual_centroids, dtype=np.float32)
+        if residual_centroids is not None
+        else None
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             x = kernels.stack_vectors(pdf["vector"], dim)
+            if cent is not None:
+                x = x - cent[pdf["cluster_id"].to_numpy()]
             codes = encode_pq(x, bb)
             pdf = pdf.copy()
             pdf["codes"] = [codes[i].tobytes() for i in range(codes.shape[0])]

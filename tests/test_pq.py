@@ -80,6 +80,34 @@ def test_pq_ivf_and_query_distributed_parity(engine):
     assert sorted(r["row_id"] for r in dist) == sorted(r["id"] for r in res)
 
 
+def test_ivfpq_residual_encoding(engine):
+    """IVFPQ codes encode residuals to the coarse centroid (FAISS
+    semantics): flag persisted, full-probe distances approximate exact
+    within the residual-code granularity, and both search paths agree."""
+    rng = np.random.RandomState(77)
+    # clustered data: residual coding shines when cells are tight
+    centers = rng.rand(4, 8).astype(np.float32) * 10
+    rows = [
+        (i, (centers[i % 4] + rng.rand(8).astype(np.float32) * 0.5).tolist())
+        for i in range(240)
+    ]
+    engine.register_table("rv", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index("rv_full", "rv", engine="faiss", index_type="Flat")
+    engine.create_index(
+        "rv_ivfpq", "rv", engine="faiss", description="IVF4,PQ4", nprobe=4
+    )
+    assert engine.catalog.load("rv_ivfpq").extra["pq_residual"] is True
+    q = rows[17][1]
+    full = engine.ann_search("rv", "rv_full", q, k=10).collect()
+    quant = engine.ann_search("rv", "rv_ivfpq", q, k=10).collect()
+    overlap = len({r["id"] for r in full} & {r["id"] for r in quant})
+    assert overlap >= 8
+    # ADC-on-residual distance tracks the exact distance closely on
+    # clustered data (cell spread 0.5 per dim -> residual error << 1)
+    for fr, qr in zip(full, quant):
+        assert abs(fr["_distance"] - qr["_distance"]) < 0.5
+
+
 def test_pq_persistence_reload(engine):
     """Codebooks live in the artifact dir; a fresh engine over the same
     workdir must search identically (D8 restart semantics)."""
