@@ -567,12 +567,19 @@ def _sq8_engine_for(spark, sf_dir):
             "info_pq", "embeddings", "embedding", engine="faiss",
             description="PQ16",
         ),
+        # IVFPQ: coarse cells + residual-coded PQ (FAISS semantics);
+        # nprobe=nlist so candidate coverage is probe-complete and only
+        # ADC granularity limits it (measured 10/10 at 10x over-fetch)
+        lambda: eng.create_index(
+            "info_ivfpq", "embeddings", "embedding", engine="faiss",
+            description="IVF8,PQ16", nprobe=8,
+        ),
         lambda: eng.streaming_build(
             "info_gsq8", "embeddings", "embedding",
             shards=4, shard_by="kmeans", quantization="sq8",
         ),
     ]
-    with ThreadPoolExecutor(4) as ex:
+    with ThreadPoolExecutor(5) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _SQ8_ENGINE_CACHE[key] = eng
@@ -633,6 +640,23 @@ def q_pq_rerank(spark, sf_dir):
     eng = _sq8_engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "info_pq", q, k=10, oversample=10)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_ivfpq_rerank(spark, sf_dir):
+    """IVFPQ (residual-coded, FAISS semantics) oracle-certified end-to-end:
+    full-probe candidates from 16-byte residual codes (over-fetch 10x),
+    exact f64 re-rank — certifies the coarse assign + residual encode +
+    centroid add-back + ADC chain against brute force."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_ivfpq", q, k=10, oversample=10, nprobe=8)
     d = _sqdist64("embedding", q)
     return (
         hits.select("vec_id", d.alias("_dx"))
@@ -1160,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_list_info": q_ann_list_info,
         "sq8_rerank": q_sq8_rerank,
         "pq_rerank": q_pq_rerank,
+        "ivfpq_rerank": q_ivfpq_rerank,
         "graph_sq8_topk": q_graph_sq8_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "topk_filtered": q_topk_filtered,
@@ -1284,16 +1309,18 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["sq8_rerank"] = _brute_topk_sql(sq)
     oracles["pq_rerank"] = _brute_topk_sql(sq)
+    oracles["ivfpq_rerank"] = _brute_topk_sql(sq)
     oracles["ann_list_info"] = """
     WITH nv AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL)
     SELECT t.name AS name, t.engine AS engine, t.table_name AS table_name,
            t.col_name AS col_name, nv.n AS num_vectors,
            CAST(0 AS BIGINT) AS num_deleted, t.quantized AS quantized
     FROM (VALUES
-      ('info_flat', 'faiss',   'embeddings', 'embedding', false),
-      ('info_gsq8', 'diskann', 'embeddings', 'embedding', true),
-      ('info_pq',   'faiss',   'embeddings', 'embedding', true),
-      ('info_sq8',  'faiss',   'embeddings', 'embedding', true)
+      ('info_flat',  'faiss',   'embeddings', 'embedding', false),
+      ('info_gsq8',  'diskann', 'embeddings', 'embedding', true),
+      ('info_ivfpq', 'faiss',   'embeddings', 'embedding', true),
+      ('info_pq',    'faiss',   'embeddings', 'embedding', true),
+      ('info_sq8',   'faiss',   'embeddings', 'embedding', true)
     ) AS t(name, engine, table_name, col_name, quantized)
     CROSS JOIN nv
     ORDER BY name

@@ -144,8 +144,14 @@ def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> n
         qv = q[0]
         if x.size <= _SMALL_BLOCK:
             # ONE GEMV: [x | ||x||^2 | 1] @ [-2q, 1, ||q||^2], both
-            # operands identity-cached across the task's batches
-            d = _x_augmented(x) @ _q_augmented(q)
+            # operands identity-cached across the task's batches.  At
+            # narrow dims the C einsum's plain loop beats the BLAS matmul
+            # entry (~2.4 vs ~3.8 us at 64x130 — dispatch, not FLOPs)
+            xa, qa = _x_augmented(x), _q_augmented(q)
+            if xa.shape[1] <= 256:
+                d = _c_einsum("ij,j->i", xa, qa)
+            else:
+                d = xa @ qa
         else:
             d = x @ (qv * np.float32(-2.0))  # -2 folded into the GEMV operand
             d += _x_sqnorms(x)
