@@ -86,6 +86,41 @@ def test_top_bigram_char_fraction(spark):
     assert out[3] == 0.0
 
 
+def test_hygiene_exprs_on_stream(spark, tmp_path):
+    """The scrub/repetition expressions are stateless column expressions —
+    they must run unchanged on a Structured Streaming source (the
+    continuous-ingestion hygiene pass)."""
+    from duckdb_annsearch_spark.pipeline.quality import (
+        dup_token_fraction,
+        scrub_pii,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "mail root@host.org now"), (2, "dup dup dup")],
+        "doc_id long, text string",
+    ).repartition(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+    out = stream.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("clean"),
+        dup_token_fraction(F.col("text")).alias("dt"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hygienestream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.table("hygienestream").collect()}
+    assert got[1]["clean"] == "mail <EMAIL> now"
+    assert abs(got[2]["dt"] - 2 / 3) < 1e-6
+
+
 def test_decontaminate(spark):
     from duckdb_annsearch_spark.pipeline.quality import decontaminate
 
