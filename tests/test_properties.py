@@ -99,3 +99,41 @@ def test_sq8_error_bound(dim, seed):
     deq = codes.astype(np.float32) / 255.0 * scales + mins
     # quantization error per dim <= half a code step
     assert np.all(np.abs(deq - x) <= scales / 255.0 / 2 + 1e-5)
+
+
+@given(
+    n=st.integers(min_value=4, max_value=50),
+    m=st.sampled_from([1, 2, 4]),
+    dsub=st.integers(min_value=1, max_value=4),
+    seed=seeds,
+)
+@settings(max_examples=30, deadline=None)
+def test_pq_adc_identity_and_idempotence(n, m, dsub, seed):
+    """PQ invariants: (1) the ADC lookup-table distance equals the
+    reconstruction distance for every candidate (disjoint subspaces);
+    (2) decode(encode(decode(codes))) == decode(codes) — reconstructions
+    are fixed points up to duplicate-centroid ties (with fewer training
+    rows than centroids, near-identical centroids are legal and argmin may
+    pick either, so code identity is NOT the invariant)."""
+    from duckdb_annsearch_spark.index.pq import decode_pq, encode_pq, train_pq
+
+    dim = m * dsub
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, dim).astype(np.float32)
+    books = train_pq(x, m, iters=5, seed=seed % 1000)
+    codes = encode_pq(x, books)
+    recon = decode_pq(codes, books)
+    q = rng.rand(dim).astype(np.float32)
+    lut = np.stack(
+        [
+            ((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )
+    adc = lut[np.arange(m)[:, None], codes.T.astype(np.int64)].sum(axis=0)
+    rec = ((recon - q) ** 2).sum(axis=1)
+    np.testing.assert_allclose(adc, rec, rtol=1e-3, atol=1e-4)
+    # tolerance covers the 1e-4 jitter train_pq adds to duplicated init
+    # points when n < 256: tied re-encodes may land on a jittered twin
+    recon2 = decode_pq(encode_pq(recon, books), books)
+    np.testing.assert_allclose(recon2, recon, atol=1e-3)
