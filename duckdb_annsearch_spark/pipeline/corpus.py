@@ -30,13 +30,43 @@ def prepare_corpus(
     min_quality: float = 0.3,
     dedup: str = "exact",
     jaccard_threshold: float = 0.8,
+    scrub: bool = False,
+    max_dup_token_frac: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 8,
 ) -> DataFrame:
     """Filtered + deduplicated corpus, original schema plus ``lang`` and
     ``quality`` columns.  ``dedup``: 'exact' | 'near' | 'fuzzy' | 'none'
     ('near' drops direct-pair losers — one posting-list join; 'fuzzy' runs
     the full MinHash-LSH → verify → connected-components pipeline, so
-    transitive chains A~B~C collapse to one survivor)."""
-    out = df.withColumn("lang", detect_language(F.col(text_col))).withColumn(
+    transitive chains A~B~C collapse to one survivor).
+
+    Hygiene stages (pipeline/quality.py), all optional: ``scrub=True``
+    replaces PII in ``text_col`` with typed placeholders BEFORE any other
+    stage (scores and dedup keys see the scrubbed text — two copies of a
+    document differing only in the PII they leak are duplicates);
+    ``max_dup_token_frac`` drops repetition spam (Gopher rule);
+    ``benchmark`` drops any document sharing a ``decontaminate_n``-gram
+    with it (test-set decontamination)."""
+    out = df
+    if scrub:
+        from duckdb_annsearch_spark.pipeline.quality import scrub_pii
+
+        out = out.withColumn(text_col, scrub_pii(F.col(text_col)))
+    if max_dup_token_frac is not None:
+        from duckdb_annsearch_spark.pipeline.quality import dup_token_fraction
+
+        out = out.where(
+            dup_token_fraction(F.col(text_col)) <= float(max_dup_token_frac)
+        )
+    if benchmark is not None:
+        from duckdb_annsearch_spark.pipeline.quality import decontaminate
+
+        clean = decontaminate(
+            out, benchmark, id_col, text_col, n=decontaminate_n
+        ).where(~F.col("contaminated")).select(id_col)
+        out = out.join(clean, on=id_col, how="left_semi")
+    out = out.withColumn("lang", detect_language(F.col(text_col))).withColumn(
         "quality", quality_score(F.col(text_col))  # already rounded to 6
     )
     if langs:

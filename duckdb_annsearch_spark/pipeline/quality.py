@@ -133,20 +133,20 @@ def top_bigram_char_fraction(df: DataFrame, id_col: str, text_col: str) -> DataF
 
 
 def _ngram_hashes(text: Column, n: int) -> Column:
-    """Distinct md5-hashed token n-grams of ``text`` (60-bit longs)."""
+    """Distinct md5-hashed token n-grams of ``text`` (60-bit longs).
+
+    Built by iterated ``zip_with`` over shifted slices — n-1 linear zips —
+    never ``transform``+``element_at`` into the token array, which
+    re-evaluates the tokenizer expression per element inside a Generate
+    (the O(tokens^2) trap documented at :func:`top_bigram_char_fraction`)."""
     toks = tokenize(text)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: token_hash(
-                F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return F.array_distinct(grams)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(F.transform(grams, token_hash))
 
 
 def decontaminate(

@@ -361,3 +361,33 @@ def test_duplicate_clusters_driver_fastpath_matches_distributed(spark):
     assert by_id[30] == 30  # singleton keeps its own id
     # 5 and 6 are linked only through 100, which is not in ids: no merge
     assert by_id[5] == 5 and by_id[6] == 6 and by_id[7] == 7
+
+
+def test_prepare_corpus_hygiene_stages(spark):
+    """scrub + repetition cap + decontamination compose with the filter/
+    dedup stages; scrubbing runs FIRST so PII-only-differing copies
+    dedup as equals."""
+    from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog write to a@x.com now"),
+        (2, "the quick brown fox jumps over the lazy dog write to b@y.org now"),  # PII twin
+        (3, "the spam the spam the spam the spam the spam the spam the spam"),    # repetition
+        (4, "the data for the model is that good and the text is clean for training"),
+        (5, "the held out benchmark sentence that must never be in the training set at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([rows[4]], "doc_id long, text string")
+    out = prepare_corpus(
+        df,
+        dedup="exact",
+        scrub=True,
+        max_dup_token_frac=0.6,
+        benchmark=bench,
+    ).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    # 2 dedups against 1 (identical after scrub), 3 is repetition spam,
+    # 5 is contaminated; 1 and 4 survive
+    assert ids == [1, 4]
+    texts = {r["doc_id"]: r["text"] for r in out}
+    assert "<EMAIL>" in texts[1] and "a@x.com" not in texts[1]
