@@ -128,6 +128,26 @@ def test_pq_persistence_reload(engine):
     assert after == before
 
 
+def test_pq_lifecycle_delete_vacuum(engine):
+    """D4/D5 on a quantized index: tombstoned rows vanish from results,
+    vacuum retrains codebooks on the live rows and stays quantized."""
+    rows = _rand_rows(61, 150, 8)
+    engine.register_table("pv6", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index(
+        "pq_lc", "pv6", engine="faiss", description="IVF4,PQ4", nprobe=4
+    )
+    q = rows[10][1]
+    engine.delete("pv6", [10])
+    got = [r["id"] for r in engine.ann_search("pv6", "pq_lc", q, k=5).collect()]
+    assert 10 not in got
+    engine.vacuum("pq_lc")
+    meta = engine.catalog.load("pq_lc")
+    assert meta.quantized and meta.extra.get("pq_residual") is True
+    assert meta.num_deleted == 0
+    got2 = [r["id"] for r in engine.ann_search("pv6", "pq_lc", q, k=5).collect()]
+    assert 10 not in got2 and len(got2) == 5
+
+
 def test_factory_composites(engine):
     rows = _rand_rows(41, 80, 8)
     engine.register_table("pv4", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
