@@ -112,6 +112,11 @@ def compute_sq8_stats(artifact: DataFrame, dim: int) -> tuple[list[float], list[
     parts = artifact.select("vector").mapInPandas(
         partial, "mins array<double>, maxs array<double>"
     ).collect()
+    if not parts:
+        # zero indexable rows (legal: CREATE INDEX on an empty table, or
+        # vacuum after delete-all) — identity stats; inserts land in the
+        # full-precision delta and a later vacuum recomputes real stats
+        return [0.0] * dim, [1.0] * dim
     mins = np.min([p["mins"] for p in parts], axis=0).astype(np.float32)
     maxs = np.max([p["maxs"] for p in parts], axis=0).astype(np.float32)
     scales = np.maximum(maxs - mins, 1e-12).astype(np.float32)

@@ -90,6 +90,12 @@ def train_pq(sample: np.ndarray, m: int, iters: int = 15, seed: int = 0) -> np.n
     dsub = dim // m
     rng = np.random.RandomState(seed)
     books = np.empty((m, PQ_KSUB, dsub), dtype=np.float32)
+    if n == 0:
+        # zero indexable rows (empty table / vacuum after delete-all):
+        # zero codebooks — nothing to encode, inserts ride the
+        # full-precision delta until a vacuum retrains
+        books[:] = 0.0
+        return books
     for j in range(m):
         xs = np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub])
         if n >= PQ_KSUB:

@@ -179,3 +179,38 @@ def test_quantization_rejections(engine):
         engine.create_index("bad_f", "pv5", engine="faiss", description="OPQ16,IVF64,PQ16")
     with pytest.raises(ValueError, match="sq8 only"):
         engine.streaming_build("bad_sb", "pv5", quantization="pq")
+
+
+def test_quantized_empty_table_build_and_lifecycle(engine):
+    """CREATE INDEX on a zero-row table with quantization (sq8 and pq) must
+    build (identity stats / zero codebooks), serve empty results, accept
+    inserts via the full-precision delta, and retrain on vacuum."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = engine.spark.createDataFrame([], schema)
+    engine.register_table("eq", empty, row_id="id")
+    engine.create_index(
+        "eq_sq8", "eq", "v", engine="faiss", index_type="Flat",
+        quantization="sq8", dim=4,
+    )
+    engine.create_index(
+        "eq_pq", "eq", "v", engine="faiss", index_type="Flat",
+        quantization="pq", dim=4, pq_m=2,
+    )
+    for n in ("eq_sq8", "eq_pq"):
+        assert engine.ann_search("eq", n, [0.0] * 4, k=3).count() == 0
+    rows = [(i, [float(i)] * 4) for i in range(12)]
+    engine.insert("eq", engine.spark.createDataFrame(rows, schema))
+    got = [r["id"] for r in engine.ann_search("eq", "eq_pq", [5.0] * 4, k=3).collect()]
+    assert got[0] == 5
+    engine.vacuum("eq_pq")
+    meta = engine.catalog.load("eq_pq")
+    assert meta.quantized and meta.num_vectors == 12
+    got2 = [r["id"] for r in engine.ann_search("eq", "eq_pq", [5.0] * 4, k=3).collect()]
+    assert got2[0] == 5
