@@ -44,26 +44,45 @@ except Exception:  # pragma: no cover - numpy version dependent
 # micro bench's fixed grid) — FAISS likewise stores precomputed norms next
 # to its vectors. Guarded by a weakref: a hit requires the weakref to still
 # resolve to the SAME array object, so id() reuse after gc can never serve
-# stale norms. Bounded at 16 blocks (norms are n floats — tiny).
+# stale values; a death callback evicts the entry the moment the source
+# array is collected, so derived arrays never outlive their block. Bounded
+# at 16 entries as a backstop.
+#
+# CONTRACT: identity-keyed means identity-implies-contents — callers must
+# NOT mutate a query or candidate array in place between calls (pass a
+# fresh array per distinct value, as every internal probe loop does); an
+# in-place writer would be served operands computed from the old contents.
 _XNORM_CACHE: dict[int, tuple] = {}
 
 
-def _x_sqnorms(x: np.ndarray) -> np.ndarray:
+def _ident_cache_get(cache: dict, arr: np.ndarray):
+    ent = cache.get(id(arr))
+    if ent is not None:
+        ref, v = ent
+        if ref() is arr:
+            return v
+    return None
+
+
+def _ident_cache_put(cache: dict, arr: np.ndarray, value) -> None:
     import weakref
 
-    ent = _XNORM_CACHE.get(id(x))
-    if ent is not None:
-        ref, xx = ent
-        if ref() is x:
-            return xx
-    xx = _c_einsum("ij,ij->i", x, x)
-    if len(_XNORM_CACHE) >= 16:
-        for k in list(_XNORM_CACHE)[:8]:  # drop oldest half (insertion order)
-            _XNORM_CACHE.pop(k, None)
+    key = id(arr)
     try:
-        _XNORM_CACHE[id(x)] = (weakref.ref(x), xx)
+        ref = weakref.ref(arr, lambda _r, _c=cache, _k=key: _c.pop(_k, None))
     except TypeError:
-        pass  # non-weakref-able input; just skip caching
+        return  # non-weakref-able input; just skip caching
+    if len(cache) >= 16:
+        for k in list(cache)[:8]:  # drop oldest half (insertion order)
+            cache.pop(k, None)
+    cache[key] = (ref, value)
+
+
+def _x_sqnorms(x: np.ndarray) -> np.ndarray:
+    xx = _ident_cache_get(_XNORM_CACHE, x)
+    if xx is None:
+        xx = _c_einsum("ij,ij->i", x, x)
+        _ident_cache_put(_XNORM_CACHE, x, xx)
     return xx
 
 
@@ -77,25 +96,15 @@ _SMALL_BLOCK = 24576
 
 
 def _x_augmented(x: np.ndarray) -> np.ndarray:
-    import weakref
-
-    ent = _XAUG_CACHE.get(id(x))
-    if ent is not None:
-        ref, xa = ent
-        if ref() is x:
-            return xa
+    xa = _ident_cache_get(_XAUG_CACHE, x)
+    if xa is not None:
+        return xa
     n, d = x.shape
     xa = np.empty((n, d + 2), dtype=np.float32)
     xa[:, :d] = x
     xa[:, d] = _c_einsum("ij,ij->i", x, x)
     xa[:, d + 1] = 1.0
-    if len(_XAUG_CACHE) >= 16:
-        for k in list(_XAUG_CACHE)[:8]:
-            _XAUG_CACHE.pop(k, None)
-    try:
-        _XAUG_CACHE[id(x)] = (weakref.ref(x), xa)
-    except TypeError:
-        pass
+    _ident_cache_put(_XAUG_CACHE, x, xa)
     return xa
 
 
@@ -106,26 +115,16 @@ _QAUG_CACHE: dict[int, tuple] = {}
 
 
 def _q_augmented(q: np.ndarray) -> np.ndarray:
-    import weakref
-
-    ent = _QAUG_CACHE.get(id(q))
-    if ent is not None:
-        ref, qa = ent
-        if ref() is q:
-            return qa
+    qa = _ident_cache_get(_QAUG_CACHE, q)
+    if qa is not None:
+        return qa
     qv = q[0]
     dim = qv.shape[0]
     qa = np.empty(dim + 2, dtype=np.float32)
     np.multiply(qv, np.float32(-2.0), out=qa[:dim])
     qa[dim] = 1.0
     qa[dim + 1] = qv @ qv
-    if len(_QAUG_CACHE) >= 16:
-        for k in list(_QAUG_CACHE)[:8]:
-            _QAUG_CACHE.pop(k, None)
-    try:
-        _QAUG_CACHE[id(q)] = (weakref.ref(q), qa)
-    except TypeError:
-        pass
+    _ident_cache_put(_QAUG_CACHE, q, qa)
     return qa
 
 
@@ -137,7 +136,16 @@ def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> n
     from :func:`_x_sqnorms` — on repeated candidate blocks a single query
     costs one GEMV plus three vector ops.  nq==1 takes GEMV fast paths:
     the full GEMM identity's extra numpy dispatches (~1 µs each) dominate
-    at single-query sizes (BASELINE.md micro grid)."""
+    at single-query sizes (BASELINE.md micro grid).
+
+    Numerical note: the identity cancels catastrophically in f32 when
+    ``||x||^2`` dwarfs the true distance (coordinates ~1e2 at high dim ->
+    absolute error up to ~1e-1 between near-duplicates). This is the same
+    trade FAISS ships for its L2 path; embedding-scale data (unit-ish
+    norms) is unaffected, and exact duplicates still clamp to 0. Callers
+    needing full f32 fidelity on large-magnitude data should pre-normalize
+    or re-rank the top candidates with an exact expression (the engine's
+    oracle-facing queries recompute output distances in f64)."""
     q = np.ascontiguousarray(queries, dtype=np.float32)
     x = np.ascontiguousarray(cands, dtype=np.float32)
     if metric == "l2" and q.shape[0] == 1:  # squared L2, single query

@@ -45,17 +45,32 @@ def _knn_join_indexed(
 ) -> DataFrame:
     """Scale path: temp Flat index on the right side (distributed build, no
     driver materialization) + query-distributed exact probe. Same output
-    contract as the broadcast path. The temp artifact lives in the engine's
-    workdir (a mkdtemp when none is passed) until the returned DataFrame is
-    consumed; pass ``engine=`` to own artifact lifecycle."""
+    contract as the broadcast path.
+
+    Artifact lifecycle: with ``engine=None`` the temp workdir is removed at
+    process exit (atexit); with ``engine=`` passed, any ``__knn_*`` temp
+    entries from PREVIOUS knn_join calls are dropped before new ones are
+    created, so repeated calls hold at most one temp artifact in the
+    caller's catalog (the live one — the returned DataFrame still reads
+    it lazily, which is why cleanup cannot run at return time)."""
+    import atexit
+    import shutil
     import tempfile
     import uuid
 
     from duckdb_annsearch_spark.engine import AnnEngine
 
-    eng = engine or AnnEngine(
-        left.sparkSession, workdir=tempfile.mkdtemp(prefix="knn_join_")
-    )
+    if engine is None:
+        wd = tempfile.mkdtemp(prefix="knn_join_")
+        atexit.register(shutil.rmtree, wd, ignore_errors=True)
+        eng = AnnEngine(left.sparkSession, workdir=wd)
+    else:
+        eng = engine
+        for meta in list(eng.catalog.all()):
+            if meta.name.startswith("__knn_rix_"):
+                eng.drop_index(meta.name, if_exists=True)
+        for tname in [t for t in list(eng._tables) if t.startswith("__knn_right_")]:
+            eng._tables.pop(tname, None)
     tag = uuid.uuid4().hex[:8]
     tbl, idx = f"__knn_right_{tag}", f"__knn_rix_{tag}"
     rbase = right.select(
@@ -98,14 +113,19 @@ def knn_join(
 
     ensure_shipped(left.sparkSession)  # probe closure imports the package
     if max_broadcast_rows is not None:
-        # limit(cap+1).count() touches at most cap+1 rows — not a full scan
+        # ONE job both gates and collects: limit(cap+1) touches at most
+        # cap+1 rows, and when the right side is under the cap these are
+        # exactly the rows the broadcast path needs — no second execution
+        # of the right side's lineage for the gate
         cap = int(max_broadcast_rows)
-        if right.select(right_id).limit(cap + 1).count() > cap:
+        rows = right.select(right_id, right_vec).limit(cap + 1).collect()
+        if len(rows) > cap:
             return _knn_join_indexed(
                 left, right, left_id, left_vec, right_id, right_vec,
                 k, metric, engine,
             )
-    rows = right.select(right_id, right_vec).collect()
+    else:
+        rows = right.select(right_id, right_vec).collect()
     vecs = [r[1] for r in rows]
     if not rows:
         raise ValueError("knn_join: right side has no rows")

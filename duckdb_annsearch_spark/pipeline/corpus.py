@@ -62,8 +62,16 @@ def prepare_corpus(
     if benchmark is not None:
         from duckdb_annsearch_spark.pipeline.quality import decontaminate
 
+        bench = benchmark
+        if scrub:
+            # the corpus side was scrubbed above — scrub the benchmark
+            # identically, or n-grams overlapping a PII span would never
+            # collide and contaminated docs would slip through
+            from duckdb_annsearch_spark.pipeline.quality import scrub_pii
+
+            bench = benchmark.withColumn(text_col, scrub_pii(F.col(text_col)))
         clean = decontaminate(
-            out, benchmark, id_col, text_col, n=decontaminate_n
+            out, bench, id_col, text_col, n=decontaminate_n
         ).where(~F.col("contaminated")).select(id_col)
         out = out.join(clean, on=id_col, how="left_semi")
     out = out.withColumn("lang", detect_language(F.col(text_col))).withColumn(

@@ -26,10 +26,19 @@ from duckdb_annsearch_spark.pipeline.text import token_hash
 # would otherwise mangle; phone last so it cannot eat IPv4 octets).
 PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-# international-ish phone: 9+ digits with optional separators, anchored on
-# digits at both ends; requires a leading + or ( so plain long numbers
-# (ids, years, quantities) are not scrubbed
-PII_PHONE_RE = r"[+(][0-9][0-9()\-. ]{6,}[0-9]"
+# phone numbers: anchored on a leading + or ( (so plain long numbers —
+# ids, years, quantities — are never scrubbed), then 2-4 bounded digit
+# groups with at most ONE separator between groups. Bounded groups, not a
+# greedy separator class: ``[0-9()\-. ]{6,}`` would swallow adjacent
+# non-phone digit runs ("(555) 010-7788 1999 2024" -> one <PHONE>)
+# the 4th group's separator must be non-space: a space-separated trailing
+# digit group is indistinguishable from following prose ("...-7788 1999")
+# and RE2 has no lookahead to disambiguate — the conservative reading
+# protects years/ids at the cost of the last group of rare
+# all-space-separated 4-group numbers
+PII_PHONE_RE = (
+    r"[+(][0-9]{1,3}\)?[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}(?:[-.][0-9]{1,4})?"
+)
 
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", PII_EMAIL_RE, "<EMAIL>"),
@@ -83,7 +92,8 @@ def top_bigram_char_fraction(df: DataFrame, id_col: str, text_col: str) -> DataF
     rule: high = boilerplate/spam).  Shape: explode bigrams -> count per
     (doc, bigram) -> max per doc — two partial-aggregated groupBys, no
     driver work, no all-pairs anything; ties on count break by the
-    lexicographically smallest bigram for cross-engine determinism."""
+    lexicographically LARGEST bigram (struct max; the oracle's
+    ``ORDER BY cnt DESC, bigram DESC``) for cross-engine determinism."""
     # zip_with over two shifted slices, NOT transform+element_at: an
     # element_at(tokenize(...), i) lambda re-evaluates the tokenizer per
     # element inside Generate (no subexpression elimination there) —

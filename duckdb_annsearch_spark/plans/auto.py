@@ -43,9 +43,24 @@ def _runtime_df_class(spark):
 
 
 def _offer(df):
-    """Give the engine one shot at rewriting ``df``; fail open."""
+    """Give the engine one shot at rewriting ``df``; fail open.
+
+    Only DataFrames of the enabled engine's OWN session are offered — the
+    collect/toPandas patch is class-level, so without this guard a second
+    SparkSession in the same process would have its queries walked (and
+    semanticEquals-probed) by the wrong engine's matcher.  The engine's
+    internal actions on its own session do pass through here (the busy
+    flag only covers re-entrancy from inside accelerate/sql); each offer
+    is a jobless analyzed-plan check, a few py4j calls — latency noise
+    next to the Spark action it precedes, and any matcher error falls
+    back to the unmodified action."""
     eng = _STATE["engine"]
     if eng is None or getattr(_tls, "busy", False):
+        return df
+    try:
+        if df.sparkSession is not eng.spark:
+            return df
+    except Exception:
         return df
     _tls.busy = True
     try:

@@ -37,6 +37,17 @@ def test_scrub_pii_and_counts(spark):
     assert out[3]["email"] == out[3]["ip"] == out[3]["phone"] == 0
 
 
+def test_scrub_phone_does_not_swallow_adjacent_numbers(spark):
+    """Bounded digit groups: a phone match must stop at the number's end,
+    not extend greedily across spaces into following years/ids."""
+    from duckdb_annsearch_spark.pipeline.quality import scrub_pii
+
+    df = _docs(spark, [(1, "call (555) 010-7788 1999 2024 edition")])
+    clean = df.select(scrub_pii(F.col("text")).alias("c")).first()["c"]
+    assert "<PHONE>" in clean
+    assert "1999" in clean and "2024" in clean
+
+
 def test_repetition_fractions(spark):
     from duckdb_annsearch_spark.pipeline.quality import (
         dup_line_fraction,
