@@ -59,9 +59,10 @@ def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
     the reference constructs (``src/faiss_index.cpp:39-60``: "Flat"/
     "IDMap,Flat", "HNSW<M>", "IVF<nlist>,Flat") plus the quantized
     composites its parser accepts but its tests never exercise — "SQ8",
-    "PQ<m>", "IVF<nlist>,SQ8", "IVF<nlist>,PQ<m>" — mapped to the native
-    SQ8/PQ machinery.  Anything else (OPQ/LSH/refine chains) is rejected
-    loudly rather than silently downgraded."""
+    "PQ<m>", "OPQ<m>,PQ<m>", "IVF<nlist>,SQ8", "IVF<nlist>,PQ<m>" —
+    mapped to the native SQ8/PQ/OPQ machinery.  Anything else (LSH/refine
+    chains, OPQ over IVF) is rejected loudly rather than silently
+    downgraded."""
     import re
 
     d = desc.strip().replace("IDMap,", "")
@@ -72,6 +73,11 @@ def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
     m = re.fullmatch(r"PQ(\d+)", d, re.IGNORECASE)
     if m:
         return "Flat", {"quantization": "pq", "pq_m": int(m.group(1))}
+    m = re.fullmatch(r"OPQ(\d+),PQ(\d+)", d, re.IGNORECASE)
+    if m:
+        if int(m.group(1)) != int(m.group(2)):
+            raise ValueError(f"OPQ block count must match PQ subspaces in {desc!r}")
+        return "Flat", {"quantization": "pq", "pq_m": int(m.group(2)), "opq": True}
     m = re.fullmatch(r"HNSW(\d+)?", d, re.IGNORECASE)
     if m:
         return "HNSW", {"hnsw_m": int(m.group(1))} if m.group(1) else {}
@@ -219,6 +225,11 @@ class AnnEngine:
                     "quantization='pq' is supported on Flat/IVFFlat indexes; "
                     "graph indexes quantize with 'sq8'"
                 )
+        if params.get("opq") and (quant != "pq" or itype != "flat"):
+            raise ValueError(
+                "opq requires quantization='pq' on a Flat index "
+                "(OPQ over IVF is not implemented)"
+            )
 
         # dimension: from metadata or a one-row probe (Spark arrays are not
         # fixed-size; the engine owns the dimension — SURVEY §1.2)

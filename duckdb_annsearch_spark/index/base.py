@@ -280,7 +280,16 @@ class BaseIndex:
 
                 books = pq.load_codebooks(self.catalog.data_path(self.meta.name))
                 self._pq_codebooks = books
-            return {"codebooks": books}
+            dq = {"codebooks": books}
+            if self.meta.extra.get("opq"):
+                rot = getattr(self, "_opq_rotation", None)
+                if rot is None:
+                    from duckdb_annsearch_spark.index import pq
+
+                    rot = pq.load_rotation(self.catalog.data_path(self.meta.name))
+                    self._opq_rotation = rot
+                dq["rotation"] = rot
+            return dq
         return {
             "mins": self.meta.extra["sq8_mins"],
             "scales": self.meta.extra["sq8_scales"],

@@ -47,15 +47,21 @@ class FlatIndex(BaseIndex):
             meta.quantized = True
             meta.extra["sq8_mins"] = mins
             meta.extra["sq8_scales"] = scales
-        elif quant == "pq":
+        rotation = None
+        if quant == "pq":
             from duckdb_annsearch_spark.index import pq
 
             m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"))
             # the training sample collects twice (stats + encode read the
             # artifact separately) — pin one label assignment first
             art = art.localCheckpoint(eager=False)
-            books = pq.train_pq(pq.stride_sample(art, meta.dim), m)
-            art = pq.add_pq_codes(art, meta.dim, books)
+            sample = pq.stride_sample(art, meta.dim)
+            if meta.params.get("opq"):
+                rotation, books = pq.train_opq(sample, m)
+                meta.extra["opq"] = True
+            else:
+                books = pq.train_pq(sample, m)
+            art = pq.add_pq_codes(art, meta.dim, books, rotation=rotation)
             meta.quantized = True
             meta.extra["quantization"] = "pq"
             meta.extra["pq_m"] = m
@@ -64,6 +70,8 @@ class FlatIndex(BaseIndex):
             from duckdb_annsearch_spark.index import pq
 
             pq.write_codebooks(catalog.data_path(meta.name), books)
+            if rotation is not None:
+                pq.write_rotation(catalog.data_path(meta.name), rotation)
         idx = cls(catalog, meta)
         meta.num_vectors = idx.artifact().count()
         catalog.save(meta)

@@ -236,7 +236,13 @@ def decode_codes(bufs, dq: dict) -> np.ndarray:
     if "codebooks" in dq:
         from duckdb_annsearch_spark.index.pq import decode_pq
 
-        return decode_pq(codes, np.asarray(dq["codebooks"], dtype=np.float32))
+        x = decode_pq(codes, np.asarray(dq["codebooks"], dtype=np.float32))
+        rot = dq.get("rotation")
+        if rot is not None:
+            # OPQ: codes live in the rotated space; R^T maps the
+            # reconstruction back so every probe stays original-space
+            x = x @ np.asarray(rot, dtype=np.float32).T
+        return x
     mins = np.asarray(dq["mins"], dtype=np.float32)
     scales = np.asarray(dq["scales"], dtype=np.float32)
     return codes.astype(np.float32) / 255.0 * scales + mins

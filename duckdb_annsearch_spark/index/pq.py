@@ -119,6 +119,33 @@ def train_pq(sample: np.ndarray, m: int, iters: int = 15, seed: int = 0) -> np.n
     return books
 
 
+def train_opq(
+    sample: np.ndarray, m: int, iters: int = 8, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """(rotation (dim, dim), codebooks (m, 256, dim//m)) — OPQ: learn an
+    orthogonal rotation minimizing PQ reconstruction error by alternating
+    (1) PQ training in the rotated space with (2) the orthogonal Procrustes
+    solve ``R = U V^T`` of ``svd(S^T S_hat)`` (Ge et al., "Optimized
+    Product Quantization", CVPR 2013 — the method behind FAISS's
+    ``OPQMatrix`` pretransform)."""
+    n, dim = sample.shape
+    r = np.eye(dim, dtype=np.float32)
+    books = train_pq(sample, m, seed=seed)
+    if n == 0:
+        return r, books
+    for _ in range(iters):
+        rotated = sample @ r
+        books = train_pq(rotated, m, seed=seed)
+        recon = decode_pq(encode_pq(rotated, books), books)
+        u, _s, vt = np.linalg.svd(sample.T.astype(np.float64) @ recon.astype(np.float64))
+        r_new = (u @ vt).astype(np.float32)
+        if np.allclose(r_new, r, atol=1e-6):
+            r = r_new
+            break
+        r = r_new
+    return r, books
+
+
 def encode_pq(x: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, m) uint8 codes: per-subspace nearest centroid."""
     n, dim = x.shape
@@ -146,15 +173,23 @@ def add_pq_codes(
     dim: int,
     books: np.ndarray,
     residual_centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed encode: codes column = ``m`` bytes per row (mapInPandas;
     the codebooks ship in the task closure — m*256*dsub f32, tens of KiB).
     With ``residual_centroids`` the codes encode ``x - centroid[cluster_id]``
-    (FAISS IVFPQ residual semantics; requires a ``cluster_id`` column)."""
+    (FAISS IVFPQ residual semantics; requires a ``cluster_id`` column).
+    With ``rotation`` (OPQ) the codes encode ``x @ R``; the decoder applies
+    ``R^T`` so serving stays in the original space."""
     bb = np.ascontiguousarray(books, dtype=np.float32)
     cent = (
         np.ascontiguousarray(residual_centroids, dtype=np.float32)
         if residual_centroids is not None
+        else None
+    )
+    rot = (
+        np.ascontiguousarray(rotation, dtype=np.float32)
+        if rotation is not None
         else None
     )
 
@@ -163,6 +198,8 @@ def add_pq_codes(
             x = kernels.stack_vectors(pdf["vector"], dim)
             if cent is not None:
                 x = x - cent[pdf["cluster_id"].to_numpy()]
+            if rot is not None:
+                x = x @ rot
             codes = encode_pq(x, bb)
             pdf = pdf.copy()
             pdf["codes"] = [codes[i].tobytes() for i in range(codes.shape[0])]
@@ -184,3 +221,18 @@ def load_codebooks(artifact_dir: str) -> np.ndarray:
     import os
 
     return np.load(os.path.join(artifact_dir, CODEBOOK_FILE))
+
+
+ROTATION_FILE = "_opq_rotation.npy"  # "_"-prefix: ignored by Spark + pyarrow
+
+
+def write_rotation(artifact_dir: str, rotation: np.ndarray) -> None:
+    import os
+
+    np.save(os.path.join(artifact_dir, ROTATION_FILE), rotation.astype(np.float32))
+
+
+def load_rotation(artifact_dir: str) -> np.ndarray:
+    import os
+
+    return np.load(os.path.join(artifact_dir, ROTATION_FILE))

@@ -214,3 +214,57 @@ def test_quantized_empty_table_build_and_lifecycle(engine):
     assert meta.quantized and meta.num_vectors == 12
     got2 = [r["id"] for r in engine.ann_search("eq", "eq_pq", [5.0] * 4, k=3).collect()]
     assert got2[0] == 5
+
+
+def test_opq_rotation_reduces_error_and_serves(engine):
+    """OPQ (Ge et al. 2013): the learned rotation must be orthogonal, must
+    not increase PQ reconstruction error on correlated data, and the
+    OPQm,PQm factory composite must build and search correctly."""
+    from duckdb_annsearch_spark.index.pq import (
+        decode_pq,
+        encode_pq,
+        train_opq,
+        train_pq,
+    )
+
+    rng = np.random.RandomState(13)
+    # correlated dims (random linear mix) — the case rotation exists for
+    base = rng.rand(300, 8).astype(np.float32)
+    mix = rng.rand(8, 8).astype(np.float32)
+    x = (base @ mix).astype(np.float32)
+    r, books = train_opq(x, m=4, iters=6)
+    np.testing.assert_allclose(r @ r.T, np.eye(8), atol=1e-4)  # orthogonal
+    err_opq = ((decode_pq(encode_pq(x @ r, books), books) - x @ r) ** 2).sum()
+    books_pq = train_pq(x, m=4)
+    err_pq = ((decode_pq(encode_pq(x, books_pq), books_pq) - x) ** 2).sum()
+    assert err_opq <= err_pq * 1.05  # never meaningfully worse
+
+    rows = [(i, x[i].tolist()) for i in range(300)]
+    engine.register_table("ov", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index("opq_idx", "ov", engine="faiss", description="OPQ4,PQ4")
+    meta = engine.catalog.load("opq_idx")
+    assert meta.quantized and meta.extra.get("opq") is True
+    for probe_id in (0, 123, 299):
+        got = engine.ann_search("ov", "opq_idx", rows[probe_id][1], k=1).collect()
+        assert got[0]["id"] == probe_id
+    # restart reload includes the rotation
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    eng2 = AnnEngine(engine.spark, workdir=engine.workdir)
+    eng2.register_table("ov", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    got = eng2.ann_search("ov", "opq_idx", rows[7][1], k=1).collect()
+    assert got[0]["id"] == 7
+
+
+def test_opq_rejections(engine):
+    rows = _rand_rows(71, 40, 8)
+    engine.register_table("ov2", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    with pytest.raises(ValueError, match="must match"):
+        engine.create_index("bad_opq", "ov2", engine="faiss", description="OPQ2,PQ4")
+    with pytest.raises(ValueError, match="OPQ over IVF"):
+        engine.create_index(
+            "bad_opq2", "ov2", engine="faiss", index_type="IVFFlat",
+            ivf_nlist=4, quantization="pq", pq_m=4, opq=True,
+        )
+    with pytest.raises(ValueError, match="unsupported FAISS factory"):
+        engine.create_index("bad_opq3", "ov2", engine="faiss", description="OPQ4,IVF8,PQ4")
