@@ -574,12 +574,18 @@ def _sq8_engine_for(spark, sf_dir):
             "info_ivfpq", "embeddings", "embedding", engine="faiss",
             description="IVF8,PQ16", nprobe=8,
         ),
+        # OPQ: learned orthogonal rotation before PQ (Ge et al. 2013 /
+        # FAISS OPQMatrix); candidate recall 10/10 at 10x over-fetch
+        lambda: eng.create_index(
+            "info_opq", "embeddings", "embedding", engine="faiss",
+            description="OPQ16,PQ16",
+        ),
         lambda: eng.streaming_build(
             "info_gsq8", "embeddings", "embedding",
             shards=4, shard_by="kmeans", quantization="sq8",
         ),
     ]
-    with ThreadPoolExecutor(5) as ex:
+    with ThreadPoolExecutor(6) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _SQ8_ENGINE_CACHE[key] = eng
@@ -657,6 +663,24 @@ def q_ivfpq_rerank(spark, sf_dir):
     eng = _sq8_engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "info_ivfpq", q, k=10, oversample=10, nprobe=8)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_opq_rerank(spark, sf_dir):
+    """OPQ (rotated product quantization, "OPQ16,PQ16" factory composite)
+    oracle-certified end-to-end: candidates from rotated 16-byte codes
+    (decode applies R^T, so the probe is original-space), exact f64
+    re-rank — certifies the rotation train/persist/apply chain against
+    brute force."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_opq", q, k=10, oversample=10)
     d = _sqdist64("embedding", q)
     return (
         hits.select("vec_id", d.alias("_dx"))
@@ -1185,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_rerank": q_sq8_rerank,
         "pq_rerank": q_pq_rerank,
         "ivfpq_rerank": q_ivfpq_rerank,
+        "opq_rerank": q_opq_rerank,
         "graph_sq8_topk": q_graph_sq8_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "topk_filtered": q_topk_filtered,
@@ -1310,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["sq8_rerank"] = _brute_topk_sql(sq)
     oracles["pq_rerank"] = _brute_topk_sql(sq)
     oracles["ivfpq_rerank"] = _brute_topk_sql(sq)
+    oracles["opq_rerank"] = _brute_topk_sql(sq)
     oracles["ann_list_info"] = """
     WITH nv AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL)
     SELECT t.name AS name, t.engine AS engine, t.table_name AS table_name,
@@ -1319,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
       ('info_flat',  'faiss',   'embeddings', 'embedding', false),
       ('info_gsq8',  'diskann', 'embeddings', 'embedding', true),
       ('info_ivfpq', 'faiss',   'embeddings', 'embedding', true),
+      ('info_opq',   'faiss',   'embeddings', 'embedding', true),
       ('info_pq',    'faiss',   'embeddings', 'embedding', true),
       ('info_sq8',   'faiss',   'embeddings', 'embedding', true)
     ) AS t(name, engine, table_name, col_name, quantized)
