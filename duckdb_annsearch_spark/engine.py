@@ -140,7 +140,9 @@ class AnnEngine:
         (SURVEY §1.1). Without one, a row_id is materialized (stable only for
         deterministic single-source reads)."""
         if isinstance(df, str):
-            df = self.spark.read.parquet(df)
+            from duckdb_annsearch_spark.vecio import read_table_auto
+
+            df = read_table_auto(self.spark, df)
         if row_id is None:
             df = df.withColumn(ROW_ID, F.monotonically_increasing_id())
             row_id = ROW_ID
@@ -551,6 +553,37 @@ class AnnEngine:
             sample_size=sample_size,
             partition_rows=partition_rows or DEFAULT_PARTITION_ROWS,
         )
+
+    def streaming_build_file(
+        self,
+        input_path: str,
+        output_path: str | None = None,
+        name: str | None = None,
+        **params,
+    ) -> dict:
+        """The reference's ``diskann_streaming_build`` table function,
+        end-to-end (``src/diskann_functions.cpp:127-211``): packed binary
+        vector file ``[u32 N][u32 D][f32*N*D]`` in, ``.diskann`` file out,
+        returning ``{num_vectors, dimension, sample_size}`` — except the
+        read and the build both distribute (``vecio.read_packed_vectors``
+        + the two-pass pilot/insert builder).  ``name`` registers the
+        built index for searching (default derived from the output file);
+        ``output_path=None`` skips the binary export and just registers."""
+        import os
+
+        from duckdb_annsearch_spark.vecio import read_packed_vectors
+
+        df = read_packed_vectors(self.spark, input_path)
+        name = name or (
+            os.path.splitext(os.path.basename(output_path or input_path))[0]
+            + "_idx"
+        )
+        tbl = f"__sbf_{name}"
+        self.register_table(tbl, df, row_id="row_id")
+        res = self.streaming_build(name, tbl, "vector", **params)
+        if output_path is not None:
+            self.export_dann(name, output_path)
+        return res
 
     def export_dann(self, name: str, out_path: str) -> dict:
         """Serialize a graph index to the reference's ``.diskann`` binary
