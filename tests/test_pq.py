@@ -268,3 +268,24 @@ def test_opq_rejections(engine):
         )
     with pytest.raises(ValueError, match="unsupported FAISS factory"):
         engine.create_index("bad_opq3", "ov2", engine="faiss", description="OPQ4,IVF8,PQ4")
+
+
+def test_pq_inner_product_metric(engine):
+    """PQ codes are metric-agnostic (L2-nearest codewords); the probe
+    applies the index's metric to the reconstruction — IP ranking must
+    surface the max-dot-product row."""
+    rng = np.random.RandomState(91)
+    rows = [(i, rng.rand(8).astype(np.float32).tolist()) for i in range(150)]
+    engine.register_table("ipv", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index(
+        "pq_ip", "ipv", engine="faiss", index_type="Flat",
+        metric="ip", quantization="pq", pq_m=4,
+    )
+    q = [1.0] * 8
+    x = np.asarray([v for _, v in rows], dtype=np.float32)
+    best = int(np.argmax(x @ np.asarray(q, dtype=np.float32)))
+    got = engine.ann_search("ipv", "pq_ip", q, k=3).collect()
+    assert got[0]["id"] == best
+    # negated-IP convention: distances ascend (more-negative = better)
+    ds = [r["_distance"] for r in got]
+    assert ds == sorted(ds)
