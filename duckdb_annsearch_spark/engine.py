@@ -564,11 +564,16 @@ class AnnEngine:
         """The reference's ``diskann_streaming_build`` table function,
         end-to-end (``src/diskann_functions.cpp:127-211``): packed binary
         vector file ``[u32 N][u32 D][f32*N*D]`` in, ``.diskann`` file out,
-        returning ``{num_vectors, dimension, sample_size}`` — except the
-        read and the build both distribute (``vecio.read_packed_vectors``
-        + the two-pass pilot/insert builder).  ``name`` registers the
-        built index for searching (default derived from the output file);
-        ``output_path=None`` skips the binary export and just registers."""
+        returning the reference's result row plus ``table`` (the backing
+        table the index was registered against — needed for
+        ``ann_search(table, name, ...)``, and for re-registering after an
+        engine restart: the catalog persists the index, table
+        registrations are session state, so reload with
+        ``register_table(res['table'], read_packed_vectors(spark,
+        input_path), row_id='row_id')``).  The read and the build both
+        distribute (``vecio.read_packed_vectors`` + the two-pass
+        pilot/insert builder).  ``output_path=None`` skips the binary
+        export and just registers."""
         import os
 
         from duckdb_annsearch_spark.vecio import read_packed_vectors
@@ -581,6 +586,7 @@ class AnnEngine:
         tbl = f"__sbf_{name}"
         self.register_table(tbl, df, row_id="row_id")
         res = self.streaming_build(name, tbl, "vector", **params)
+        res["table"] = tbl
         if output_path is not None:
             self.export_dann(name, output_path)
         return res

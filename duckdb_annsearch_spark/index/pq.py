@@ -130,9 +130,8 @@ def train_opq(
     ``OPQMatrix`` pretransform)."""
     n, dim = sample.shape
     r = np.eye(dim, dtype=np.float32)
-    books = train_pq(sample, m, seed=seed)
     if n == 0:
-        return r, books
+        return r, train_pq(sample, m, seed=seed)
     for _ in range(iters):
         rotated = sample @ r
         books = train_pq(rotated, m, seed=seed)
@@ -143,6 +142,12 @@ def train_opq(
             r = r_new
             break
         r = r_new
+    # final codebook train for the FINAL rotation — inside the loop the
+    # books always lag the rotation update by one alternation, so
+    # returning them as-is would deploy codebooks fitted to the previous
+    # rotated distribution (FAISS OPQMatrix likewise re-trains after the
+    # last rotation update)
+    books = train_pq(sample @ r, m, seed=seed)
     return r, books
 
 

@@ -33,6 +33,8 @@ def read_packed_vectors(
 
     ``row_id`` is the 0-based position in the file — the same ids the
     reference's labels would carry for this input."""
+    import os
+
     with open(path, "rb") as f:
         head = f.read(HEADER_BYTES)
     if len(head) < HEADER_BYTES:
@@ -40,9 +42,23 @@ def read_packed_vectors(
     n, dim = struct.unpack("<II", head)
     if n == 0 or dim == 0:
         raise ValueError(f"{path!r} declares zero vectors or zero dimension")
+    expected = HEADER_BYTES + n * dim * 4
+    actual = os.path.getsize(path)
+    if actual < expected:
+        # fail loudly up front — a truncated copy would otherwise surface
+        # as a cryptic reshape error deep inside an executor task
+        raise ValueError(
+            f"{path!r} is truncated: header declares {n} x {dim} f32 "
+            f"({expected} bytes), file has {actual}"
+        )
     nchunks = -(-n // rows_per_task)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # sub-batch the per-task range: one pandas frame per ~8k rows of
+        # float32 ndarrays (Arrow converts ndarray rows without expanding
+        # to Python floats) — per-task peak stays ~a few MB regardless of
+        # rows_per_task, which only controls seek granularity
+        sub = 8192
         for pdf in batches:
             for c in pdf["id"]:
                 start = int(c) * rows_per_task
@@ -51,15 +67,19 @@ def read_packed_vectors(
                     continue
                 with open(path, "rb") as f:
                     f.seek(HEADER_BYTES + start * dim * 4)
-                    buf = np.frombuffer(
-                        f.read(cnt * dim * 4), dtype="<f4"
-                    ).reshape(cnt, dim)
-                yield pd.DataFrame(
-                    {
-                        "row_id": np.arange(start, start + cnt, dtype=np.int64),
-                        "vector": [row.tolist() for row in buf],
-                    }
-                )
+                    for off in range(0, cnt, sub):
+                        take = min(sub, cnt - off)
+                        buf = np.frombuffer(
+                            f.read(take * dim * 4), dtype="<f4"
+                        ).reshape(take, dim)
+                        yield pd.DataFrame(
+                            {
+                                "row_id": np.arange(
+                                    start + off, start + off + take, dtype=np.int64
+                                ),
+                                "vector": pd.Series(list(buf)),
+                            }
+                        )
 
     par = max(1, spark.sparkContext.defaultParallelism)
     return (
@@ -74,28 +94,28 @@ def write_packed_vectors(
 ) -> tuple[int, int]:
     """Write a packed vector file; returns ``(num_vectors, dimension)``.
     Rows stream through the driver partition-by-partition (bounded
-    memory); NULL vectors are skipped (not representable in the format)."""
-    probe = df.where(F.col(vector_col).isNotNull()).select(
-        F.size(F.col(vector_col)).alias("d")
-    ).first()
-    if probe is None:
-        raise ValueError("write_packed_vectors: no non-NULL vectors")
-    dim = int(probe["d"])
-    n = 0
+    memory, ONE pass — the dimension comes from the first row and the
+    header is patched at the end); NULL vectors are skipped (not
+    representable in the format)."""
+    n, dim = 0, None
     with open(path, "wb") as f:
-        f.write(struct.pack("<II", 0, dim))  # patched after the scan
+        f.write(struct.pack("<II", 0, 0))  # patched after the scan
         for row in (
             df.where(F.col(vector_col).isNotNull())
             .select(vector_col)
             .toLocalIterator()
         ):
             v = np.asarray(row[0], dtype="<f4")
+            if dim is None:
+                dim = int(v.shape[0])
             if v.shape != (dim,):
                 raise ValueError(
                     f"ragged vector of length {v.shape} (expected {dim})"
                 )
             f.write(v.tobytes())
             n += 1
+        if dim is None:
+            raise ValueError("write_packed_vectors: no non-NULL vectors")
         f.seek(0)
         f.write(struct.pack("<II", n, dim))
     return n, dim

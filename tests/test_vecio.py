@@ -46,6 +46,11 @@ def test_packed_rejects_garbage(spark, tmp_path):
     p2.write_bytes(struct.pack("<II", 0, 8))
     with pytest.raises(ValueError, match="zero"):
         read_packed_vectors(spark, str(p2))
+    # truncated body: header declares more rows than the file carries
+    p3 = tmp_path / "trunc.bin"
+    p3.write_bytes(struct.pack("<II", 100, 8) + b"\x00" * 32)
+    with pytest.raises(ValueError, match="truncated"):
+        read_packed_vectors(spark, str(p3))
 
 
 def test_streaming_build_file_end_to_end(engine, tmp_path):
@@ -65,7 +70,8 @@ def test_streaming_build_file_end_to_end(engine, tmp_path):
     res = engine.streaming_build_file(src, out, name="sbf", partition_rows=64)
     assert res["num_vectors"] == 300 and res["dimension"] == 8
     assert res["sample_size"] > 0
-    got = engine.ann_search("__sbf_sbf", "sbf", x[42].tolist(), k=1).collect()
+    assert res["table"] == "__sbf_sbf"
+    got = engine.ann_search(res["table"], "sbf", x[42].tolist(), k=1).collect()
     assert got[0]["row_id"] == 42
     # the exported DANN file round-trips through import
     engine.import_dann("sbf2", "__sbf_sbf", out)
