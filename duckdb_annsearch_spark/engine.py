@@ -578,6 +578,13 @@ class AnnEngine:
 
         from duckdb_annsearch_spark.vecio import read_packed_vectors
 
+        if output_path is not None and params.get("shards"):
+            # validate the combination BEFORE the (potentially long) build:
+            # export_dann would reject sharded graphs only afterwards
+            raise ValueError(
+                "streaming_build_file: shards=N has no single-file .diskann "
+                "form — drop output_path or build unsharded"
+            )
         df = read_packed_vectors(self.spark, input_path)
         name = name or (
             os.path.splitext(os.path.basename(output_path or input_path))[0]

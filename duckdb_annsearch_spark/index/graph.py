@@ -270,10 +270,19 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
     sq8 = None
     if sq8_stats is not None and "codes" in t.column_names:
         mins, scales = sq8_stats
-        codes = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
-        ) if len(glabels) else np.zeros((0, len(mins)), dtype=np.uint8)
-        vectors = codes.astype(np.float32) / 255.0 * scales + mins
+        if len(glabels):
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
+            )
+            # ONE dequantization implementation (kernels.decode_codes) —
+            # the parquet, mmap-view, and Spark probe paths must stay
+            # bit-identical, so none of them hand-rolls the formula
+            vectors = kernels.decode_codes(
+                t.column("codes").to_pylist(), {"mins": mins, "scales": scales}
+            )
+        else:
+            codes = np.zeros((0, len(mins)), dtype=np.uint8)
+            vectors = np.zeros((0, len(mins)), dtype=np.float32)
         sq8 = {"mins": mins, "scales": scales, "codes": codes}
     else:
         vectors = _vector_matrix(t.column("vector"))
@@ -345,10 +354,13 @@ def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
         ).sort_by("label")
         mins = np.asarray(side["sq8_mins"], dtype=np.float32)
         scales = np.asarray(side["sq8_scales"], dtype=np.float32)
-        codes = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
-        ) if len(t) else np.zeros((0, len(mins)), dtype=np.uint8)
-        vectors = codes.astype(np.float32) / 255.0 * scales + mins
+        if len(t):
+            # shared dequantizer — see the note at the sidecar load above
+            vectors = kernels.decode_codes(
+                t.column("codes").to_pylist(), {"mins": mins, "scales": scales}
+            )
+        else:
+            vectors = np.zeros((0, len(mins)), dtype=np.float32)
     else:
         t = pq.read_table(shard_dir).sort_by("label")
         vectors = _vector_matrix(t.column("vector"))

@@ -541,6 +541,10 @@ class IvfFlatIndex(BaseIndex):
             from duckdb_annsearch_spark.index import pq
 
             m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"))
+            # pin the assignment ONCE: residual_sample's count + sample
+            # collect and the artifact write below would otherwise each
+            # re-execute the full cluster-assign GEMM over every row
+            assigned = assigned.localCheckpoint(eager=False)
             # FAISS IVFPQ semantics: codebooks are trained on, and codes
             # encode, the residual to the assigned coarse centroid — the
             # codes only have to cover the within-cell distribution

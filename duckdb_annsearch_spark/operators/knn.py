@@ -71,6 +71,19 @@ def _knn_join_indexed(
                 eng.drop_index(meta.name, if_exists=True)
         for tname in [t for t in list(eng._tables) if t.startswith("__knn_right_")]:
             eng._tables.pop(tname, None)
+    from pyspark.sql import types as T
+
+    # the broadcast path fails loudly on non-numeric right ids (np int64
+    # cast); a silent .cast('long') here would instead NULL every id —
+    # keep the two routes' failure modes aligned
+    rid_type = right.schema[right_id].dataType
+    if not isinstance(
+        rid_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"knn_join above max_broadcast_rows requires an integral right id "
+            f"column; {right_id!r} is {rid_type.simpleString()}"
+        )
     tag = uuid.uuid4().hex[:8]
     tbl, idx = f"__knn_right_{tag}", f"__knn_rix_{tag}"
     rbase = right.select(
@@ -83,8 +96,11 @@ def _knn_join_indexed(
     hits = eng.ann_search_table(
         left.select(left_id, left_vec), tbl, idx, k=k, query_col=left_vec
     )
-    return hits.select(
-        F.col(left_id), F.col("__rid").alias(out_r), F.col("_distance")
+    # the join-back emits rows unordered; restore the broadcast path's
+    # per-query (distance, id) ascending contract — nq*k rows, tiny sort
+    return (
+        hits.select(F.col(left_id), F.col("__rid").alias(out_r), F.col("_distance"))
+        .orderBy(F.col(left_id).asc(), F.col("_distance").asc(), F.col(out_r).asc())
     )
 
 
@@ -101,14 +117,19 @@ def knn_join(
     engine=None,
 ) -> DataFrame:
     """(left_id, right_id, _distance) — exact k nearest right rows per left
-    row, ascending distance, ties by right id. NULL / wrong-dimension left
-    vectors produce no output rows (the engine's query contract,
-    ``search_batch_df``); an empty or ragged right side is a driver-side
-    error, not an executor crash.
+    row; each left id's rows are ascending by (distance, right id), global
+    row order unspecified. NULL / wrong-dimension left vectors produce no
+    output rows (the engine's query contract, ``search_batch_df``); an
+    empty or ragged right side is a driver-side error, not an executor
+    crash.
 
     Right sides above ``max_broadcast_rows`` auto-route to
     :func:`_knn_join_indexed` (temp Flat index + distributed probe) instead
-    of collecting to the driver; pass ``None`` to disable the gate."""
+    of collecting to the driver; pass ``None`` to disable the gate.
+    NOTE when passing ``engine=`` on the routed path: each call drops the
+    PREVIOUS call's temp index artifacts, so consume (collect/write) one
+    knn_join result before issuing the next through the same engine —
+    an unconsumed earlier DataFrame lazily references the dropped files."""
     from duckdb_annsearch_spark.shipping import ensure_shipped
 
     ensure_shipped(left.sparkSession)  # probe closure imports the package

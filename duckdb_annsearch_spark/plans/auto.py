@@ -76,8 +76,15 @@ def enable(engine) -> None:
     """Route this session's DataFrame actions and ``spark.sql`` through
     ``engine``'s transparent top-k rewrite. Last enable wins; idempotent."""
     st = _STATE
-    if st["engine"] is None:
-        cls = _runtime_df_class(engine.spark)
+    cls = _runtime_df_class(engine.spark)
+    if st["df_cls"] is not None and st["df_cls"] is not cls:
+        # a different concrete DataFrame class (e.g. classic vs connect
+        # sessions in one process): unhook the old class so "last enable
+        # wins" holds for the class patch too, not just the engine slot
+        st["df_cls"].collect = st["orig_collect"]
+        st["df_cls"].toPandas = st["orig_toPandas"]
+        st["df_cls"] = None
+    if st["df_cls"] is None:
         st["df_cls"] = cls
         st["orig_collect"] = cls.collect
         st["orig_toPandas"] = cls.toPandas
