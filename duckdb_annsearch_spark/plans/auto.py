@@ -3,12 +3,19 @@ pre-optimizer rewrite (``/root/reference/src/ann_optimizer.cpp:568-576``),
 which rewrites EVERY query unasked.
 
 Spark exposes no Python-side optimizer-rule injection, so opting a session
-in patches the two surfaces a query must pass through on its way to
+in patches every surface a query must pass through on its way to
 execution:
 
-* ``DataFrame.collect`` / ``DataFrame.toPandas`` (class-level): the plan is
-  first offered to :meth:`AnnEngine.accelerate`; non-matching plans run
-  unchanged (the matcher walks the analyzed plan only — no jobs).
+* **All DataFrame actions** (class-level): ``collect``, ``toPandas``,
+  ``show``, ``count``, ``take`` (and through it ``head``/``first``),
+  ``tail``, ``toLocalIterator``, ``foreach``, ``foreachPartition``,
+  ``isEmpty``, ``writeTo``, plus the ``write`` property (so
+  ``df.write.parquet(...)`` saves the accelerated result).  Each action
+  first offers its plan to :meth:`AnnEngine.accelerate`; non-matching
+  plans run unchanged (the matcher walks the analyzed plan only — no
+  jobs).  The reference rewrites at the optimizer, so a ``COPY``/``CTAS``
+  over a top-k query is accelerated too — hooking only collect/toPandas
+  (rounds ≤4) left ``show``/``count``/``write`` running brute force.
 * ``spark.sql`` (instance-level, this engine's session only): routed
   through :meth:`AnnEngine.sql`, the parsed-plan rewrite.
 
@@ -23,11 +30,28 @@ from __future__ import annotations
 
 import threading
 
+# Every public eager entry point on DataFrame.  `head`/`first` delegate to
+# `take` in both classic and connect implementations, so patching `take`
+# covers them; `summary`/`describe` return DataFrames (lazy) and need no
+# hook.  Names missing on a given concrete class are skipped.
+_ACTION_METHODS = (
+    "collect",
+    "toPandas",
+    "show",
+    "count",
+    "take",
+    "tail",
+    "toLocalIterator",
+    "foreach",
+    "foreachPartition",
+    "isEmpty",
+    "writeTo",
+)
+
 _STATE: dict = {
     "engine": None,
     "df_cls": None,
-    "orig_collect": None,
-    "orig_toPandas": None,
+    "orig": {},          # method/property name -> original class attribute
     "orig_sql": None,
     "session": None,
 }
@@ -37,7 +61,7 @@ _tls = threading.local()
 def _runtime_df_class(spark):
     """The CONCRETE DataFrame class this session instantiates — pyspark 4
     splits the public ``pyspark.sql.DataFrame`` ABC from the classic /
-    connect implementations, and the implementation overrides ``collect``,
+    connect implementations, and the implementation overrides the actions,
     so the base class must not be patched."""
     return type(spark.range(0))
 
@@ -46,7 +70,7 @@ def _offer(df):
     """Give the engine one shot at rewriting ``df``; fail open.
 
     Only DataFrames of the enabled engine's OWN session are offered — the
-    collect/toPandas patch is class-level, so without this guard a second
+    action patch is class-level, so without this guard a second
     SparkSession in the same process would have its queries walked (and
     semanticEquals-probed) by the wrong engine's matcher.  The engine's
     internal actions on its own session do pass through here (the busy
@@ -72,6 +96,52 @@ def _offer(df):
         _tls.busy = False
 
 
+def _unpatch_class() -> None:
+    st = _STATE
+    cls = st["df_cls"]
+    if cls is None:
+        return
+    for name, orig in st["orig"].items():
+        try:
+            setattr(cls, name, orig)
+        except Exception:
+            pass
+    st["df_cls"] = None
+    st["orig"] = {}
+
+
+def _patch_class(cls) -> None:
+    st = _STATE
+    st["df_cls"] = cls
+    st["orig"] = {}
+
+    def make_wrapper(name, orig):
+        def wrapper(df, *args, **kwargs):
+            return orig(_offer(df), *args, **kwargs)
+
+        wrapper.__name__ = name
+        wrapper.__doc__ = getattr(orig, "__doc__", None)
+        return wrapper
+
+    for name in _ACTION_METHODS:
+        orig = getattr(cls, name, None)
+        if orig is None:
+            continue
+        st["orig"][name] = orig
+        setattr(cls, name, make_wrapper(name, orig))
+
+    # `write` is a property returning a DataFrameWriter bound to the frame;
+    # rebinding it to the accelerated frame makes df.write.parquet(...)
+    # persist the index-served result (the reference's CTAS-over-top-k).
+    orig_write = getattr(cls, "write", None)
+    if isinstance(orig_write, property) and orig_write.fget is not None:
+        st["orig"]["write"] = orig_write
+        cls.write = property(
+            lambda self: orig_write.fget(_offer(self)),
+            doc=orig_write.__doc__,
+        )
+
+
 def enable(engine) -> None:
     """Route this session's DataFrame actions and ``spark.sql`` through
     ``engine``'s transparent top-k rewrite. Last enable wins; idempotent."""
@@ -81,24 +151,9 @@ def enable(engine) -> None:
         # a different concrete DataFrame class (e.g. classic vs connect
         # sessions in one process): unhook the old class so "last enable
         # wins" holds for the class patch too, not just the engine slot
-        st["df_cls"].collect = st["orig_collect"]
-        st["df_cls"].toPandas = st["orig_toPandas"]
-        st["df_cls"] = None
+        _unpatch_class()
     if st["df_cls"] is None:
-        st["df_cls"] = cls
-        st["orig_collect"] = cls.collect
-        st["orig_toPandas"] = cls.toPandas
-
-        def collect(df):
-            return st["orig_collect"](_offer(df))
-
-        def toPandas(df):
-            return st["orig_toPandas"](_offer(df))
-
-        collect.__doc__ = cls.collect.__doc__
-        toPandas.__doc__ = cls.toPandas.__doc__
-        cls.collect = collect
-        cls.toPandas = toPandas
+        _patch_class(cls)
     st["engine"] = engine
 
     spark = engine.spark
@@ -135,15 +190,10 @@ def enable(engine) -> None:
 def disable() -> None:
     """Restore the original DataFrame actions and ``spark.sql``."""
     st = _STATE
-    if st["df_cls"] is not None and st["orig_collect"] is not None:
-        st["df_cls"].collect = st["orig_collect"]
-        st["df_cls"].toPandas = st["orig_toPandas"]
+    _unpatch_class()
     if st["session"] is not None and st["orig_sql"] is not None:
         try:
             st["session"].sql = st["orig_sql"]
         except Exception:
             pass
-    st.update(
-        engine=None, df_cls=None, orig_collect=None, orig_toPandas=None,
-        orig_sql=None, session=None,
-    )
+    st.update(engine=None, orig_sql=None, session=None)

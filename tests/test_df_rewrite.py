@@ -199,3 +199,73 @@ def test_auto_acceleration_implicit_rewrite(eng, monkeypatch):
     seen.clear()
     assert [r["vec_id"] for r in plain.limit(2).collect()] is not None
     assert not seen
+
+
+def test_auto_acceleration_covers_every_action(eng, monkeypatch, tmp_path):
+    """round-5 gap close: show/count/take/toLocalIterator/foreach/isEmpty
+    and df.write all offer the plan to the index — the reference rewrites
+    at the optimizer so EVERY sink sees the accelerated plan
+    (ann_optimizer.cpp:568-576); hooking only collect/toPandas left
+    df.show() and CTAS-shaped writes running brute force."""
+    q = [float(x) for x in _qvec(eng, 7)]
+    df = eng.table("embeddings").df
+    plain = df.orderBy(array_distance("embedding", q)).limit(10)
+    want = sorted(r["vec_id"] for r in eng.accelerate(plain).collect())
+
+    seen = []
+    orig_accel = eng.accelerate
+
+    def spy(frame, explain=None):
+        e = {}
+        out = orig_accel(frame, explain=e)
+        seen.append(e)
+        return out
+
+    monkeypatch.setattr(eng, "accelerate", spy)
+    eng.enable_auto_acceleration()
+    try:
+        def offered_and_rewritten():
+            # actions like take() delegate to limit().collect() internally,
+            # so a second (declined) offer may follow the rewriting one
+            ok = any(e.get("rewritten") for e in seen)
+            seen.clear()
+            return ok
+
+        plain.show(3)
+        assert offered_and_rewritten()
+
+        assert plain.count() == 10
+        assert offered_and_rewritten()
+
+        assert sorted(r["vec_id"] for r in plain.take(10)) == want
+        assert offered_and_rewritten()
+
+        assert plain.first()["vec_id"] in want  # head/first delegate to take
+        assert offered_and_rewritten()
+
+        assert sorted(r["vec_id"] for r in plain.toLocalIterator()) == want
+        assert offered_and_rewritten()
+
+        plain.foreach(lambda r: None)
+        assert offered_and_rewritten()
+
+        assert plain.isEmpty() is False
+        assert offered_and_rewritten()
+
+        # df.write persists the ACCELERATED result (reference CTAS shape)
+        out_dir = str(tmp_path / "topk_out")
+        plain.write.mode("overwrite").parquet(out_dir)
+        assert seen and any(e.get("rewritten") for e in seen)
+        seen.clear()
+        back = eng.spark.read.parquet(out_dir)
+        assert sorted(r["vec_id"] for r in back.collect()) == want
+        seen.clear()
+    finally:
+        eng.disable_auto_acceleration()
+
+    # restored exactly: no offers on any action, write property back
+    seen.clear()
+    plain.show(1)
+    assert plain.count() == 10
+    assert not seen
+    assert isinstance(type(eng.spark.range(1)).write, property)
