@@ -277,9 +277,7 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
             # ONE dequantization implementation (kernels.decode_codes) —
             # the parquet, mmap-view, and Spark probe paths must stay
             # bit-identical, so none of them hand-rolls the formula
-            vectors = kernels.decode_codes(
-                t.column("codes").to_pylist(), {"mins": mins, "scales": scales}
-            )
+            vectors = kernels.decode_codes(codes, {"mins": mins, "scales": scales})
         else:
             codes = np.zeros((0, len(mins)), dtype=np.uint8)
             vectors = np.zeros((0, len(mins)), dtype=np.float32)

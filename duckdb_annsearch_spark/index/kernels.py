@@ -226,13 +226,18 @@ def stack_vectors(series: pd.Series, dim: int) -> np.ndarray:
 
 
 def decode_codes(bufs, dq: dict) -> np.ndarray:
-    """(n, dim) float32 from a sequence of code byte-strings.
+    """(n, dim) float32 from a sequence of code byte-strings, or from an
+    already-stacked ``(n, m)`` uint8 matrix (callers that parsed the
+    buffers for another purpose pass it straight in — no double parse).
 
     One decoder for both quantizations: SQ8 (``{'mins','scales'}`` — per-dim
     affine, ``rust_lib/src/provider.rs:161-210``) and PQ
     (``{'codebooks': (m,256,dsub)}`` — per-subspace centroid gather).  Every
     probe path then runs the same GEMM on the reconstruction."""
-    codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in bufs])
+    if isinstance(bufs, np.ndarray):
+        codes = bufs
+    else:
+        codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in bufs])
     if "codebooks" in dq:
         from duckdb_annsearch_spark.index.pq import decode_pq
 

@@ -37,7 +37,7 @@ CODEBOOK_FILE = "_pq_codebooks.npy"  # "_"-prefix: ignored by Spark + pyarrow
 
 def pq_m_for(dim: int, m: int | None) -> int:
     """Validated subspace count: dim must split evenly into m blocks."""
-    m = int(m or DEFAULT_PQ_M)
+    m = DEFAULT_PQ_M if m is None else int(m)
     if m <= 0 or dim % m != 0:
         raise ValueError(
             f"pq_m={m} must be a positive divisor of the vector dimension {dim}"
@@ -50,10 +50,14 @@ def stride_sample(artifact: DataFrame, dim: int, sample_size: int = PQ_TRAIN_SAM
     label (the reference's stride sampling, ``src/faiss_index.cpp:237-247``).
     Bounded driver memory: at most ``sample_size`` rows collect."""
     n = artifact.count()
-    stride = max(1, n // max(1, sample_size))
+    # ceil keeps the filter itself to <= sample_size matches; the ordered
+    # limit is a belt-and-braces cap that stays deterministic if labels
+    # are sparse (post-delete vacuums renumber, but defend anyway)
+    stride = max(1, -(-n // max(1, sample_size)))
     rows = (
         artifact.where((artifact.label % stride) == 0)
-        .select("vector")
+        .select("label", "vector")
+        .orderBy("label")
         .limit(sample_size)
         .collect()
     )
@@ -70,10 +74,11 @@ def residual_sample(
     — FAISS IVFPQ trains its codebooks on coarse residuals, not raw
     vectors (the residual distribution is what the codes must cover)."""
     n = assigned.count()
-    stride = max(1, n // max(1, sample_size))
+    stride = max(1, -(-n // max(1, sample_size)))
     rows = (
         assigned.where((assigned.label % stride) == 0)
-        .select("vector", "cluster_id")
+        .select("label", "vector", "cluster_id")
+        .orderBy("label")
         .limit(sample_size)
         .collect()
     )

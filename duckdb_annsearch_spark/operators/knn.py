@@ -31,6 +31,33 @@ from duckdb_annsearch_spark.index import kernels
 # engine.driver_build_max_rows
 DEFAULT_MAX_BROADCAST_ROWS = 500_000
 
+# engine -> [(table, index)] temp artifacts created by THIS module's routed
+# path. Tracking our own creations (instead of globbing the caller's
+# catalog for __knn_* names) means a user artifact that happens to share
+# the prefix is never touched, and cleanup_knn_artifacts() gives callers
+# an explicit hook instead of relying on drop-at-next-call.
+import weakref
+
+_TEMP_ARTIFACTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def cleanup_knn_artifacts(engine) -> int:
+    """Drop every temp table/index a prior ``knn_join(engine=...)`` routed
+    call registered on ``engine``; returns how many were dropped. Safe to
+    call once all earlier knn_join result DataFrames are consumed."""
+    pairs = _TEMP_ARTIFACTS.pop(engine, [])
+    for tbl, idx in pairs:
+        try:
+            engine.drop_index(idx, if_exists=True)
+        except Exception:
+            pass
+        try:
+            if tbl in engine._tables:
+                engine.unregister_table(tbl)
+        except Exception:
+            pass
+    return len(pairs)
+
 
 def _knn_join_indexed(
     left: DataFrame,
@@ -48,11 +75,14 @@ def _knn_join_indexed(
     contract as the broadcast path.
 
     Artifact lifecycle: with ``engine=None`` the temp workdir is removed at
-    process exit (atexit); with ``engine=`` passed, any ``__knn_*`` temp
-    entries from PREVIOUS knn_join calls are dropped before new ones are
-    created, so repeated calls hold at most one temp artifact in the
-    caller's catalog (the live one — the returned DataFrame still reads
-    it lazily, which is why cleanup cannot run at return time)."""
+    process exit (atexit); with ``engine=`` passed, the temp entries THIS
+    module registered on that engine in previous knn_join calls are
+    dropped before new ones are created (tracked per-engine — a user
+    artifact sharing the ``__knn_`` prefix is never touched), so repeated
+    calls hold at most one temp artifact in the caller's catalog. The
+    returned DataFrame still reads its artifact lazily, which is why
+    cleanup cannot run at return time; callers wanting eager cleanup use
+    :func:`cleanup_knn_artifacts` after consuming the result."""
     import atexit
     import shutil
     import tempfile
@@ -66,11 +96,7 @@ def _knn_join_indexed(
         eng = AnnEngine(left.sparkSession, workdir=wd)
     else:
         eng = engine
-        for meta in list(eng.catalog.all()):
-            if meta.name.startswith("__knn_rix_"):
-                eng.drop_index(meta.name, if_exists=True)
-        for tname in [t for t in list(eng._tables) if t.startswith("__knn_right_")]:
-            eng._tables.pop(tname, None)
+        cleanup_knn_artifacts(eng)
     from pyspark.sql import types as T
 
     # the broadcast path fails loudly on non-numeric right ids (np int64
@@ -92,6 +118,8 @@ def _knn_join_indexed(
     )
     eng.register_table(tbl, rbase, row_id="__rid")
     eng.create_index(idx, tbl, "__rvec", engine="faiss", index_type="Flat", metric=metric)
+    if engine is not None:
+        _TEMP_ARTIFACTS.setdefault(eng, []).append((tbl, idx))
     out_r = right_id if right_id != left_id else f"r_{right_id}"
     hits = eng.ann_search_table(
         left.select(left_id, left_vec), tbl, idx, k=k, query_col=left_vec
@@ -127,9 +155,11 @@ def knn_join(
     :func:`_knn_join_indexed` (temp Flat index + distributed probe) instead
     of collecting to the driver; pass ``None`` to disable the gate.
     NOTE when passing ``engine=`` on the routed path: each call drops the
-    PREVIOUS call's temp index artifacts, so consume (collect/write) one
-    knn_join result before issuing the next through the same engine —
-    an unconsumed earlier DataFrame lazily references the dropped files."""
+    PREVIOUS call's temp index artifacts (only those this module created —
+    tracked per engine), so consume (collect/write) one knn_join result
+    before issuing the next through the same engine — an unconsumed
+    earlier DataFrame lazily references the dropped files. For eager
+    cleanup after consuming, call :func:`cleanup_knn_artifacts`."""
     from duckdb_annsearch_spark.shipping import ensure_shipped
 
     ensure_shipped(left.sparkSession)  # probe closure imports the package

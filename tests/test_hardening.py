@@ -145,6 +145,28 @@ def test_knn_join_cap_routes_to_index_and_matches_broadcast(engine):
         )
     assert norm(fast) == norm(routed)
 
+    # temp artifacts are tracked per-engine: a user index sharing the
+    # __knn_ prefix survives the next routed call AND explicit cleanup;
+    # only the module's own temp pair is dropped
+    engine.register_table("__knn_user_tbl", right, row_id="rid")
+    engine.create_index(
+        "__knn_rix_user", "__knn_user_tbl", "w", engine="faiss", index_type="Flat"
+    )
+    routed2 = knn_join(
+        left, right, "lid", "v", "rid", "w", k=3,
+        max_broadcast_rows=10, engine=engine,
+    )
+    assert norm(routed2) == norm(fast)  # consume before cleanup
+    assert engine.catalog.exists("__knn_rix_user")  # untouched by next-call drop
+
+    from duckdb_annsearch_spark.operators.knn import cleanup_knn_artifacts
+
+    assert cleanup_knn_artifacts(engine) == 1  # drops only its own pair
+    assert engine.catalog.exists("__knn_rix_user")
+    assert not any(m.name.startswith("__knn_rix_") and m.name != "__knn_rix_user"
+                   for m in engine.catalog.all())
+    assert cleanup_knn_artifacts(engine) == 0  # idempotent
+
 
 def test_hybrid_search_rejects_mismatched_ids(engine, spark):
     rows = [(i, f"text {i} fast query", [float(i), 0.0]) for i in range(5)]
