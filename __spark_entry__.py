@@ -19,6 +19,7 @@ duckdb_annsearch_spark/pipeline/text.py):
 
 from __future__ import annotations
 
+import os
 import random
 import tempfile
 from collections.abc import Callable
@@ -703,6 +704,120 @@ def q_graph_sq8_topk(spark, sf_dir):
     return _recall_floor_certified(hits, exact, 7, "sharded-sq8 graph")
 
 
+def q_dann_roundtrip(spark, sf_dir):
+    """R6 DANN binary interop, oracle-certified end-to-end: export the
+    driver-built graph to the reference's ``.diskann`` v2 layout
+    (``rust_lib/src/file_format.rs:3-18``), import it back as a NEW index,
+    and serve through the imported copy.  Two layers of evidence in one
+    plan: (a) an assert_true filter proves the imported index's top-10
+    EQUALS the original graph's top-10 (the artifact is bit-exact, search
+    is deterministic — any serialization drift throws at execution), and
+    (b) a 10x over-fetch + exact-f64 re-rank makes the returned rows
+    brute-force-checkable by the DuckDB oracle (the quantized-serving
+    shape that turns an approximate index into a hash-matchable row)."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    if not eng.catalog.exists("emb_graph_rt"):
+        dann_path = os.path.join(eng.catalog.root, "emb_graph_export.diskann")
+        eng.export_dann("emb_graph", dann_path)
+        eng.import_dann("emb_graph_rt", "embeddings", dann_path)
+    # (a) bit-exact round trip: imported top-10 == original top-10.
+    # import_dann assigns row_id = label; the engine labels by ascending
+    # row_id over the contiguous vec_id range, so ids line up 1:1.
+    orig = eng.ann_search("embeddings", "emb_graph", q, k=10).select("vec_id")
+    imp = eng.ann_search("embeddings", "emb_graph_rt", q, k=10)
+    same = imp.select("vec_id").join(orig, "vec_id", "left_semi").agg(
+        F.count("*").alias("__eq")
+    )
+    certified = same.where(
+        F.assert_true(
+            F.col("__eq") == 10,
+            F.concat(
+                F.lit("DANN round-trip drift: only "),
+                F.col("__eq").cast("string"),
+                F.lit("/10 results match the pre-export graph"),
+            ),
+        ).isNull()
+    )
+    # (b) oracle-checkable serving: over-fetch through the IMPORTED index,
+    # exact f64 re-rank (search L >= 100 on this corpus: candidate recall
+    # 10/10, same margin as the pq/opq rerank rows)
+    hits = eng.ann_search(
+        "embeddings", "emb_graph_rt", q, k=10, oversample=10,
+        search_complexity=150,
+    )
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .crossJoin(F.broadcast(certified))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_drop_index_catalog(spark, sf_dir):
+    """D7 Drop + DROP TABLE cascade, oracle-certified via the catalog
+    delta (``test/sql/edge_cases.test`` "Drop table with indexes"): three
+    Flat indexes over two tables; ``drop_index`` removes one, dropping
+    the second table cascades away its index, and the surviving catalog
+    listing (joined to per-index diagnostics) is exact — name, engine,
+    table, column, live-vector count, deletes, quantized flag are all
+    DuckDB-checkable.  The surviving index is then searched to prove the
+    drops didn't disturb its artifact (the search feeds the in-plan
+    assert; the returned rows are the catalog listing)."""
+    import tempfile as _tf
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_drop_"))
+    emb = _read(spark, sf_dir, "embeddings")
+    eng.register_table("da", emb, row_id="vec_id")
+    eng.register_table("db", emb.where(F.col("vec_id") < 300), row_id="vec_id")
+    eng.create_index("drop_keep", "da", "embedding", engine="faiss", index_type="Flat")
+    eng.create_index("drop_gone", "da", "embedding", engine="faiss", index_type="Flat")
+    eng.create_index("drop_casc", "db", "embedding", engine="faiss", index_type="Flat")
+    eng.drop_index("drop_gone")
+    eng.unregister_table("db")  # cascades drop_casc away
+    q = _qvec(spark, sf_dir)
+    # surviving index still serves: top-10 through drop_keep must overlap
+    # the exact top-10 fully (Flat is exact) — asserted in-plan
+    hits = eng.ann_search("da", "drop_keep", q, k=10).select("vec_id")
+    exact_ids = (
+        emb.select("vec_id", _sqdist64("embedding", q).alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    lst = eng.ann_list()
+    info = eng.ann_index_info().select(
+        "name", F.col("column").alias("col_name"), "num_vectors",
+        "num_deleted", "quantized",
+    )
+    out = lst.join(info, "name").select(
+        "name", "engine", "table_name", "col_name",
+        "num_vectors", "num_deleted", "quantized",
+    ).orderBy("name")
+    return out.crossJoin(
+        F.broadcast(_recall_floor_certified(hits, exact_ids, 10, "post-drop").agg(
+            F.count("*").alias("__chk")
+        ))
+    ).drop("__chk")
+
+
+def q_gpu_info(spark, sf_dir):
+    """S11 faiss_gpu_info, oracle-certified (``src/faiss_fn_gpu.cpp:9-56``,
+    ``test/sql/faiss_gpu.test:8-14`` asserts exactly this: available =
+    false on a GPU-less host).  The device string names the execution
+    backend plus the Spark master; the master is environment-dependent, so
+    the checked columns are the availability flag and the backend prefix."""
+    eng = _engine_for(spark, sf_dir)
+    return eng.faiss_gpu_info().select(
+        "available",
+        F.substring_index(F.col("device"), "[", 1).alias("backend"),
+    )
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """BM25 + f64 vector ranks + weighted RRF (engine FTS + rrf_fuse)."""
     from duckdb_annsearch_spark.operators.hybrid import rrf_fuse
@@ -1211,6 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_rerank": q_ivfpq_rerank,
         "opq_rerank": q_opq_rerank,
         "graph_sq8_topk": q_graph_sq8_topk,
+        "dann_roundtrip": q_dann_roundtrip,
+        "drop_index_catalog": q_drop_index_catalog,
+        "gpu_info": q_gpu_info,
         "hybrid_rrf": q_hybrid_rrf,
         "topk_filtered": q_topk_filtered,
         "ann_search_table": q_ann_search_table,
@@ -1336,6 +1454,15 @@ def oracle_sql() -> dict[str, str]:
     oracles["pq_rerank"] = _brute_topk_sql(sq)
     oracles["ivfpq_rerank"] = _brute_topk_sql(sq)
     oracles["opq_rerank"] = _brute_topk_sql(sq)
+    oracles["dann_roundtrip"] = _brute_topk_sql(sq)
+    oracles["drop_index_catalog"] = """
+    WITH nv AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT 'drop_keep' AS name, 'faiss' AS engine, 'da' AS table_name,
+           'embedding' AS col_name, nv.n AS num_vectors,
+           CAST(0 AS BIGINT) AS num_deleted, false AS quantized
+    FROM nv
+    """
+    oracles["gpu_info"] = "SELECT false AS available, 'cpu' AS backend"
     oracles["ann_list_info"] = """
     WITH nv AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL)
     SELECT t.name AS name, t.engine AS engine, t.table_name AS table_name,
