@@ -585,8 +585,15 @@ def _sq8_engine_for(spark, sf_dir):
             "info_gsq8", "embeddings", "embedding",
             shards=4, shard_by="kmeans", quantization="sq8",
         ),
+        # sharded PQ graph (new r5): per-shard 16-byte codes under
+        # index-global codebooks, PQC mmap sidecars — the 16x-compression
+        # out-of-core path (m bytes/vector paged instead of 4*dim)
+        lambda: eng.streaming_build(
+            "info_gpq", "embeddings", "embedding",
+            shards=4, shard_by="kmeans", quantization="pq", pq_m=16,
+        ),
     ]
-    with ThreadPoolExecutor(6) as ex:
+    with ThreadPoolExecutor(7) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _SQ8_ENGINE_CACHE[key] = eng
@@ -702,6 +709,22 @@ def q_graph_sq8_topk(spark, sf_dir):
     hits = eng.ann_search("embeddings", "info_gsq8", q, k=10).select("vec_id")
     exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
     return _recall_floor_certified(hits, exact, 7, "sharded-sq8 graph")
+
+
+def q_graph_pq_topk(spark, sf_dir):
+    """Sharded out-of-core PQ graph search (new r5) — approximate (no
+    oracle), with the same >=7/10 in-plan recall-floor certification as
+    ``graph_topk``/``graph_sq8_topk`` (diskann_streaming.test:44-49),
+    asserted against the exact full-precision Flat top-10 so the floor
+    covers both the graph approximation AND the 16-byte-code
+    reconstruction error.  This is the quantization whose compression
+    matters at 100 TB: shards page m=16 bytes/vector off the PQC mmap
+    sidecar instead of 4*dim=256."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_gpq", q, k=10).select("vec_id")
+    exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
+    return _recall_floor_certified(hits, exact, 7, "sharded-pq graph")
 
 
 def q_dann_roundtrip(spark, sf_dir):
@@ -1326,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_rerank": q_ivfpq_rerank,
         "opq_rerank": q_opq_rerank,
         "graph_sq8_topk": q_graph_sq8_topk,
+        "graph_pq_topk": q_graph_pq_topk,
         "dann_roundtrip": q_dann_roundtrip,
         "drop_index_catalog": q_drop_index_catalog,
         "gpu_info": q_gpu_info,
@@ -1470,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT) AS num_deleted, t.quantized AS quantized
     FROM (VALUES
       ('info_flat',  'faiss',   'embeddings', 'embedding', false),
+      ('info_gpq',   'diskann', 'embeddings', 'embedding', true),
       ('info_gsq8',  'diskann', 'embeddings', 'embedding', true),
       ('info_ivfpq', 'faiss',   'embeddings', 'embedding', true),
       ('info_opq',   'faiss',   'embeddings', 'embedding', true),

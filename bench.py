@@ -79,6 +79,7 @@ def main():
         "ivf_full_probe",
         "ivf_hier_probe",
         "graph_topk",
+        "graph_pq_topk",
         "sq8_rerank",
         "pq_rerank",
         "hybrid_rrf",

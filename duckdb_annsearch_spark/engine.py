@@ -212,8 +212,11 @@ class AnnEngine:
 
         # quantization is an enum, not a hint: an unknown value silently
         # building an UNquantized index would be a 4-32x memory surprise at
-        # serving time. PQ is implemented for the cell/flat artifacts; graph
-        # adjacency search uses SQ8 (reference parity: provider.rs SQ8 only)
+        # serving time. PQ is implemented for the cell/flat artifacts and
+        # the SHARDED graph path (per-shard codes under index-global
+        # codebooks); the driver-built single graph quantizes with SQ8
+        # (reference parity: provider.rs SQ8 only) — GraphIndex.build
+        # rejects pq loudly if a small build lands there.
         quant = params.get("quantization")
         if quant is not None:
             quant = str(quant).lower()
@@ -222,10 +225,10 @@ class AnnEngine:
                 raise ValueError(
                     f"unknown quantization {quant!r} (sq8 | pq)"
                 )
-            if quant == "pq" and itype not in ("flat", "ivfflat"):
+            if quant == "pq" and itype == "hnsw":
                 raise ValueError(
-                    "quantization='pq' is supported on Flat/IVFFlat indexes; "
-                    "graph indexes quantize with 'sq8'"
+                    "quantization='pq' is supported on Flat/IVFFlat and "
+                    "sharded diskann indexes; HNSW quantizes with 'sq8'"
                 )
         if params.get("opq") and (quant != "pq" or itype != "flat"):
             raise ValueError(
@@ -524,12 +527,16 @@ class AnnEngine:
         )
         if probe is None:
             raise ValueError(f"cannot infer dimension: {table}.{column} has no rows")
-        quant = params.get("quantization")
-        if quant is not None and str(quant).lower() != "sq8":
-            raise ValueError(
-                f"unknown quantization {quant!r} for graph builds (sq8 only; "
-                "'pq' is a Flat/IVFFlat option)"
-            )
+        quant = str(params.get("quantization", "")).lower() or None
+        if quant is not None:
+            params["quantization"] = quant
+            allowed = ("sq8", "pq") if shards else ("sq8",)
+            if quant not in allowed:
+                raise ValueError(
+                    f"unknown quantization {quant!r} for this graph build "
+                    f"({' | '.join(allowed)}; 'pq' requires shards=N — "
+                    "per-shard codes under index-global codebooks)"
+                )
         meta = IndexMeta(
             name=name,
             engine="diskann",

@@ -11,7 +11,15 @@ Clean-room implementation from the documented layout
     [adjacency: num_vectors x max_degree x u32, u32::MAX padding]
     optional [b"SQ8\\0" | dim u32 | qlen u64 | mins f32 x dim |
         scales f32 x dim | codes u8 x qlen]
+    optional [b"PQC\\0" | m u32 | ksub u32 | dsub u32 | qlen u64 |
+        codebooks f32 x (m*ksub*dsub) | codes u8 x qlen]
     (all little-endian)
+
+The SQ8 and PQC trailing sections are THIS ENGINE'S extensions (the
+reference's v2 layout ends at the adjacency segment): reference tooling
+reads the f32 vector block and ignores trailing bytes, while this engine's
+mmap server pages the u8 codes instead of the f32 block — 4x (SQ8) / up to
+32x (PQ) fewer bytes touched per hop.
 
 The parquet artifact remains the engine's primary format (SURVEY §2.3 R6);
 this module exists so indexes can round-trip with reference tooling and be
@@ -42,9 +50,12 @@ def write_dann(
     max_degree: int = 64,
     build_complexity: int = 128,
     sq8: dict | None = None,
+    pq: dict | None = None,
 ) -> None:
     """Write a ``.diskann`` file.  ``sq8`` = {'mins', 'scales', 'codes'}
-    (codes = (n, dim) u8) appends the quantization trailer."""
+    (codes = (n, dim) u8) appends the SQ8 trailer; ``pq`` = {'codebooks'
+    (m, ksub, dsub) f32, 'codes' (n, m) u8} appends the PQC trailer.
+    At most one quantization trailer per file."""
     if metric not in _METRIC_TO_U8:
         raise ValueError(f"DANN format supports l2|ip, not {metric!r}")
     x = np.ascontiguousarray(vectors, dtype="<f4")
@@ -72,6 +83,8 @@ def write_dann(
         f.write(eps.tobytes())
         f.write(x.tobytes())
         f.write(adj.tobytes())
+        if sq8 is not None and pq is not None:
+            raise ValueError("at most one quantization trailer (sq8 | pq)")
         if sq8 is not None:
             codes = np.ascontiguousarray(sq8["codes"], dtype=np.uint8)
             f.write(b"SQ8\x00")
@@ -79,6 +92,15 @@ def write_dann(
             f.write(struct.pack("<Q", codes.size))
             f.write(np.asarray(sq8["mins"], dtype="<f4").tobytes())
             f.write(np.asarray(sq8["scales"], dtype="<f4").tobytes())
+            f.write(codes.tobytes())
+        if pq is not None:
+            books = np.ascontiguousarray(pq["codebooks"], dtype="<f4")
+            codes = np.ascontiguousarray(pq["codes"], dtype=np.uint8)
+            m, ksub, dsub = books.shape
+            f.write(b"PQC\x00")
+            f.write(struct.pack("<III", m, ksub, dsub))
+            f.write(struct.pack("<Q", codes.size))
+            f.write(books.tobytes())
             f.write(codes.tobytes())
 
 
@@ -121,6 +143,7 @@ def read_dann(path: str) -> dict:
     off += n * max_degree * 4
     neighbors = [row[row != NO_NEIGHBOR_U32].astype(np.int64) for row in adj]
     sq8 = None
+    pq = None
     if len(data) > off + 4 and data[off : off + 4] == b"SQ8\x00":
         sdim = struct.unpack("<I", data[off + 4 : off + 8])[0]
         qlen = struct.unpack("<Q", data[off + 8 : off + 16])[0]
@@ -131,6 +154,17 @@ def read_dann(path: str) -> dict:
             data, dtype=np.uint8, count=qlen, offset=poff + sdim * 8
         ).reshape(-1, sdim)
         sq8 = {"mins": mins, "scales": scales, "codes": codes}
+    elif len(data) > off + 4 and data[off : off + 4] == b"PQC\x00":
+        m, ksub, dsub = struct.unpack("<III", data[off + 4 : off + 16])
+        qlen = struct.unpack("<Q", data[off + 16 : off + 24])[0]
+        poff = off + 24
+        books = np.frombuffer(
+            data, dtype="<f4", count=m * ksub * dsub, offset=poff
+        ).reshape(m, ksub, dsub)
+        codes = np.frombuffer(
+            data, dtype=np.uint8, count=qlen, offset=poff + m * ksub * dsub * 4
+        ).reshape(-1, m)
+        pq = {"codebooks": books, "codes": codes}
     return {
         "vectors": vectors,
         "neighbors": neighbors,
@@ -139,4 +173,5 @@ def read_dann(path: str) -> dict:
         "max_degree": int(max_degree),
         "build_complexity": int(h["build_complexity"]),
         "sq8": sq8,
+        "pq": pq,
     }

@@ -91,6 +91,33 @@ class _Sq8View:
         return self.shape[0]
 
 
+class _PqView:
+    """Decode-on-access view over a (n, m) PQ code block (typically an
+    np.memmap): ``view[ids]`` reads only the touched code pages — m bytes
+    per row vs 4*dim for the f32 block — and reconstructs via the
+    index-global codebooks (the same ``decode_pq`` gather every other PQ
+    serving path uses).  Same access-pattern contract as :class:`_Sq8View`."""
+
+    def __init__(self, codes, books: np.ndarray):
+        from duckdb_annsearch_spark.index.pq import decode_pq
+
+        self.codes = codes
+        self.books = np.ascontiguousarray(books, dtype=np.float32)
+        self._decode = decode_pq
+        m, _ksub, dsub = self.books.shape
+        self.shape = (codes.shape[0], m * dsub)
+        self.dtype = np.float32
+
+    def __getitem__(self, idx):
+        c = np.asarray(self.codes[idx], dtype=np.uint8)
+        if c.ndim == 1:
+            return self._decode(c[None, :], self.books)[0]
+        return self._decode(c, self.books)
+
+    def __len__(self):
+        return self.shape[0]
+
+
 class _MmapVamana(VamanaGraph):
     """VamanaGraph over np.memmap views — no ascontiguousarray copy, so the
     vector block and adjacency stay on disk and page in on demand. Search
@@ -129,13 +156,14 @@ def _mmap_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     # u32 adjacency viewed as little-endian int32: 0xFFFFFFFF pad == -1
     adj = np.memmap(fn, dtype="<i4", mode="r", offset=off, shape=(n, max_degree))
     off += n * max_degree * 4
-    # SQ8 trailer (file_format.rs:84-120): when present, serve the vector
-    # block from the memmapped u8 codes instead of the f32 block — 4x fewer
-    # pages touched per hop, identical f32 values (the f32 block stores the
-    # dequantized codes, written by the same formula)
-    sq8_view = _read_sq8_trailer(fn, off, n, dim)
-    if sq8_view is not None:
-        vectors = sq8_view
+    # Quantization trailer (engine extension past the reference's v2
+    # layout): when present, serve the vector block from the memmapped u8
+    # codes instead of the f32 block — 4x (SQ8) / up to 32x (PQ) fewer
+    # pages touched per hop, identical f32 values (the f32 block stores
+    # the decoded codes, written by the same formula)
+    qview = _read_sq8_trailer(fn, off, n, dim) or _read_pq_trailer(fn, off, n, dim)
+    if qview is not None:
+        vectors = qview
     row_ids = np.memmap(
         os.path.join(path, "_row_ids.bin"), dtype="<i8", mode="r", shape=(n,)
     )
@@ -170,6 +198,35 @@ def _read_sq8_trailer(fn: str, off: int, n: int, dim: int) -> "_Sq8View | None":
             fn, dtype=np.uint8, mode="r", offset=off + 16 + sdim * 8, shape=(n, dim)
         )
         return _Sq8View(codes, mins, scales)
+    except Exception:
+        return None
+
+
+def _read_pq_trailer(fn: str, off: int, n: int, dim: int) -> "_PqView | None":
+    """Parse the optional PQC trailing section starting at ``off``; returns
+    a decoding view over memmapped codes, or None when absent or malformed
+    (caller keeps the f32 block — same values either way)."""
+    import struct
+
+    try:
+        size = os.path.getsize(fn)
+        if size < off + 24:
+            return None
+        with open(fn, "rb") as f:
+            f.seek(off)
+            head = f.read(24)
+        if head[:4] != b"PQC\x00":
+            return None
+        m, ksub, dsub = struct.unpack("<III", head[4:16])
+        qlen = struct.unpack("<Q", head[16:24])[0]
+        books_bytes = m * ksub * dsub * 4
+        if m * dsub != dim or qlen != n * m or size < off + 24 + books_bytes + qlen:
+            return None
+        books = np.fromfile(fn, dtype="<f4", count=m * ksub * dsub, offset=off + 24)
+        codes = np.memmap(
+            fn, dtype=np.uint8, mode="r", offset=off + 24 + books_bytes, shape=(n, m)
+        )
+        return _PqView(codes, books.reshape(m, ksub, dsub))
     except Exception:
         return None
 
@@ -243,10 +300,11 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
     fs); callers treat failures as 'no sidecar' and the loader falls back
     to the parquet path.
 
-    Quantized shards (parent sidecar carries sq8 stats + shard parquet a
-    ``codes`` column) write the f32 block DEQUANTIZED plus the SQ8 trailer
-    (``rust_lib/src/file_format.rs:84-120``), so both mmap serve modes see
-    exactly the values the parquet load path dequantizes."""
+    Quantized shards (parent sidecar carries sq8 stats or the pq flag +
+    shard parquet a ``codes`` column) write the f32 block DECODED plus the
+    matching quantization trailer (SQ8 or PQC — engine extensions past the
+    reference's v2 layout), so both mmap serve modes see exactly the
+    values the parquet load path decodes."""
     import json
     import os
 
@@ -255,7 +313,9 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
     from duckdb_annsearch_spark.index.dann_format import write_dann
 
     sq8_stats = None
-    parent_meta = os.path.join(os.path.dirname(shard_dir), "_graph_meta.json")
+    pq_books = None
+    parent_dir = os.path.dirname(shard_dir)
+    parent_meta = os.path.join(parent_dir, "_graph_meta.json")
     if os.path.exists(parent_meta):
         with open(parent_meta) as f:
             side = json.load(f)
@@ -264,10 +324,14 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
                 np.asarray(side["sq8_mins"], dtype=np.float32),
                 np.asarray(side["sq8_scales"], dtype=np.float32),
             )
+        elif side.get("pq_m"):
+            from duckdb_annsearch_spark.index.pq import load_codebooks
+
+            pq_books = load_codebooks(parent_dir)
 
     t = pq.read_table(shard_dir).sort_by("label")
     glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-    sq8 = None
+    sq8 = pq_trailer = None
     if sq8_stats is not None and "codes" in t.column_names:
         mins, scales = sq8_stats
         if len(glabels):
@@ -282,6 +346,17 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
             codes = np.zeros((0, len(mins)), dtype=np.uint8)
             vectors = np.zeros((0, len(mins)), dtype=np.float32)
         sq8 = {"mins": mins, "scales": scales, "codes": codes}
+    elif pq_books is not None and "codes" in t.column_names:
+        m, _ksub, dsub = pq_books.shape
+        if len(glabels):
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
+            )
+            vectors = kernels.decode_codes(codes, {"codebooks": pq_books})
+        else:
+            codes = np.zeros((0, m), dtype=np.uint8)
+            vectors = np.zeros((0, m * dsub), dtype=np.float32)
+        pq_trailer = {"codebooks": pq_books, "codes": codes}
     else:
         vectors = _vector_matrix(t.column("vector"))
     row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -311,6 +386,7 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
         max_degree=max_degree,
         build_complexity=build_L,
         sq8=sq8,
+        pq=pq_trailer,
     )
     row_ids.astype("<i8").tofile(os.path.join(shard_dir, "_row_ids.bin"))
 
@@ -342,23 +418,32 @@ def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
             side = json.load(f)
     metric = side.get("metric", "l2")
 
+    dq = None
     if "sq8_mins" in side:
-        # quantized shard: read ONLY the codes (4x less IO than the f32
-        # vector column — parquet column pruning) and dequantize with the
-        # index-global stats, matching the reference's on-the-fly
+        dq = {
+            "mins": np.asarray(side["sq8_mins"], dtype=np.float32),
+            "scales": np.asarray(side["sq8_scales"], dtype=np.float32),
+        }
+        empty_dim = len(dq["mins"])
+    elif side.get("pq_m"):
+        from duckdb_annsearch_spark.index.pq import load_codebooks
+
+        books = load_codebooks(os.path.dirname(shard_dir))
+        dq = {"codebooks": books}
+        empty_dim = books.shape[0] * books.shape[2]
+    if dq is not None:
+        # quantized shard: read ONLY the codes (4-32x less IO than the f32
+        # vector column — parquet column pruning) and decode with the
+        # index-global stats/codebooks, matching the reference's on-the-fly
         # dequantization (rust_lib/src/provider.rs:161-210)
         t = pq.read_table(
             shard_dir, columns=["label", "row_id", "neighbors", "entry", "codes"]
         ).sort_by("label")
-        mins = np.asarray(side["sq8_mins"], dtype=np.float32)
-        scales = np.asarray(side["sq8_scales"], dtype=np.float32)
         if len(t):
-            # shared dequantizer — see the note at the sidecar load above
-            vectors = kernels.decode_codes(
-                t.column("codes").to_pylist(), {"mins": mins, "scales": scales}
-            )
+            # shared decoder — see the note at the sidecar load above
+            vectors = kernels.decode_codes(t.column("codes").to_pylist(), dq)
         else:
-            vectors = np.zeros((0, len(mins)), dtype=np.float32)
+            vectors = np.zeros((0, empty_dim), dtype=np.float32)
     else:
         t = pq.read_table(shard_dir).sort_by("label")
         vectors = _vector_matrix(t.column("vector"))
@@ -386,6 +471,13 @@ class GraphIndex(BaseIndex):
         vector_col: str,
     ) -> "GraphIndex":
         p = meta.params
+        if str(p.get("quantization", "")).lower() == "pq":
+            raise ValueError(
+                "quantization='pq' on a graph requires the sharded build "
+                "(streaming_build(shards=N) or a table above the driver-"
+                "build row cap); the driver-built single graph quantizes "
+                "with 'sq8'"
+            )
         max_degree = int(p.get("max_degree", p.get("hnsw_m", DEFAULT_MAX_DEGREE)))
         build_L = int(p.get("build_complexity", DEFAULT_BUILD_COMPLEXITY))
         alpha = float(p.get("alpha", DEFAULT_ALPHA))

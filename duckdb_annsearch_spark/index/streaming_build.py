@@ -81,7 +81,9 @@ def sharded_build(
 
     art = with_labels(df, row_id_col, vector_col)
     sq8_mins = sq8_scales = None
-    if str(p.get("quantization", "")).lower() == "sq8":
+    pq_books = None
+    quant = str(p.get("quantization", "")).lower()
+    if quant == "sq8":
         # GLOBAL per-dim min/scale (one map-only pass), not per-shard: codes
         # from different shards must dequantize to comparable distances for
         # the cross-shard top-k merge, and the reference quantizes per index
@@ -89,6 +91,19 @@ def sharded_build(
         from duckdb_annsearch_spark.index.base import compute_sq8_stats
 
         sq8_mins, sq8_scales = compute_sq8_stats(art, meta.dim)
+    elif quant == "pq":
+        # INDEX-GLOBAL codebooks trained on a bounded stride sample, same
+        # cross-shard comparability argument as the SQ8 stats above; the
+        # compression that actually matters at 100 TB — m bytes/vector vs
+        # 4*dim (e.g. 16x at dim=64, m=16), paged as u8 off the sidecar.
+        from duckdb_annsearch_spark.index.pq import (
+            pq_m_for,
+            stride_sample,
+            train_pq,
+        )
+
+        pq_m = pq_m_for(meta.dim, p.get("pq_m"))
+        pq_books = train_pq(stride_sample(art, meta.dim), pq_m)
     centroids = None
     if by == "kmeans":
         # SPANN-style clustered shards: rows go to their nearest centroid's
@@ -160,9 +175,17 @@ def sharded_build(
                 np.rint((x - q_mins) / q_scales * 255.0), 0, 255
             ).astype(np.uint8)
             cols["codes"] = [q[i].tobytes() for i in range(len(pdf))]
+        elif pq_books is not None:
+            # per-shard PQ codes under the GLOBAL codebooks (tens of KiB,
+            # shipped in the task closure like add_pq_codes)
+            from duckdb_annsearch_spark.index.pq import encode_pq
+
+            q = encode_pq(x, pq_books)
+            cols["codes"] = [q[i].tobytes() for i in range(len(pdf))]
         return pd.DataFrame(cols)
 
-    out_schema = SHARD_SCHEMA + (", codes binary" if q_mins is not None else "")
+    quantized = q_mins is not None or pq_books is not None
+    out_schema = SHARD_SCHEMA + (", codes binary" if quantized else "")
     built = sharded.groupBy("shard").applyInPandas(build_shard, out_schema)
     path = catalog.data_path(meta.name)
     built.write.mode("overwrite").partitionBy("shard").parquet(path)
@@ -175,6 +198,13 @@ def sharded_build(
     if sq8_mins is not None:
         side["sq8_mins"] = sq8_mins
         side["sq8_scales"] = sq8_scales
+    if pq_books is not None:
+        # codebooks live as one npy in the artifact root (not in the JSON
+        # sidecar — m*256*dsub floats); the sidecar carries only the flag
+        from duckdb_annsearch_spark.index.pq import write_codebooks
+
+        write_codebooks(path, pq_books)
+        side["pq_m"] = int(pq_books.shape[0])
     with open(os.path.join(path, "_graph_meta.json"), "w") as f:
         json.dump(side, f)
 
@@ -217,6 +247,9 @@ def sharded_build(
         meta.quantized = True
         meta.extra["sq8_mins"] = sq8_mins
         meta.extra["sq8_scales"] = sq8_scales
+    if pq_books is not None:
+        meta.quantized = True
+        meta.extra["pq_m"] = int(pq_books.shape[0])
     meta.num_vectors = n
     catalog.save(meta)
     return {"num_vectors": n, "dimension": meta.dim, "shards": meta.extra["shards"]}

@@ -134,6 +134,92 @@ def test_sharded_mmap_sidecars_identical_results(engine, monkeypatch):
     assert got == [11]
 
 
+def test_sharded_pq_graph_build_and_serving(engine, monkeypatch):
+    """Sharded PQ graphs (round 5): per-shard m-byte codes under
+    INDEX-GLOBAL codebooks; parquet loads and PQC-trailer mmap loads decode
+    to identical vectors and search identically; serving pages u8 codes
+    (the 100 TB path — m bytes/row instead of 4*dim)."""
+    from duckdb_annsearch_spark.index.dann_format import read_dann
+    from duckdb_annsearch_spark.index.graph import _PqView, _load_shard
+    from duckdb_annsearch_spark.index.pq import decode_pq
+
+    rng = np.random.RandomState(9)
+    n, dim = 800, 16
+    rows = [(i, rng.rand(dim).astype("float32").tolist()) for i in range(n)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("t_spq", df, row_id="id")
+    engine.streaming_build(
+        "spq", "t_spq", "embedding", shards=3, shard_by="kmeans",
+        quantization="pq", pq_m=8,
+    )
+    meta = engine.catalog.load("spq")
+    assert meta.quantized and meta.extra["pq_m"] == 8
+
+    path = engine.catalog.data_path("spq")
+    sdirs = sorted(
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("shard=")
+    )
+    assert sdirs
+    # PQC trailer round-trips: f32 block == decode(codes, global codebooks)
+    d = read_dann(os.path.join(sdirs[0], "_graph.diskann"))
+    assert d["pq"] is not None and d["sq8"] is None
+    assert d["pq"]["codes"].shape[1] == 8
+    rec = decode_pq(d["pq"]["codes"], np.ascontiguousarray(d["pq"]["codebooks"]))
+    assert np.array_equal(rec, d["vectors"])
+
+    # mmap serve pages the u8 codes via _PqView; parquet load decodes the
+    # codes column — identical vectors, identical search results
+    g_m, rid_m = _load_shard(sdirs[0])
+    assert isinstance(g_m, _MmapVamana) and isinstance(g_m.vectors, _PqView)
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_MMAP", "0")
+    g_r, rid_r = _load_shard(sdirs[0])
+    assert not isinstance(g_r, _MmapVamana)
+    assert np.array_equal(np.asarray(rid_m), np.asarray(rid_r))
+    assert np.array_equal(g_m.vectors[:40], np.asarray(g_r.vectors[:40]))
+    qs = rng.rand(8, dim).astype(np.float32)
+    for (lm, dm), (lr, dr) in zip(
+        g_m.beam_search_batch(qs, 5, 32), g_r.beam_search_batch(qs, 5, 32)
+    ):
+        assert np.array_equal(np.asarray(lm), np.asarray(lr))
+        assert np.array_equal(np.asarray(dm), np.asarray(dr))
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_MMAP")
+
+    # engine-level fan-out: PQ reconstruction is lossy, so check top-10
+    # recall against exact brute force rather than exact identity
+    import heapq
+
+    x = np.asarray([r[1] for r in rows], dtype=np.float32)
+    q = x[17]
+    exact = heapq.nsmallest(10, range(n), key=lambda i: float(((x[i] - q) ** 2).sum()))
+    got = [r["row_id"] for r in engine.get_index("spq").search(q.tolist(), 10).collect()]
+    assert len(set(got) & set(exact)) >= 7  # diskann_streaming.test:44-49 floor
+
+    # vacuum rebuild retrains codebooks on live rows and keeps the pq path
+    engine.delete("t_spq", list(range(20)))
+    engine.vacuum("spq")
+    meta2 = engine.catalog.load("spq")
+    assert meta2.quantized and meta2.extra.get("pq_m") == 8
+    q2 = x[50]  # a surviving row (0-19 were deleted)
+    got2 = [r["row_id"] for r in engine.get_index("spq").search(q2.tolist(), 10).collect()]
+    assert 50 in got2 and all(g >= 20 for g in got2)
+
+
+def test_pq_graph_rejections(engine):
+    # driver-built single graphs and non-sharded streaming builds must
+    # reject quantization='pq' loudly (sharded-only: per-shard codes need
+    # index-global codebooks + the shard serving path)
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.rand(8).astype("float32").tolist()) for i in range(50)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("t_pqrej", df, row_id="id")
+    with pytest.raises(ValueError, match="sharded"):
+        engine.create_index(
+            "pqrej", "t_pqrej", "embedding", engine="diskann", quantization="pq"
+        )
+    with pytest.raises(ValueError, match="shards"):
+        engine.streaming_build("pqrej2", "t_pqrej", "embedding", quantization="pq")
+
+
 def test_search_batch_forwards_nprobe_shards(engine):
     # driver-list search_batch must forward shard-pruning params to the
     # sharded fan-out (a dropped kwarg silently probes every shard)
