@@ -885,6 +885,7 @@ class AnnEngine:
         k: int,
         search_complexity: int | None = None,
         oversample: int = 1,
+        rerank: bool = False,
         **search_params,
     ) -> DataFrame:
         """k-NN + row fetch: all table columns + ``_distance``, ascending.
@@ -892,7 +893,17 @@ class AnnEngine:
         Emits ``k * oversample`` results like the reference
         (``src/ann_search.cpp:118-130`` — the scan drains every fetched
         result, not just k).  Extra keyword args are per-query search
-        parameters forwarded to the index (e.g. ``nprobe`` for IVF)."""
+        parameters forwarded to the index (e.g. ``nprobe`` for IVF).
+
+        ``rerank=True`` is the quantized-serving recipe as one call (FAISS
+        ``Refine``-style): the index's ``k * oversample`` candidates are
+        re-scored EXACTLY from the table's full-precision vectors
+        (JVM-side ``metric_distance``, no extra probe) and the best ``k``
+        returned — ``_distance`` is then the exact value, so a lossy
+        index (SQ8/PQ/OPQ) serves brute-force-accurate top-k whenever the
+        true neighbors are inside the over-fetched candidate set."""
+        from duckdb_annsearch_spark.functions.distance import metric_distance
+
         t = self.table(table)
         idx = self.get_index(index)
         fetch_k = k * max(1, int(oversample))
@@ -902,6 +913,17 @@ class AnnEngine:
         joined = t.df.join(
             F.broadcast(hits.withColumnRenamed("row_id", t.row_id)), on=t.row_id, how="inner"
         )
+        if rerank:
+            exact = metric_distance(
+                F.col(idx.meta.column),
+                [float(x) for x in query],
+                idx.meta.metric,
+            )
+            return (
+                joined.select(*t.df.columns, exact.alias("_distance"))
+                .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
+                .limit(k)
+            )
         return joined.select(*t.df.columns, "_distance").orderBy(
             F.col("_distance").asc(), F.col(t.row_id).asc()
         )

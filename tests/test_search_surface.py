@@ -164,3 +164,34 @@ def test_search_table_graph_null_query_skipped(engine):
     res = engine.ann_search_table(qdf, "docs", "g", k=1).collect()
     assert [r["qid"] for r in res] == [1]
     assert res[0]["id"] == 1
+
+
+def test_ann_search_rerank_exact_over_quantized(engine):
+    """rerank=True: the one-call quantized-serving recipe (overfetch +
+    exact JVM-side re-score) returns exactly k rows whose _distance is
+    the full-precision value — a lossy PQ index becomes brute-force
+    accurate whenever the true neighbors are inside the candidate set."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    n, dim = 400, 16
+    rows = [(i, rng.rand(dim).astype("float32").tolist()) for i in range(n)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("rr", df, row_id="id")
+    engine.create_index(
+        "rr_pq", "rr", "embedding", engine="faiss", description="PQ8"
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float32)
+    q = x[42]
+    d = ((x - q) ** 2).sum(axis=1)
+    exact_ids = np.argsort(d, kind="stable")[:5].tolist()
+
+    got = engine.ann_search("rr", "rr_pq", q.tolist(), 5, oversample=20, rerank=True).collect()
+    assert len(got) == 5
+    assert [r["id"] for r in got] == exact_ids
+    # _distance is the exact value, not the code-reconstruction distance
+    for r in got:
+        assert abs(r["_distance"] - float(d[r["id"]])) < 1e-4
+    # plain (no rerank) returns k*oversample rows ordered by code distance
+    raw = engine.ann_search("rr", "rr_pq", q.tolist(), 5, oversample=20).collect()
+    assert len(raw) == 100

@@ -1,13 +1,16 @@
 """Scale demonstration: sharded out-of-core graph build + serving at
 hundreds of thousands of vectors (the ROADMAP 50k sweep at 4-10x).
 
-    python tools/scale_demo.py [N] [dim] [shards] [--sq8]
+    python tools/scale_demo.py [N] [dim] [shards] [--sq8 | --pq]
 
 Generates N synthetic vectors DISTRIBUTEDLY (mapInPandas, per-row seeded —
 no driver materialization), builds the kmeans-sharded streaming graph
 (mmap DANN sidecars on), then measures:
   * build wall seconds,
-  * recall@10 over 20 spread queries vs exact brute force,
+  * recall@10 over 20 spread queries vs exact brute force (quantized runs
+    serve through the engine's rerank recipe — 10x over-fetch + exact
+    re-score, ``ann_search(oversample=10, rerank=True)`` — the documented
+    serving shape for lossy codes),
   * mean per-query probe wall,
   * peak python-worker RSS during the probe phase (sampled from /proc) —
     the number that decides whether a shard fits an executor.
@@ -63,6 +66,7 @@ def main() -> None:
     dim = int(args[1]) if len(args) > 1 else 64
     shards = int(args[2]) if len(args) > 2 else 32
     sq8 = "--sq8" in sys.argv
+    pq = "--pq" in sys.argv
     n_queries, k = 20, 10
 
     import numpy as np
@@ -96,18 +100,30 @@ def main() -> None:
     eng.register_table("vectors", data_path, row_id="vec_id")
 
     t0 = time.time()
-    params = {"quantization": "sq8"} if sq8 else {}
+    params = {}
+    if sq8:
+        params = {"quantization": "sq8"}
+    elif pq:
+        params = {"quantization": "pq", "pq_m": max(8, dim // 4)}
     eng.streaming_build(
         "big_graph", "vectors", "embedding", shards=shards, shard_by="kmeans", **params
     )
     build_wall = round(time.time() - t0, 1)
 
     # ground truth: exact brute force, driver-side numpy (this is the
-    # oracle, not the operator; N*dim*4 bytes = tens of MiB here)
+    # oracle, not the operator; N*dim*4 bytes — flatten+reshape, NOT
+    # to_pylist: 5M rows of Python float objects would be tens of GiB)
+    import pyarrow.compute as pc_
     import pyarrow.parquet as pq_
 
-    t = pq_.read_table(data_path).sort_by("vec_id")
-    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    t = pq_.read_table(data_path, columns=["vec_id", "embedding"]).sort_by("vec_id")
+    emb = t.column("embedding").combine_chunks()
+    x = (
+        pc_.list_flatten(emb)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float32)
+        .reshape(-1, dim)
+    )
     ids = t.column("vec_id").to_numpy()
     q_ids = np.linspace(0, n - 1, n_queries).astype(int)
 
@@ -122,10 +138,19 @@ def main() -> None:
         d = ((x - q) ** 2).sum(axis=1)
         truth = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
         t1 = time.time()
-        got = {
-            r["row_id"]
-            for r in eng.get_index("big_graph").search(q.tolist(), k).collect()
-        }
+        if pq or sq8:
+            got = {
+                r["vec_id"]
+                for r in eng.ann_search(
+                    "vectors", "big_graph", q.tolist(), k,
+                    oversample=10, rerank=True,
+                ).collect()
+            }
+        else:
+            got = {
+                r["row_id"]
+                for r in eng.get_index("big_graph").search(q.tolist(), k).collect()
+            }
         walls.append(time.time() - t1)
         recalls.append(len(truth & got) / k)
     stop.set()
@@ -138,6 +163,7 @@ def main() -> None:
                 "dim": dim,
                 "shards": shards,
                 "sq8": sq8,
+                "pq": pq,
                 "build_wall_sec": build_wall,
                 "recall_at_10": round(float(np.mean(recalls)), 3),
                 "min_recall_at_10": round(float(np.min(recalls)), 3),
