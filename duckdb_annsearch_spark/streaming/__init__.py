@@ -13,6 +13,7 @@ Structured Streaming:
 """
 
 from duckdb_annsearch_spark.streaming.dedup import dedup_exact_stream
+from duckdb_annsearch_spark.streaming.ingest import streaming_insert
 from duckdb_annsearch_spark.streaming.events import (
     running_user_totals,
     sessionize_stream,
@@ -28,4 +29,5 @@ __all__ = [
     "sessionize_stream",
     "running_user_totals",
     "dedup_exact_stream",
+    "streaming_insert",
 ]

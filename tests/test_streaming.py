@@ -234,3 +234,90 @@ def test_parse_vector_messages_end_to_end(engine, tmp_path):
     assert len(rows) == 3  # malformed + wrong-dim dropped
     assert {r["qid"]: r["vec_id"] for r in rows} == {i: i for i in vecs}
     assert all(r["_distance"] < 1e-6 for r in rows)
+
+
+def test_streaming_insert_matches_batch_oracle(engine, tmp_path):
+    """streaming_insert (round 5): N micro-batches ingested through
+    foreachBatch -> engine.insert; after the drain, searches through the
+    continuously-fed index match a batch-built oracle index over the same
+    rows, and the auto-vacuum keeps the delta tail bounded (compacted into
+    the artifact once the threshold crosses)."""
+    import numpy as np
+
+    from duckdb_annsearch_spark.streaming import streaming_insert
+
+    spark = engine.spark
+    rng = np.random.RandomState(21)
+    dim, n_seed, n_stream = 12, 120, 240
+    all_rows = [
+        (i, rng.rand(dim).astype("float32").tolist())
+        for i in range(n_seed + n_stream)
+    ]
+    schema = "id long, embedding array<float>"
+    seed_df = spark.createDataFrame(all_rows[:n_seed], schema)
+    engine.register_table("ing", seed_df, row_id="id")
+    engine.create_index("ing_flat", "ing", "embedding", engine="faiss", index_type="Flat")
+
+    # stream source: 3 parquet files = micro-batches (maxFilesPerTrigger=1)
+    sdir = tmp_path / "stream_in"
+    per = n_stream // 3
+    for b in range(3):
+        spark.createDataFrame(
+            all_rows[n_seed + b * per : n_seed + (b + 1) * per], schema
+        ).coalesce(1).write.mode("append").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q = streaming_insert(
+        engine, "ing", stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        auto_vacuum_rows=150,  # crosses mid-stream -> at least one vacuum
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    meta = engine.catalog.load("ing_flat")
+    total = n_seed + n_stream
+    # auto-vacuum compacted: the artifact holds (at least) the pre-vacuum
+    # rows; the remaining delta tail is bounded below the threshold
+    assert meta.num_vectors + int(meta.extra.get("delta_rows", 0)) == total
+    assert int(meta.extra.get("delta_rows", 0)) < 150
+    assert meta.num_vectors > n_seed
+
+    # oracle: batch-built Flat over the same rows, same searches
+    import tempfile as _tf
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    oracle = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ing_oracle_"))
+    oracle.register_table("o", spark.createDataFrame(all_rows, schema), row_id="id")
+    oracle.create_index("o_flat", "o", "embedding", engine="faiss", index_type="Flat")
+    for qi in (5, n_seed + 17, total - 1):
+        want = [r["id"] for r in oracle.ann_search("o", "o_flat", all_rows[qi][1], 5).collect()]
+        got = [r["id"] for r in engine.ann_search("ing", "ing_flat", all_rows[qi][1], 5).collect()]
+        assert got == want, f"query {qi}: {got} != {want}"
+
+    # replayed batch is a no-op (marker files): re-running the same drain
+    # inserts nothing new
+    q2 = streaming_insert(
+        engine, "ing", stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),  # same checkpoint
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    meta2 = engine.catalog.load("ing_flat")
+    assert meta2.num_vectors + int(meta2.extra.get("delta_rows", 0)) == total
+
+
+def test_streaming_insert_requires_stream(engine):
+    import pytest as _pt
+
+    from duckdb_annsearch_spark.streaming import streaming_insert
+
+    df = engine.spark.range(3).selectExpr("id", "array(0.1f, 0.2f) as embedding")
+    engine.register_table("ing2", df, row_id="id")
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_insert(engine, "ing2", df, checkpoint_dir="/tmp/x")
