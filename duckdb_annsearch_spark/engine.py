@@ -59,10 +59,10 @@ def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
     the reference constructs (``src/faiss_index.cpp:39-60``: "Flat"/
     "IDMap,Flat", "HNSW<M>", "IVF<nlist>,Flat") plus the quantized
     composites its parser accepts but its tests never exercise — "SQ8",
-    "PQ<m>", "OPQ<m>,PQ<m>", "IVF<nlist>,SQ8", "IVF<nlist>,PQ<m>" —
-    mapped to the native SQ8/PQ/OPQ machinery.  Anything else (LSH/refine
-    chains, OPQ over IVF) is rejected loudly rather than silently
-    downgraded."""
+    "PQ<m>", "OPQ<m>,PQ<m>", "IVF<nlist>,SQ8", "IVF<nlist>,PQ<m>",
+    "OPQ<m>,IVF<nlist>,PQ<m>" — mapped to the native SQ8/PQ/OPQ
+    machinery.  Anything else (LSH/refine chains, PCA pretransforms) is
+    rejected loudly rather than silently downgraded."""
     import re
 
     d = desc.strip().replace("IDMap,", "")
@@ -93,6 +93,16 @@ def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
             "ivf_nlist": int(m.group(1)),
             "quantization": "pq",
             "pq_m": int(m.group(2)),
+        }
+    m = re.fullmatch(r"OPQ(\d+),IVF(\d+),PQ(\d+)", d, re.IGNORECASE)
+    if m:
+        if int(m.group(1)) != int(m.group(3)):
+            raise ValueError(f"OPQ block count must match PQ subspaces in {desc!r}")
+        return "IVFFlat", {
+            "ivf_nlist": int(m.group(2)),
+            "quantization": "pq",
+            "pq_m": int(m.group(3)),
+            "opq": True,
         }
     raise ValueError(f"unsupported FAISS factory description {desc!r}")
 
@@ -230,10 +240,9 @@ class AnnEngine:
                     "quantization='pq' is supported on Flat/IVFFlat and "
                     "sharded diskann indexes; HNSW quantizes with 'sq8'"
                 )
-        if params.get("opq") and (quant != "pq" or itype != "flat"):
+        if params.get("opq") and (quant != "pq" or itype not in ("flat", "ivfflat")):
             raise ValueError(
-                "opq requires quantization='pq' on a Flat index "
-                "(OPQ over IVF is not implemented)"
+                "opq requires quantization='pq' on a Flat or IVFFlat index"
             )
 
         # dimension: from metadata or a one-row probe (Spark arrays are not

@@ -536,7 +536,7 @@ class IvfFlatIndex(BaseIndex):
             meta.quantized = True
             meta.extra["sq8_mins"] = mins
             meta.extra["sq8_scales"] = scales
-        books = None
+        books = rotation = None
         if meta.params.get("quantization") == "pq":
             from duckdb_annsearch_spark.index import pq
 
@@ -548,16 +548,26 @@ class IvfFlatIndex(BaseIndex):
             # FAISS IVFPQ semantics: codebooks are trained on, and codes
             # encode, the residual to the assigned coarse centroid — the
             # codes only have to cover the within-cell distribution
-            books = pq.train_pq(
-                pq.residual_sample(assigned, meta.dim, centroids), m
-            )
+            res_sample = pq.residual_sample(assigned, meta.dim, centroids)
+            if meta.params.get("opq"):
+                # "OPQm,IVFn,PQm": the learned rotation composes with
+                # residual coding as codes = encode(R @ (x - c)); decode
+                # applies R^T before the probe adds c back, so serving
+                # stays original-space (training on residuals is the
+                # distribution the codes must cover)
+                rotation, books = pq.train_opq(res_sample, m)
+            else:
+                books = pq.train_pq(res_sample, m)
             assigned = pq.add_pq_codes(
-                assigned, meta.dim, books, residual_centroids=centroids
+                assigned, meta.dim, books,
+                residual_centroids=centroids, rotation=rotation,
             )
             meta.quantized = True
             meta.extra["quantization"] = "pq"
             meta.extra["pq_m"] = m
             meta.extra["pq_residual"] = True
+            if rotation is not None:
+                meta.extra["opq"] = True
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
             catalog.data_path(meta.name)
         )
@@ -566,6 +576,8 @@ class IvfFlatIndex(BaseIndex):
             from duckdb_annsearch_spark.index import pq
 
             pq.write_codebooks(catalog.data_path(meta.name), books)
+            if rotation is not None:
+                pq.write_rotation(catalog.data_path(meta.name), rotation)
         _write_centroids(catalog.data_path(meta.name), centroids)
         meta.extra["nlist"] = int(centroids.shape[0])
         idx = cls(catalog, meta)

@@ -114,9 +114,11 @@ def sharded_build(
         cap = max(shards * 256, 10_000)
         sample_df = art
         if n_total > cap:
-            stride = n_total / cap
-            wanted = {int(i * stride) for i in range(cap)}
-            sample_df = art.where(F.col("label").isin(list(wanted)))
+            # modular stride filter, not an IN (label, ...) literal list:
+            # at 10^10 rows the list would be ~10k parsed literals per
+            # plan; ceil keeps the match count <= cap deterministically
+            stride = max(1, -(-n_total // cap))
+            sample_df = art.where((F.col("label") % stride) == 0)
         sample = np.asarray(
             [r["vector"] for r in sample_df.select("vector").collect()],
             dtype=np.float32,
@@ -282,11 +284,17 @@ def streaming_build(
     m = sample_size or default_sample_size(n)
     m = min(m, n)
 
-    # ---- pass 1: deterministic stride sample -> driver pilot build
+    # ---- pass 1: deterministic stride sample -> driver pilot build.
+    # The pilot membership is a broadcast semi-join against a small labels
+    # DataFrame, NOT an IN (...) literal list: at 100M rows the list is
+    # ~10k literals inlined into every plan that references it (the
+    # filter here AND the anti-join below) — parser-hostile and
+    # re-serialized per stage.
     stride = n / m
     pilot_labels = sorted({min(int(i * stride), n - 1) for i in range(m)})
+    labels_df = spark.createDataFrame([(int(l),) for l in pilot_labels], "label int")
     pilot_rows = (
-        art.where(F.col("label").isin(pilot_labels)).orderBy("label").collect()
+        art.join(F.broadcast(labels_df), "label").orderBy("label").collect()
     )
     pilot_global = np.asarray([r["label"] for r in pilot_rows], dtype=np.int64)
     pilot_vecs = np.asarray([r["vector"] for r in pilot_rows], dtype=np.float32)
@@ -319,7 +327,7 @@ def streaming_build(
         VERTEX_SCHEMA,
     )
 
-    rest = art.where(~F.col("label").isin(pilot_labels))
+    rest = art.join(F.broadcast(labels_df), "label", "left_anti")
     n_rest = n - len(pilot_global)
     if n_rest > 0:
         # ---- pass 2: partition-parallel streaming inserts against the pilot

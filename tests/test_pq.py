@@ -176,8 +176,12 @@ def test_quantization_rejections(engine):
             "bad_m", "pv5", engine="faiss", quantization="pq", pq_m=4
         )
     with pytest.raises(ValueError, match="unsupported FAISS factory"):
-        engine.create_index("bad_f", "pv5", engine="faiss", description="OPQ16,IVF64,PQ16")
-    with pytest.raises(ValueError, match="sq8 only"):
+        engine.create_index("bad_f", "pv5", engine="faiss", description="PCA32,IVF64,PQ16")
+    # OPQ,IVF,PQ now parses (round 5) but still validates the divisor
+    with pytest.raises(ValueError, match="divisor"):
+        engine.create_index("bad_f2", "pv5", engine="faiss", description="OPQ16,IVF64,PQ16")
+    # non-sharded streaming builds keep rejecting pq (sharded-only path)
+    with pytest.raises(ValueError, match="shards"):
         engine.streaming_build("bad_sb", "pv5", quantization="pq")
 
 
@@ -261,13 +265,53 @@ def test_opq_rejections(engine):
     engine.register_table("ov2", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
     with pytest.raises(ValueError, match="must match"):
         engine.create_index("bad_opq", "ov2", engine="faiss", description="OPQ2,PQ4")
-    with pytest.raises(ValueError, match="OPQ over IVF"):
-        engine.create_index(
-            "bad_opq2", "ov2", engine="faiss", index_type="IVFFlat",
-            ivf_nlist=4, quantization="pq", pq_m=4, opq=True,
-        )
+    with pytest.raises(ValueError, match="must match"):
+        engine.create_index("bad_opq2", "ov2", engine="faiss", description="OPQ2,IVF8,PQ4")
     with pytest.raises(ValueError, match="unsupported FAISS factory"):
-        engine.create_index("bad_opq3", "ov2", engine="faiss", description="OPQ4,IVF8,PQ4")
+        engine.create_index("bad_opq3", "ov2", engine="faiss", description="LSH")
+    with pytest.raises(ValueError, match="HNSW quantizes"):
+        engine.create_index(
+            "bad_opq4", "ov2", engine="faiss", index_type="HNSW",
+            quantization="pq", pq_m=4, opq=True,
+        )
+
+
+def test_opq_over_ivf_factory(engine):
+    """"OPQ<m>,IVF<n>,PQ<m>" (round 5): the learned rotation composes with
+    residual coding — codes = encode(R @ (x - c)); the probe decodes with
+    R^T then adds the coarse centroid back, so serving is original-space
+    and self-queries resolve through the lossy codes."""
+    rng = np.random.RandomState(29)
+    base = rng.rand(240, 8).astype(np.float32)
+    mix = rng.rand(8, 8).astype(np.float32)  # correlated dims
+    x = (base @ mix).astype(np.float32)
+    rows = [(i, x[i].tolist()) for i in range(240)]
+    engine.register_table("oiv", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index(
+        "opq_ivf", "oiv", engine="faiss", description="OPQ4,IVF4,PQ4", nprobe=4
+    )
+    meta = engine.catalog.load("opq_ivf")
+    assert meta.index_type == "ivfflat"
+    assert meta.quantized and meta.extra.get("opq") is True
+    assert meta.extra.get("pq_residual") is True
+    import os
+
+    from duckdb_annsearch_spark.index.pq import ROTATION_FILE
+
+    assert os.path.exists(
+        os.path.join(engine.catalog.data_path("opq_ivf"), ROTATION_FILE)
+    )
+    for probe_id in (0, 101, 239):
+        got = engine.ann_search("oiv", "opq_ivf", rows[probe_id][1], k=1).collect()
+        assert got[0]["id"] == probe_id
+    # rerank recipe over the composed index matches exact brute force
+    q = x[55]
+    d = ((x - q) ** 2).sum(axis=1)
+    exact = np.argsort(d, kind="stable")[:5].tolist()
+    got = engine.ann_search(
+        "oiv", "opq_ivf", q.tolist(), 5, oversample=20, rerank=True
+    ).collect()
+    assert [r["id"] for r in got] == exact
 
 
 def test_pq_inner_product_metric(engine):
