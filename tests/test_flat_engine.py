@@ -136,10 +136,14 @@ def test_faiss_factory_description_and_mode(engine):
         engine.create_index("bad", "fvecs", "embedding", engine="faiss", mode="tpu")
     # PQ<m> is now a supported composite (index/pq.py) — the parse succeeds
     # and validation moves to the dimension check; truly unknown composites
-    # (OPQ/LSH/refine chains) still reject at the parser
+    # (LSH/refine/PCA chains) still reject at the parser — OPQ,IVF,PQ
+    # parses as of round 5 and fails on the dimension check instead
     with _pytest.raises(ValueError, match="divisor of the vector dimension"):
         engine.create_index("bad2", "fvecs", "embedding", engine="faiss",
                             description="PQ16")
-    with _pytest.raises(ValueError, match="unsupported FAISS factory"):
+    with _pytest.raises(ValueError, match="divisor of the vector dimension"):
         engine.create_index("bad3", "fvecs", "embedding", engine="faiss",
                             description="OPQ16,IVF64,PQ16")
+    with _pytest.raises(ValueError, match="unsupported FAISS factory"):
+        engine.create_index("bad4", "fvecs", "embedding", engine="faiss",
+                            description="IVF64,Refine(Flat)")

@@ -65,3 +65,36 @@ def test_sharded_graph_recall_at_25k(engine, big_table):
     # regression without flaking on kmeans layout variation
     assert float(np.mean(recalls)) >= 0.9, recalls
     assert min(recalls) >= 0.7, recalls
+
+
+def test_sharded_pq_graph_recall_at_25k(engine, big_table):
+    """Round-5 twin for the PQ-quantized sharded path, served through the
+    rerank recipe (10x over-fetch from 8-byte codes + exact re-score) —
+    the in-suite assertion of the ROADMAP 5M-row measurement."""
+    import pyarrow.parquet as pq_
+
+    engine.register_table("big_pq", big_table, row_id="vec_id")
+    engine.streaming_build(
+        "big_gpq", "big_pq", "embedding", shards=SHARDS, shard_by="kmeans",
+        quantization="pq", pq_m=8,
+    )
+
+    t = pq_.read_table(big_table).sort_by("vec_id")
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_numpy()
+
+    k = 10
+    recalls = []
+    for qi in np.linspace(0, N_ROWS - 1, 5).astype(int):
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        truth = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+        got = {
+            r["vec_id"]
+            for r in engine.ann_search(
+                "big_pq", "big_gpq", x[qi].tolist(), k,
+                oversample=10, rerank=True,
+            ).collect()
+        }
+        recalls.append(len(truth & got) / k)
+    assert float(np.mean(recalls)) >= 0.9, recalls
+    assert min(recalls) >= 0.7, recalls
