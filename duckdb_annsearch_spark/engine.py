@@ -61,11 +61,30 @@ def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
     composites its parser accepts but its tests never exercise — "SQ8",
     "PQ<m>", "OPQ<m>,PQ<m>", "IVF<nlist>,SQ8", "IVF<nlist>,PQ<m>",
     "OPQ<m>,IVF<nlist>,PQ<m>" — mapped to the native SQ8/PQ/OPQ
-    machinery.  Anything else (LSH/refine chains, PCA pretransforms) is
-    rejected loudly rather than silently downgraded."""
+    machinery.  A trailing ",RFlat" (faiss IndexRefineFlat: re-rank the
+    candidates exactly against the stored full-precision vectors) maps to
+    the engine's rerank serving default — ``ann_search`` then over-fetches
+    ``refine_k_factor``x from the codes and re-scores exactly.  Anything
+    else (LSH chains, PCA pretransforms, non-Flat refiners) is rejected
+    loudly rather than silently downgraded."""
     import re
 
     d = desc.strip().replace("IDMap,", "")
+    refine = False
+    m = re.search(r",RFlat$", d, re.IGNORECASE)
+    if m:
+        refine = True
+        d = d[: m.start()]
+    dtype, dparams = _parse_faiss_factory_base(d, desc)
+    if refine:
+        dparams = dict(dparams)
+        dparams["refine"] = True
+    return dtype, dparams
+
+
+def _parse_faiss_factory_base(d: str, desc: str) -> tuple[str, dict]:
+    import re
+
     if d.lower() == "flat":
         return "Flat", {}
     if d.upper() == "SQ8":
@@ -893,8 +912,8 @@ class AnnEngine:
         query: Sequence[float],
         k: int,
         search_complexity: int | None = None,
-        oversample: int = 1,
-        rerank: bool = False,
+        oversample: int | None = None,
+        rerank: bool | None = None,
         **search_params,
     ) -> DataFrame:
         """k-NN + row fetch: all table columns + ``_distance``, ascending.
@@ -910,11 +929,24 @@ class AnnEngine:
         (JVM-side ``metric_distance``, no extra probe) and the best ``k``
         returned — ``_distance`` is then the exact value, so a lossy
         index (SQ8/PQ/OPQ) serves brute-force-accurate top-k whenever the
-        true neighbors are inside the over-fetched candidate set."""
+        true neighbors are inside the over-fetched candidate set.
+
+        Defaults resolve from the index: an ``",RFlat"`` factory index (or
+        ``refine=True`` param) reranks by default, over-fetching
+        ``refine_k_factor``x (default 10); otherwise ``oversample=1``,
+        ``rerank=False``.  ``rerank=True`` with no explicit ``oversample``
+        also over-fetches ``refine_k_factor``x (reranking exactly k
+        candidates would be a no-op)."""
         from duckdb_annsearch_spark.functions.distance import metric_distance
 
         t = self.table(table)
         idx = self.get_index(index)
+        if rerank is None:
+            rerank = bool(idx.meta.params.get("refine"))
+        if oversample is None:
+            oversample = (
+                int(idx.meta.params.get("refine_k_factor", 10)) if rerank else 1
+            )
         fetch_k = k * max(1, int(oversample))
         hits = idx.search(
             list(query), fetch_k, search_complexity=search_complexity, **search_params

@@ -267,12 +267,15 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
         with open(sidecar) as f:
             side = json.load(f)
     if "sq8_mins" in side and "codes" in t.column_names:
-        mins = np.asarray(side["sq8_mins"], dtype=np.float32)
-        scales = np.asarray(side["sq8_scales"], dtype=np.float32)
-        codes = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
-        ).astype(np.float32)
-        vectors = codes / 255.0 * scales + mins
+        # shared decoder (kernels.decode_codes) — the parquet, mmap-view,
+        # and Spark probe paths must stay bit-identical
+        vectors = kernels.decode_codes(
+            t.column("codes").to_pylist(),
+            {
+                "mins": np.asarray(side["sq8_mins"], dtype=np.float32),
+                "scales": np.asarray(side["sq8_scales"], dtype=np.float32),
+            },
+        )
     else:
         vectors = _vector_matrix(t.column("vector"))
     neighbors = [

@@ -333,3 +333,37 @@ def test_pq_inner_product_metric(engine):
     # negated-IP convention: distances ascend (more-negative = better)
     ds = [r["_distance"] for r in got]
     assert ds == sorted(ds)
+
+
+def test_rflat_refine_factory(engine):
+    """",RFlat" (faiss IndexRefineFlat, round 5): the factory suffix makes
+    rerank the index's serving default — ann_search over-fetches
+    refine_k_factor x from the codes and re-scores exactly, so the lossy
+    index answers with exact distances and exact top-k (candidate set
+    permitting) with ZERO caller opt-in."""
+    rng = np.random.RandomState(37)
+    rows = [(i, rng.rand(8).astype(np.float32).tolist()) for i in range(300)]
+    engine.register_table("rf", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index(
+        "rf_idx", "rf", engine="faiss", description="IVF4,PQ4,RFlat",
+        nprobe=4, refine_k_factor=20,
+    )
+    meta = engine.catalog.load("rf_idx")
+    assert meta.params.get("refine") is True and meta.quantized
+
+    x = np.asarray([r[1] for r in rows], dtype=np.float32)
+    q = x[77]
+    d = ((x - q) ** 2).sum(axis=1)
+    exact = np.argsort(d, kind="stable")[:5].tolist()
+    got = engine.ann_search("rf", "rf_idx", q.tolist(), 5).collect()  # defaults
+    assert len(got) == 5  # rerank default returns exactly k
+    assert [r["id"] for r in got] == exact
+    assert abs(got[0]["_distance"] - float(d[exact[0]])) < 1e-4  # exact value
+
+    # explicit opt-out still serves raw code distances, k*1 rows
+    raw = engine.ann_search("rf", "rf_idx", q.tolist(), 5, rerank=False).collect()
+    assert len(raw) == 5
+
+    # non-Flat refiners keep rejecting
+    with pytest.raises(ValueError, match="unsupported FAISS factory"):
+        engine.create_index("bad_rf", "rf", engine="faiss", description="PQ4,Refine(SQ8)")
