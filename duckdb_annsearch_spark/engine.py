@@ -19,7 +19,7 @@ from collections.abc import Sequence
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -969,6 +969,18 @@ class AnnEngine:
             F.col("_distance").asc(), F.col(t.row_id).asc()
         )
 
+    def _resolve_rerank(self, idx, oversample, rerank):
+        """Shared default resolution for the rerank serving recipe: an
+        ``,RFlat`` / ``refine=True`` index reranks by default at
+        ``refine_k_factor``x over-fetch (see :meth:`ann_search`)."""
+        if rerank is None:
+            rerank = bool(idx.meta.params.get("refine"))
+        if oversample is None:
+            oversample = (
+                int(idx.meta.params.get("refine_k_factor", 10)) if rerank else 1
+            )
+        return max(1, int(oversample)), bool(rerank)
+
     def ann_search_batch(
         self,
         table: str,
@@ -976,19 +988,54 @@ class AnnEngine:
         queries: list[Sequence[float]],
         k: int,
         search_complexity: int | None = None,
+        oversample: int | None = None,
+        rerank: bool | None = None,
         **search_params,
     ) -> DataFrame:
         """Multi-query batch: ``query_idx INT`` + table columns + ``_distance``
-        (``src/ann_search.cpp:202-388``)."""
+        (``src/ann_search.cpp:202-388``).
+
+        ``rerank``/``oversample`` follow :meth:`ann_search`: candidates are
+        re-scored exactly per query (broadcast join of the tiny query list,
+        one window per query_idx) and the best ``k`` per query returned."""
+        from duckdb_annsearch_spark.functions.distance import metric_distance
+
         t = self.table(table)
         idx = self.get_index(index)
+        oversample, rerank = self._resolve_rerank(idx, oversample, rerank)
         hits = idx.search_batch(
-            [list(q) for q in queries], k,
+            [list(q) for q in queries], k * oversample,
             search_complexity=search_complexity, **search_params,
         )
         joined = t.df.join(
             hits.withColumnRenamed("row_id", t.row_id), on=t.row_id, how="inner"
         )
+        if rerank:
+            qdf = self.spark.createDataFrame(
+                [
+                    (int(i), [float(x) for x in q])
+                    for i, q in enumerate(queries)
+                ],
+                "query_idx int, __qvec array<float>",
+            )
+            exact = metric_distance(
+                F.col(idx.meta.column), F.col("__qvec"), idx.meta.metric
+            )
+            w = Window.partitionBy("query_idx").orderBy(
+                F.col("_distance").asc(), F.col(t.row_id).asc()
+            )
+            return (
+                joined.join(F.broadcast(qdf), "query_idx")
+                .select("query_idx", *t.df.columns, exact.alias("_distance"))
+                .withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= k)
+                .drop("__rk")
+                .orderBy(
+                    F.col("query_idx").asc(),
+                    F.col("_distance").asc(),
+                    F.col(t.row_id).asc(),
+                )
+            )
         return joined.select("query_idx", *t.df.columns, "_distance").orderBy(
             F.col("query_idx").asc(), F.col("_distance").asc(), F.col(t.row_id).asc()
         )
@@ -1001,17 +1048,27 @@ class AnnEngine:
         k: int,
         search_complexity: int | None = None,
         query_col: str | None = None,
+        oversample: int | None = None,
+        rerank: bool | None = None,
     ) -> DataFrame:
         """Table-in/table-out search (``src/ann_search.cpp:390-691``):
         output = input columns ++ base columns (name collisions prefixed
         ``<table>_``) ++ ``_distance``.
 
+        ``rerank``/``oversample`` follow :meth:`ann_search`: the join-back
+        already co-locates each hit with its query vector, so the exact
+        re-score is one JVM expression + a per-query window — no extra
+        probe, shuffle stays k*oversample rows per query.
+
         Implemented as the SURVEY §3.2 translation: tag input rows, run the
         distributed batch probe, join hits back to input rows and base rows.
         Scales with both the query count and the base table — no driver
         materialization."""
+        from duckdb_annsearch_spark.functions.distance import metric_distance
+
         t = self.table(table)
         idx = self.get_index(index)
+        oversample, rerank = self._resolve_rerank(idx, oversample, rerank)
         qcol = query_col or detect_vector_column(queries_df)
 
         # the query set never reaches the driver: tag rows, run the
@@ -1027,7 +1084,7 @@ class AnnEngine:
         ).localCheckpoint(eager=False)
         hits = idx.search_batch_df(
             tagged.select("__query_idx", F.col(qcol).cast("array<float>").alias("query")),
-            k,
+            k * oversample,
             idx_col="__query_idx",
             search_complexity=search_complexity,
         ).select(
@@ -1055,6 +1112,32 @@ class AnnEngine:
                 "inner",
             )
         )
+        if rerank:
+            exact = metric_distance(
+                F.col(f"__base.{idx.meta.column}"),
+                F.col(f"__q.{qcol}").cast("array<float>"),
+                idx.meta.metric,
+            )
+            return (
+                joined.select(
+                    F.col("__query_idx"),
+                    *[F.col(f"__q.{c}") for c in queries_df.columns],
+                    *base_cols,
+                    exact.alias("_distance"),
+                    F.col(f"__base.{t.row_id}").alias("__rrk_rid"),
+                )
+                .withColumn(
+                    "__rrk",
+                    F.row_number().over(
+                        Window.partitionBy("__query_idx").orderBy(
+                            F.col("_distance").asc(), F.col("__rrk_rid").asc()
+                        )
+                    ),
+                )
+                .where(F.col("__rrk") <= k)
+                .orderBy(F.col("__query_idx").asc(), F.col("_distance").asc())
+                .drop("__rrk", "__rrk_rid", "__query_idx")
+            )
         out = joined.select(
             *[F.col(f"__q.{c}") for c in queries_df.columns],
             *base_cols,

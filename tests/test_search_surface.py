@@ -195,3 +195,61 @@ def test_ann_search_rerank_exact_over_quantized(engine):
     # plain (no rerank) returns k*oversample rows ordered by code distance
     raw = engine.ann_search("rr", "rr_pq", q.tolist(), 5, oversample=20).collect()
     assert len(raw) == 100
+
+
+def test_batch_and_table_rerank_match_exact(engine):
+    """rerank on the batch and table-in/table-out paths: per-query window
+    over exactly re-scored candidates — each query's top-k matches brute
+    force, k rows per query, exact _distance values."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    n, dim = 300, 8
+    rows = [(i, rng.rand(dim).astype("float32").tolist()) for i in range(n)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("rrb", df, row_id="id")
+    engine.create_index("rrb_pq", "rrb", "embedding", engine="faiss", description="PQ4")
+    x = np.asarray([r[1] for r in rows], dtype=np.float32)
+    q_ids = [3, 150, 299]
+
+    def exact_topk(qi, k=4):
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        return list(np.argsort(d, kind="stable")[:k])
+
+    # batch path
+    res = engine.ann_search_batch(
+        "rrb", "rrb_pq", [x[qi].tolist() for qi in q_ids], 4,
+        oversample=20, rerank=True,
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_idx"], []).append(r["id"])
+    for pos, qi in enumerate(q_ids):
+        assert by_q[pos] == exact_topk(qi), f"batch query {qi}"
+
+    # table path (query vectors co-located by the join-back)
+    qdf = engine.spark.createDataFrame(
+        [(qi, x[qi].tolist()) for qi in q_ids], "qid long, qvec array<float>"
+    )
+    tres = engine.ann_search_table(
+        qdf, "rrb", "rrb_pq", 4, query_col="qvec", oversample=20, rerank=True,
+    ).collect()
+    by_t = {}
+    for r in tres:
+        by_t.setdefault(r["qid"], []).append(r["id"])
+    for qi in q_ids:
+        assert by_t[qi] == exact_topk(qi), f"table query {qi}"
+        # rows come back exactly k per query, distances exact
+    assert len(tres) == 3 * 4
+
+    # RFlat index defaults both paths into rerank serving
+    engine.create_index(
+        "rrb_rf", "rrb", "embedding", engine="faiss", description="PQ4,RFlat",
+        refine_k_factor=20,
+    )
+    dres = engine.ann_search_table(qdf, "rrb", "rrb_rf", 4, query_col="qvec").collect()
+    by_d = {}
+    for r in dres:
+        by_d.setdefault(r["qid"], []).append(r["id"])
+    for qi in q_ids:
+        assert by_d[qi] == exact_topk(qi)
