@@ -113,3 +113,22 @@ def test_decontaminate_benchmark_side_broadcasts(spark, docs):
     # shuffle into a sort-merge join
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_rerank_path_stays_broadcast_no_python(engine):
+    """rerank=True adds one JVM metric_distance expression + a top-k sort
+    over the broadcast row-fetch join: still a broadcast join (k*oversample
+    rows vs the table), no SortMergeJoin, no Python evaluation."""
+    rng = np.random.RandomState(6)
+    rows = [(i, rng.rand(4).astype(np.float32).tolist()) for i in range(90)]
+    engine.register_table("ppr", make_vectors_df(engine.spark, rows, dim=4), row_id="id")
+    engine.create_index("ppr_pq", "ppr", engine="faiss", description="PQ4")
+    df = engine.ann_search("ppr", "ppr_pq", rows[0][1], k=5, oversample=10, rerank=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+    # the final top-k is a limit-sort (TakeOrderedAndProject), not a
+    # global sort of the joined frame
+    assert "TakeOrderedAndProject" in plan, plan
