@@ -559,6 +559,17 @@ def _sq8_engine_for(spark, sf_dir):
             "info_sq8", "embeddings", "embedding", engine="faiss",
             index_type="Flat", quantization="sq8",
         ),
+        # the sub-byte / half-float ends of the scalar-quantizer family
+        # (FAISS QT_4bit / QT_fp16 — factory "SQ4"/"SQfp16"): 8x and 2x
+        # compression through the same shared decode path
+        lambda: eng.create_index(
+            "info_sq4", "embeddings", "embedding", engine="faiss",
+            description="SQ4",
+        ),
+        lambda: eng.create_index(
+            "info_fp16", "embeddings", "embedding", engine="faiss",
+            description="SQfp16",
+        ),
         # product quantization via the FAISS factory-composite surface
         # (src/faiss_index.cpp:39-60); 8 bytes/vector vs 256 raw
         # 16 subspaces of 4 dims: 16 bytes/vector vs 256 raw, and fine
@@ -593,7 +604,7 @@ def _sq8_engine_for(spark, sf_dir):
             shards=4, shard_by="kmeans", quantization="pq", pq_m=16,
         ),
     ]
-    with ThreadPoolExecutor(7) as ex:
+    with ThreadPoolExecutor(9) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _SQ8_ENGINE_CACHE[key] = eng
@@ -636,6 +647,39 @@ def q_sq8_rerank(spark, sf_dir):
     eng = _sq8_engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "info_sq8", q, k=10, oversample=5)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_sq4_rerank(spark, sf_dir):
+    """SQ4 (FAISS QT_4bit, factory "SQ4"): 4-bit affine codes packed two
+    dims per byte — 8x compression — generate candidates (over-fetch 10x),
+    exact f64 re-rank restores full precision.  Same oracle shape as
+    ``sq8_rerank``; certifies the sub-byte pack/unpack path end-to-end."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_sq4", q, k=10, oversample=10)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_fp16_rerank(spark, sf_dir):
+    """SQfp16 (FAISS QT_fp16): raw float16 codes, 2 bytes/dim, no training
+    stats; reconstruction error ~1e-3 relative so 5x over-fetch + exact f64
+    re-rank is comfortably exact.  Certifies the half-float widen path."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_fp16", q, k=10, oversample=5)
     d = _sqdist64("embedding", q)
     return (
         hits.select("vec_id", d.alias("_dx"))
@@ -1352,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_topk": q_graph_topk,
         "ann_list_info": q_ann_list_info,
         "sq8_rerank": q_sq8_rerank,
+        "sq4_rerank": q_sq4_rerank,
+        "fp16_rerank": q_fp16_rerank,
         "pq_rerank": q_pq_rerank,
         "ivfpq_rerank": q_ivfpq_rerank,
         "opq_rerank": q_opq_rerank,
@@ -1482,6 +1528,8 @@ def oracle_sql() -> dict[str, str]:
     FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
     """
     oracles["sq8_rerank"] = _brute_topk_sql(sq)
+    oracles["sq4_rerank"] = _brute_topk_sql(sq)
+    oracles["fp16_rerank"] = _brute_topk_sql(sq)
     oracles["pq_rerank"] = _brute_topk_sql(sq)
     oracles["ivfpq_rerank"] = _brute_topk_sql(sq)
     oracles["opq_rerank"] = _brute_topk_sql(sq)
@@ -1501,11 +1549,13 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT) AS num_deleted, t.quantized AS quantized
     FROM (VALUES
       ('info_flat',  'faiss',   'embeddings', 'embedding', false),
+      ('info_fp16',  'faiss',   'embeddings', 'embedding', true),
       ('info_gpq',   'diskann', 'embeddings', 'embedding', true),
       ('info_gsq8',  'diskann', 'embeddings', 'embedding', true),
       ('info_ivfpq', 'faiss',   'embeddings', 'embedding', true),
       ('info_opq',   'faiss',   'embeddings', 'embedding', true),
       ('info_pq',    'faiss',   'embeddings', 'embedding', true),
+      ('info_sq4',   'faiss',   'embeddings', 'embedding', true),
       ('info_sq8',   'faiss',   'embeddings', 'embedding', true)
     ) AS t(name, engine, table_name, col_name, quantized)
     CROSS JOIN nv

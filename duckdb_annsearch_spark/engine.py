@@ -58,9 +58,10 @@ def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
     """Map FAISS factory strings onto our index types + params: the subset
     the reference constructs (``src/faiss_index.cpp:39-60``: "Flat"/
     "IDMap,Flat", "HNSW<M>", "IVF<nlist>,Flat") plus the quantized
-    composites its parser accepts but its tests never exercise — "SQ8",
-    "PQ<m>", "OPQ<m>,PQ<m>", "IVF<nlist>,SQ8", "IVF<nlist>,PQ<m>",
-    "OPQ<m>,IVF<nlist>,PQ<m>" — mapped to the native SQ8/PQ/OPQ
+    composites its parser accepts but its tests never exercise — the
+    scalar family "SQ4"/"SQ6"/"SQ8"/"SQfp16" (QT_4bit/6bit/8bit/fp16),
+    "PQ<m>", "OPQ<m>,PQ<m>", "IVF<nlist>,SQ<x>", "IVF<nlist>,PQ<m>",
+    "OPQ<m>,IVF<nlist>,PQ<m>" — mapped to the native SQ/PQ/OPQ
     machinery.  A trailing ",RFlat" (faiss IndexRefineFlat: re-rank the
     candidates exactly against the stored full-precision vectors) maps to
     the engine's rerank serving default — ``ann_search`` then over-fetches
@@ -87,8 +88,10 @@ def _parse_faiss_factory_base(d: str, desc: str) -> tuple[str, dict]:
 
     if d.lower() == "flat":
         return "Flat", {}
-    if d.upper() == "SQ8":
-        return "Flat", {"quantization": "sq8"}
+    m = re.fullmatch(r"SQ(4|6|8|fp16)", d, re.IGNORECASE)
+    if m:
+        t = m.group(1).lower()
+        return "Flat", {"quantization": "fp16" if t == "fp16" else f"sq{t}"}
     m = re.fullmatch(r"PQ(\d+)", d, re.IGNORECASE)
     if m:
         return "Flat", {"quantization": "pq", "pq_m": int(m.group(1))}
@@ -103,9 +106,13 @@ def _parse_faiss_factory_base(d: str, desc: str) -> tuple[str, dict]:
     m = re.fullmatch(r"IVF(\d+),Flat", d, re.IGNORECASE)
     if m:
         return "IVFFlat", {"ivf_nlist": int(m.group(1))}
-    m = re.fullmatch(r"IVF(\d+),SQ8", d, re.IGNORECASE)
+    m = re.fullmatch(r"IVF(\d+),SQ(4|6|8|fp16)", d, re.IGNORECASE)
     if m:
-        return "IVFFlat", {"ivf_nlist": int(m.group(1)), "quantization": "sq8"}
+        t = m.group(2).lower()
+        return "IVFFlat", {
+            "ivf_nlist": int(m.group(1)),
+            "quantization": "fp16" if t == "fp16" else f"sq{t}",
+        }
     m = re.fullmatch(r"IVF(\d+),PQ(\d+)", d, re.IGNORECASE)
     if m:
         return "IVFFlat", {
@@ -250,14 +257,20 @@ class AnnEngine:
         if quant is not None:
             quant = str(quant).lower()
             params["quantization"] = quant
-            if quant not in ("sq8", "pq"):
+            if quant not in ("sq4", "sq6", "sq8", "fp16", "pq"):
                 raise ValueError(
-                    f"unknown quantization {quant!r} (sq8 | pq)"
+                    f"unknown quantization {quant!r} (sq4 | sq6 | sq8 | fp16 | pq)"
                 )
             if quant == "pq" and itype == "hnsw":
                 raise ValueError(
                     "quantization='pq' is supported on Flat/IVFFlat and "
                     "sharded diskann indexes; HNSW quantizes with 'sq8'"
+                )
+            if quant in ("sq4", "sq6", "fp16") and itype not in ("flat", "ivfflat"):
+                raise ValueError(
+                    f"quantization={quant!r} is supported on Flat/IVFFlat "
+                    "indexes; graph indexes quantize with 'sq8' (or 'pq' "
+                    "when sharded)"
                 )
         if params.get("opq") and (quant != "pq" or itype not in ("flat", "ivfflat")):
             raise ValueError(

@@ -123,16 +123,66 @@ def compute_sq8_stats(artifact: DataFrame, dim: int) -> tuple[list[float], list[
     return mins.tolist(), scales.tolist()
 
 
-def add_sq8_codes(artifact: DataFrame, dim: int, mins: list[float], scales: list[float]) -> DataFrame:
+# scalar-quantizer family (FAISS ScalarQuantizer QT_4bit/QT_6bit/QT_8bit —
+# factory strings "SQ4"/"SQ6"/"SQ8", src/faiss_index.cpp:39-60 forwards them
+# to index_factory); "fp16" is QT_fp16 ("SQfp16"): raw float16 codes, no
+# affine stats.  SQ8 stays the only member on the graph paths (reference
+# provider.rs parity); the others serve the Flat/IVF artifacts.
+SQ_BITS = {"sq4": 4, "sq6": 6, "sq8": 8}
+SQ_QUANTS = ("sq4", "sq6", "sq8", "fp16")
+
+
+def pack_sq_codes(q: np.ndarray, bits: int) -> np.ndarray:
+    """(n, dim) uint8 level indices -> (n, ceil(dim*bits/8)) packed bytes.
+    8-bit passes through; 4/6-bit pack MSB-first via np.packbits (trailing
+    pad bits zero), the symmetric inverse of the unpack in
+    ``kernels.decode_codes``."""
+    if bits == 8:
+        return q
+    n, dim = q.shape
+    b = ((q[:, :, None] >> np.arange(bits - 1, -1, -1, dtype=np.uint8)) & 1).astype(
+        np.uint8
+    )
+    return np.packbits(b.reshape(n, dim * bits), axis=1)
+
+
+def add_sq_codes(
+    artifact: DataFrame,
+    dim: int,
+    mins: list[float],
+    scales: list[float],
+    bits: int = 8,
+) -> DataFrame:
     mn = np.asarray(mins, dtype=np.float32)
     sc = np.asarray(scales, dtype=np.float32)
+    levels = float((1 << bits) - 1)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             x = kernels.stack_vectors(pdf["vector"], dim)
-            q = np.clip(np.rint((x - mn) / sc * 255.0), 0, 255).astype(np.uint8)
+            q = np.clip(np.rint((x - mn) / sc * levels), 0, levels).astype(np.uint8)
+            q = pack_sq_codes(q, bits)
             pdf = pdf.copy()
             pdf["codes"] = [q[i].tobytes() for i in range(q.shape[0])]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in artifact.schema.fields)
+    return artifact.mapInPandas(encode, schema + ", codes binary")
+
+
+def add_sq8_codes(artifact: DataFrame, dim: int, mins: list[float], scales: list[float]) -> DataFrame:
+    return add_sq_codes(artifact, dim, mins, scales, bits=8)
+
+
+def add_fp16_codes(artifact: DataFrame, dim: int) -> DataFrame:
+    """QT_fp16: codes are the vector itself narrowed to float16 (2 bytes/dim,
+    no training stats); decode widens back to f32."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = kernels.stack_vectors(pdf["vector"], dim).astype(np.float16)
+            pdf = pdf.copy()
+            pdf["codes"] = [x[i].tobytes() for i in range(x.shape[0])]
             yield pdf
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in artifact.schema.fields)
@@ -290,7 +340,13 @@ class BaseIndex:
                     self._opq_rotation = rot
                 dq["rotation"] = rot
             return dq
-        return {
+        quant = self.meta.extra.get("quantization", "sq8")
+        if quant == "fp16":
+            return {"fp16": True}
+        dq = {
             "mins": self.meta.extra["sq8_mins"],
             "scales": self.meta.extra["sq8_scales"],
         }
+        if quant in SQ_BITS and SQ_BITS[quant] != 8:
+            dq["bits"] = SQ_BITS[quant]
+        return dq

@@ -19,8 +19,11 @@ from pyspark.sql import DataFrame
 from duckdb_annsearch_spark.catalog import Catalog, IndexMeta
 from duckdb_annsearch_spark.index import kernels, scan
 from duckdb_annsearch_spark.index.base import (
+    SQ_BITS,
+    SQ_QUANTS,
     BaseIndex,
-    add_sq8_codes,
+    add_fp16_codes,
+    add_sq_codes,
     compute_sq8_stats,
     with_labels,
 )
@@ -41,12 +44,16 @@ class FlatIndex(BaseIndex):
         art = with_labels(df, row_id_col, vector_col)
         quant = meta.params.get("quantization")
         books = None
-        if quant == "sq8":
-            mins, scales = compute_sq8_stats(art, meta.dim)
-            art = add_sq8_codes(art, meta.dim, mins, scales)
+        if quant in SQ_QUANTS:
+            if quant == "fp16":
+                art = add_fp16_codes(art, meta.dim)
+            else:
+                mins, scales = compute_sq8_stats(art, meta.dim)
+                art = add_sq_codes(art, meta.dim, mins, scales, bits=SQ_BITS[quant])
+                meta.extra["sq8_mins"] = mins
+                meta.extra["sq8_scales"] = scales
             meta.quantized = True
-            meta.extra["sq8_mins"] = mins
-            meta.extra["sq8_scales"] = scales
+            meta.extra["quantization"] = quant
         rotation = None
         if quant == "pq":
             from duckdb_annsearch_spark.index import pq

@@ -525,17 +525,26 @@ class IvfFlatIndex(BaseIndex):
                 assigned, centroids, max_cell, meta.dim, meta.metric
             )
         meta.extra["train_mode"] = train_mode
-        if meta.params.get("quantization") == "sq8":
+        if meta.params.get("quantization") in ("sq4", "sq6", "sq8", "fp16"):
             from duckdb_annsearch_spark.index.base import (
-                add_sq8_codes,
+                SQ_BITS,
+                add_fp16_codes,
+                add_sq_codes,
                 compute_sq8_stats,
             )
 
-            mins, scales = compute_sq8_stats(art, meta.dim)
-            assigned = add_sq8_codes(assigned, meta.dim, mins, scales)
+            quant = meta.params["quantization"]
+            if quant == "fp16":
+                assigned = add_fp16_codes(assigned, meta.dim)
+            else:
+                mins, scales = compute_sq8_stats(art, meta.dim)
+                assigned = add_sq_codes(
+                    assigned, meta.dim, mins, scales, bits=SQ_BITS[quant]
+                )
+                meta.extra["sq8_mins"] = mins
+                meta.extra["sq8_scales"] = scales
             meta.quantized = True
-            meta.extra["sq8_mins"] = mins
-            meta.extra["sq8_scales"] = scales
+            meta.extra["quantization"] = quant
         books = rotation = None
         if meta.params.get("quantization") == "pq":
             from duckdb_annsearch_spark.index import pq

@@ -230,8 +230,10 @@ def decode_codes(bufs, dq: dict) -> np.ndarray:
     already-stacked ``(n, m)`` uint8 matrix (callers that parsed the
     buffers for another purpose pass it straight in — no double parse).
 
-    One decoder for both quantizations: SQ8 (``{'mins','scales'}`` — per-dim
-    affine, ``rust_lib/src/provider.rs:161-210``) and PQ
+    One decoder for every quantization: the scalar family
+    (``{'mins','scales'[, 'bits': 4|6]}`` — per-dim affine,
+    ``rust_lib/src/provider.rs:161-210``; sub-byte codes MSB-first packed),
+    fp16 (``{'fp16': True}`` — raw float16 widened), and PQ
     (``{'codebooks': (m,256,dsub)}`` — per-subspace centroid gather).  Every
     probe path then runs the same GEMM on the reconstruction."""
     if isinstance(bufs, np.ndarray):
@@ -248,8 +250,17 @@ def decode_codes(bufs, dq: dict) -> np.ndarray:
             # reconstruction back so every probe stays original-space
             x = x @ np.asarray(rot, dtype=np.float32).T
         return x
+    if dq.get("fp16"):
+        return np.ascontiguousarray(codes).view(np.float16).astype(np.float32)
     mins = np.asarray(dq["mins"], dtype=np.float32)
     scales = np.asarray(dq["scales"], dtype=np.float32)
+    bits = int(dq.get("bits", 8))
+    if bits != 8:
+        dim = mins.shape[0]
+        u = np.unpackbits(codes, axis=1)[:, : dim * bits]
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.float32)
+        q = u.reshape(len(codes), dim, bits).astype(np.float32) @ weights
+        return q / float((1 << bits) - 1) * scales + mins
     return codes.astype(np.float32) / 255.0 * scales + mins
 
 
