@@ -570,6 +570,17 @@ def _sq8_engine_for(spark, sf_dir):
             "info_fp16", "embeddings", "embedding", engine="faiss",
             description="SQfp16",
         ),
+        # pretransform + binary-code ends of the factory surface: PCA
+        # (reduced f32 coords, W^T reconstruction) and LSH (hyperplane sign
+        # bits, hamming ranking via the ±1-image GEMM)
+        lambda: eng.create_index(
+            "info_pca", "embeddings", "embedding", engine="faiss",
+            description="PCA32",
+        ),
+        lambda: eng.create_index(
+            "info_lsh", "embeddings", "embedding", engine="faiss",
+            description="LSH256",
+        ),
         # product quantization via the FAISS factory-composite surface
         # (src/faiss_index.cpp:39-60); 8 bytes/vector vs 256 raw
         # 16 subspaces of 4 dims: 16 bytes/vector vs 256 raw, and fine
@@ -604,7 +615,7 @@ def _sq8_engine_for(spark, sf_dir):
             shards=4, shard_by="kmeans", quantization="pq", pq_m=16,
         ),
     ]
-    with ThreadPoolExecutor(9) as ex:
+    with ThreadPoolExecutor(11) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _SQ8_ENGINE_CACHE[key] = eng
@@ -680,6 +691,42 @@ def q_fp16_rerank(spark, sf_dir):
     eng = _sq8_engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "info_fp16", q, k=10, oversample=5)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_pca_rerank(spark, sf_dir):
+    """PCA pretransform ("PCA32" factory prefix, faiss PCAMatrix): candidates
+    ranked on 32-dim reduced coordinates reconstructed through W^T (2x fewer
+    bytes than the raw dim-64 vectors; near-isotropic synthetic embeddings
+    have a flat spectrum, so deeper cuts cost candidate recall), 20x
+    over-fetch, exact f64 re-rank — certifies the
+    train/persist/project/reconstruct chain against brute force."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_pca", q, k=10, oversample=20)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_lsh_rerank(spark, sf_dir):
+    """LSH binary codes ("LSH256" factory, faiss IndexLSH): candidates by
+    hamming distance over 256 hyperplane sign bits (32 bytes/vector — the
+    ±1-image GEMM identity, 4*hamming), exact f64 re-rank — certifies the
+    sign-encode + hamming-ranking + query-transform chain end-to-end."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "info_lsh", q, k=10, oversample=10)
     d = _sqdist64("embedding", q)
     return (
         hits.select("vec_id", d.alias("_dx"))
@@ -1398,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_rerank": q_sq8_rerank,
         "sq4_rerank": q_sq4_rerank,
         "fp16_rerank": q_fp16_rerank,
+        "pca_rerank": q_pca_rerank,
+        "lsh_rerank": q_lsh_rerank,
         "pq_rerank": q_pq_rerank,
         "ivfpq_rerank": q_ivfpq_rerank,
         "opq_rerank": q_opq_rerank,
@@ -1530,6 +1579,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["sq8_rerank"] = _brute_topk_sql(sq)
     oracles["sq4_rerank"] = _brute_topk_sql(sq)
     oracles["fp16_rerank"] = _brute_topk_sql(sq)
+    oracles["pca_rerank"] = _brute_topk_sql(sq)
+    oracles["lsh_rerank"] = _brute_topk_sql(sq)
     oracles["pq_rerank"] = _brute_topk_sql(sq)
     oracles["ivfpq_rerank"] = _brute_topk_sql(sq)
     oracles["opq_rerank"] = _brute_topk_sql(sq)
@@ -1553,7 +1604,9 @@ def oracle_sql() -> dict[str, str]:
       ('info_gpq',   'diskann', 'embeddings', 'embedding', true),
       ('info_gsq8',  'diskann', 'embeddings', 'embedding', true),
       ('info_ivfpq', 'faiss',   'embeddings', 'embedding', true),
+      ('info_lsh',   'faiss',   'embeddings', 'embedding', true),
       ('info_opq',   'faiss',   'embeddings', 'embedding', true),
+      ('info_pca',   'faiss',   'embeddings', 'embedding', true),
       ('info_pq',    'faiss',   'embeddings', 'embedding', true),
       ('info_sq4',   'faiss',   'embeddings', 'embedding', true),
       ('info_sq8',   'faiss',   'embeddings', 'embedding', true)

@@ -65,9 +65,11 @@ def _parse_faiss_factory(desc: str) -> tuple[str, dict]:
     machinery.  A trailing ",RFlat" (faiss IndexRefineFlat: re-rank the
     candidates exactly against the stored full-precision vectors) maps to
     the engine's rerank serving default — ``ann_search`` then over-fetches
-    ``refine_k_factor``x from the codes and re-scores exactly.  Anything
-    else (LSH chains, PCA pretransforms, non-Flat refiners) is rejected
-    loudly rather than silently downgraded."""
+    ``refine_k_factor``x from the codes and re-scores exactly.  "LSH[n]"
+    (hamming sign codes) and "PCA<dout>[,Flat]" (reduced-dim pretransform)
+    map to their native machinery on a flat store.  Anything else (deeper
+    LSH/PCA chains, non-Flat refiners) is rejected loudly rather than
+    silently downgraded."""
     import re
 
     d = desc.strip().replace("IDMap,", "")
@@ -92,6 +94,20 @@ def _parse_faiss_factory_base(d: str, desc: str) -> tuple[str, dict]:
     if m:
         t = m.group(1).lower()
         return "Flat", {"quantization": "fp16" if t == "fp16" else f"sq{t}"}
+    m = re.fullmatch(r"LSH(\d+)?", d, re.IGNORECASE)
+    if m:
+        # faiss IndexLSH: hyperplane sign bits, hamming candidate ranking
+        # (index/lsh.py); bare "LSH" = d bits like index_factory
+        p = {"quantization": "lsh"}
+        if m.group(1):
+            p["lsh_nbits"] = int(m.group(1))
+        return "Flat", p
+    m = re.fullmatch(r"PCA(\d+)(,Flat)?", d, re.IGNORECASE)
+    if m:
+        # PCAMatrix pretransform onto a flat store: codes are reduced f32
+        # coords, decode reconstructs via W^T (index/pca.py); deeper PCA
+        # chains (PCA over IVF/PQ) stay loudly rejected below
+        return "Flat", {"quantization": "pca", "pca_dim": int(m.group(1))}
     m = re.fullmatch(r"PQ(\d+)", d, re.IGNORECASE)
     if m:
         return "Flat", {"quantization": "pq", "pq_m": int(m.group(1))}
@@ -257,10 +273,27 @@ class AnnEngine:
         if quant is not None:
             quant = str(quant).lower()
             params["quantization"] = quant
-            if quant not in ("sq4", "sq6", "sq8", "fp16", "pq"):
+            if quant not in ("sq4", "sq6", "sq8", "fp16", "pq", "pca", "lsh"):
                 raise ValueError(
-                    f"unknown quantization {quant!r} (sq4 | sq6 | sq8 | fp16 | pq)"
+                    f"unknown quantization {quant!r} "
+                    "(sq4 | sq6 | sq8 | fp16 | pq | pca | lsh)"
                 )
+            if quant == "pca" and itype != "flat":
+                raise ValueError(
+                    "the PCA pretransform is supported on Flat indexes "
+                    "(factory 'PCA<dout>[,Flat]'); deeper chains are not"
+                )
+            if quant == "lsh":
+                if itype != "flat":
+                    raise ValueError(
+                        "LSH codes are supported on Flat indexes "
+                        "(factory 'LSH[<nbits>]'); deeper chains are not"
+                    )
+                if _normalize_metric(metric) != "l2":
+                    raise ValueError(
+                        "LSH hamming ranking approximates L2 only; build the "
+                        "index with metric='l2'"
+                    )
             if quant == "pq" and itype == "hnsw":
                 raise ValueError(
                     "quantization='pq' is supported on Flat/IVFFlat and "

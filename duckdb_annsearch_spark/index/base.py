@@ -343,6 +343,22 @@ class BaseIndex:
         quant = self.meta.extra.get("quantization", "sq8")
         if quant == "fp16":
             return {"fp16": True}
+        if quant == "pca":
+            mats = getattr(self, "_pca_mats", None)
+            if mats is None:
+                from duckdb_annsearch_spark.index import pca
+
+                mats = pca.load_pca(self.catalog.data_path(self.meta.name))
+                self._pca_mats = mats
+            return {"pca_mean": mats[0], "pca_w": mats[1]}
+        if quant == "lsh":
+            mats = getattr(self, "_lsh_mats", None)
+            if mats is None:
+                from duckdb_annsearch_spark.index import lsh
+
+                mats = lsh.load_lsh(self.catalog.data_path(self.meta.name))
+                self._lsh_mats = mats
+            return {"lsh_mean": mats[0], "lsh_h": mats[1]}
         dq = {
             "mins": self.meta.extra["sq8_mins"],
             "scales": self.meta.extra["sq8_scales"],

@@ -54,6 +54,30 @@ class FlatIndex(BaseIndex):
                 meta.extra["sq8_scales"] = scales
             meta.quantized = True
             meta.extra["quantization"] = quant
+        lsh_mats = None
+        if quant == "lsh":
+            from duckdb_annsearch_spark.index import lsh, pq
+
+            nbits = int(meta.params.get("lsh_nbits", meta.dim))
+            art = art.localCheckpoint(eager=False)  # pin labels: sample + encode read twice
+            mean, h = lsh.train_lsh(pq.stride_sample(art, meta.dim), meta.dim, nbits)
+            art = lsh.add_lsh_codes(art, meta.dim, mean, h)
+            lsh_mats = (mean, h)
+            meta.quantized = True
+            meta.extra["quantization"] = "lsh"
+            meta.extra["lsh_nbits"] = nbits
+        pca_mats = None
+        if quant == "pca":
+            from duckdb_annsearch_spark.index import pca, pq
+
+            dout = int(meta.params["pca_dim"])
+            art = art.localCheckpoint(eager=False)  # pin labels: sample + encode read twice
+            mean, w = pca.train_pca(pq.stride_sample(art, meta.dim), dout)
+            art = pca.add_pca_codes(art, meta.dim, mean, w)
+            pca_mats = (mean, w)
+            meta.quantized = True
+            meta.extra["quantization"] = "pca"
+            meta.extra["pca_dim"] = dout
         rotation = None
         if quant == "pq":
             from duckdb_annsearch_spark.index import pq
@@ -79,6 +103,14 @@ class FlatIndex(BaseIndex):
             pq.write_codebooks(catalog.data_path(meta.name), books)
             if rotation is not None:
                 pq.write_rotation(catalog.data_path(meta.name), rotation)
+        if pca_mats is not None:
+            from duckdb_annsearch_spark.index import pca
+
+            pca.write_pca(catalog.data_path(meta.name), *pca_mats)
+        if lsh_mats is not None:
+            from duckdb_annsearch_spark.index import lsh
+
+            lsh.write_lsh(catalog.data_path(meta.name), *lsh_mats)
         idx = cls(catalog, meta)
         meta.num_vectors = idx.artifact().count()
         catalog.save(meta)
@@ -125,7 +157,7 @@ class FlatIndex(BaseIndex):
                         )
             if not valid:
                 return
-            qarr = np.stack([q for _, q in valid])
+            qarr = kernels.transform_queries(np.stack([q for _, q in valid]), dq)
             top = scan.RunningTopK(len(valid), k)
             for rid, x in scan.iter_vector_batches(path, dim, vcol, dq):
                 if deleted.size:

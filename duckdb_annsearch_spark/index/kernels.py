@@ -252,6 +252,21 @@ def decode_codes(bufs, dq: dict) -> np.ndarray:
         return x
     if dq.get("fp16"):
         return np.ascontiguousarray(codes).view(np.float16).astype(np.float32)
+    if "pca_w" in dq:
+        # PCA pretransform: codes are reduced f32 coords; W^T maps back so
+        # the probe stays original-space (same shape as the OPQ rotation)
+        w = np.asarray(dq["pca_w"], dtype=np.float32)  # (dout, d)
+        mean = np.asarray(dq["pca_mean"], dtype=np.float32)
+        y = np.ascontiguousarray(codes).view(np.float32).reshape(len(codes), w.shape[0])
+        return y @ w + mean
+    if "lsh_h" in dq:
+        # LSH sign bits -> ±1 image: squared-L2 between ±1 images is
+        # 4*hamming, so the ordinary GEMM ranks by hamming distance; the
+        # query side maps through transform_queries (shape mismatch fails
+        # loudly if a probe path forgets)
+        nbits = np.asarray(dq["lsh_h"]).shape[0]
+        u = np.unpackbits(codes, axis=1)[:, :nbits]
+        return (u.astype(np.float32) * 2.0) - 1.0
     mins = np.asarray(dq["mins"], dtype=np.float32)
     scales = np.asarray(dq["scales"], dtype=np.float32)
     bits = int(dq.get("bits", 8))
@@ -262,6 +277,19 @@ def decode_codes(bufs, dq: dict) -> np.ndarray:
         q = u.reshape(len(codes), dim, bits).astype(np.float32) @ weights
         return q / float((1 << bits) - 1) * scales + mins
     return codes.astype(np.float32) / 255.0 * scales + mins
+
+
+def transform_queries(qarr: np.ndarray, dq: dict | None) -> np.ndarray:
+    """Map queries into the space the decoded candidates live in.  Identity
+    for every quantization except LSH (the one code whose decode cannot
+    return to the original space): queries become their ±1 sign image under
+    the same hyperplanes, making the GEMM a hamming ranking."""
+    if dq is None or "lsh_h" not in dq:
+        return qarr
+    h = np.asarray(dq["lsh_h"], dtype=np.float32)
+    mean = np.asarray(dq["lsh_mean"], dtype=np.float32)
+    bits = ((qarr - mean) @ h.T) >= 0.0
+    return (bits.astype(np.float32) * 2.0) - 1.0
 
 
 def probe_partitions(
@@ -283,6 +311,7 @@ def probe_partitions(
     global top-k per query, ties broken by row_id.
     """
     qarr = np.asarray([q for _, q in queries], dtype=np.float32)
+    qarr = transform_queries(qarr, dequantize)
     qidx = np.asarray([i for i, _ in queries], dtype=np.int32)
     dq = dequantize  # {'mins': [...], 'scales': [...]} for SQ8 artifacts
 

@@ -113,7 +113,7 @@ def probe_path_df(
         else:
             valid = []
         if valid:
-            qarr = np.stack([q for _, q in valid])
+            qarr = kernels.transform_queries(np.stack([q for _, q in valid]), dequantize)
             top = RunningTopK(len(valid), k)
             for rid, x in iter_vector_batches(path, dim, vector_col, dequantize):
                 if dele is not None:

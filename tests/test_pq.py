@@ -267,8 +267,10 @@ def test_opq_rejections(engine):
         engine.create_index("bad_opq", "ov2", engine="faiss", description="OPQ2,PQ4")
     with pytest.raises(ValueError, match="must match"):
         engine.create_index("bad_opq2", "ov2", engine="faiss", description="OPQ2,IVF8,PQ4")
+    # LSH and PCA grew native machinery in round 5; IMI (multi-index) chains
+    # remain unsupported and must still reject loudly
     with pytest.raises(ValueError, match="unsupported FAISS factory"):
-        engine.create_index("bad_opq3", "ov2", engine="faiss", description="LSH")
+        engine.create_index("bad_opq3", "ov2", engine="faiss", description="IMI2x8,PQ4")
     with pytest.raises(ValueError, match="HNSW quantizes"):
         engine.create_index(
             "bad_opq4", "ov2", engine="faiss", index_type="HNSW",
