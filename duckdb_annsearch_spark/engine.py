@@ -611,6 +611,11 @@ class AnnEngine:
                     f"({' | '.join(allowed)}; 'pq' requires shards=N — "
                     "per-shard codes under index-global codebooks)"
                 )
+        if params.get("opq") and quant != "pq":
+            raise ValueError(
+                "opq on a graph build requires quantization='pq' (sharded; "
+                "the rotation composes with the per-shard codes)"
+            )
         meta = IndexMeta(
             name=name,
             engine="diskann",

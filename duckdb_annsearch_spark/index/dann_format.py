@@ -54,7 +54,8 @@ def write_dann(
 ) -> None:
     """Write a ``.diskann`` file.  ``sq8`` = {'mins', 'scales', 'codes'}
     (codes = (n, dim) u8) appends the SQ8 trailer; ``pq`` = {'codebooks'
-    (m, ksub, dsub) f32, 'codes' (n, m) u8} appends the PQC trailer.
+    (m, ksub, dsub) f32, 'codes' (n, m) u8 [, 'rotation' (dim, dim) f32]}
+    appends the PQC trailer (OPQC variant when a rotation is present).
     At most one quantization trailer per file."""
     if metric not in _METRIC_TO_U8:
         raise ValueError(f"DANN format supports l2|ip, not {metric!r}")
@@ -96,10 +97,15 @@ def write_dann(
         if pq is not None:
             books = np.ascontiguousarray(pq["codebooks"], dtype="<f4")
             codes = np.ascontiguousarray(pq["codes"], dtype=np.uint8)
+            rot = pq.get("rotation")
             m, ksub, dsub = books.shape
-            f.write(b"PQC\x00")
+            # OPQC = PQC with a dim*dim rotation between header and
+            # codebooks (decode applies R^T); codes encode R @ x
+            f.write(b"OPQC" if rot is not None else b"PQC\x00")
             f.write(struct.pack("<III", m, ksub, dsub))
             f.write(struct.pack("<Q", codes.size))
+            if rot is not None:
+                f.write(np.ascontiguousarray(rot, dtype="<f4").tobytes())
             f.write(books.tobytes())
             f.write(codes.tobytes())
 
@@ -154,10 +160,17 @@ def read_dann(path: str) -> dict:
             data, dtype=np.uint8, count=qlen, offset=poff + sdim * 8
         ).reshape(-1, sdim)
         sq8 = {"mins": mins, "scales": scales, "codes": codes}
-    elif len(data) > off + 4 and data[off : off + 4] == b"PQC\x00":
+    elif len(data) > off + 4 and data[off : off + 4] in (b"PQC\x00", b"OPQC"):
+        has_rot = data[off : off + 4] == b"OPQC"
         m, ksub, dsub = struct.unpack("<III", data[off + 4 : off + 16])
         qlen = struct.unpack("<Q", data[off + 16 : off + 24])[0]
         poff = off + 24
+        rotation = None
+        if has_rot:
+            rotation = np.frombuffer(
+                data, dtype="<f4", count=dim * dim, offset=poff
+            ).reshape(dim, dim)
+            poff += dim * dim * 4
         books = np.frombuffer(
             data, dtype="<f4", count=m * ksub * dsub, offset=poff
         ).reshape(m, ksub, dsub)
@@ -165,6 +178,8 @@ def read_dann(path: str) -> dict:
             data, dtype=np.uint8, count=qlen, offset=poff + m * ksub * dsub * 4
         ).reshape(-1, m)
         pq = {"codebooks": books, "codes": codes}
+        if rotation is not None:
+            pq["rotation"] = rotation
     return {
         "vectors": vectors,
         "neighbors": neighbors,

@@ -98,11 +98,18 @@ class _PqView:
     index-global codebooks (the same ``decode_pq`` gather every other PQ
     serving path uses).  Same access-pattern contract as :class:`_Sq8View`."""
 
-    def __init__(self, codes, books: np.ndarray):
+    def __init__(self, codes, books: np.ndarray, rotation: np.ndarray | None = None):
         from duckdb_annsearch_spark.index.pq import decode_pq
 
         self.codes = codes
         self.books = np.ascontiguousarray(books, dtype=np.float32)
+        # OPQ: decode applies R^T so the paged reconstruction is
+        # original-space, matching kernels.decode_codes exactly
+        self.rotation = (
+            np.ascontiguousarray(rotation, dtype=np.float32)
+            if rotation is not None
+            else None
+        )
         self._decode = decode_pq
         m, _ksub, dsub = self.books.shape
         self.shape = (codes.shape[0], m * dsub)
@@ -110,9 +117,11 @@ class _PqView:
 
     def __getitem__(self, idx):
         c = np.asarray(self.codes[idx], dtype=np.uint8)
-        if c.ndim == 1:
-            return self._decode(c[None, :], self.books)[0]
-        return self._decode(c, self.books)
+        one = c.ndim == 1
+        x = self._decode(c[None, :] if one else c, self.books)
+        if self.rotation is not None:
+            x = x @ self.rotation.T
+        return x[0] if one else x
 
     def __len__(self):
         return self.shape[0]
@@ -203,9 +212,11 @@ def _read_sq8_trailer(fn: str, off: int, n: int, dim: int) -> "_Sq8View | None":
 
 
 def _read_pq_trailer(fn: str, off: int, n: int, dim: int) -> "_PqView | None":
-    """Parse the optional PQC trailing section starting at ``off``; returns
-    a decoding view over memmapped codes, or None when absent or malformed
-    (caller keeps the f32 block — same values either way)."""
+    """Parse the optional PQC/OPQC trailing section starting at ``off``;
+    returns a decoding view over memmapped codes, or None when absent or
+    malformed (caller keeps the f32 block — same values either way).
+    "OPQC" carries a dim*dim rotation between the header and the codebooks
+    (decode applies R^T); "PQC\\0" is the rotation-free layout."""
     import struct
 
     try:
@@ -215,18 +226,30 @@ def _read_pq_trailer(fn: str, off: int, n: int, dim: int) -> "_PqView | None":
         with open(fn, "rb") as f:
             f.seek(off)
             head = f.read(24)
-        if head[:4] != b"PQC\x00":
+        if head[:4] == b"PQC\x00":
+            rot_bytes = 0
+        elif head[:4] == b"OPQC":
+            rot_bytes = dim * dim * 4
+        else:
             return None
         m, ksub, dsub = struct.unpack("<III", head[4:16])
         qlen = struct.unpack("<Q", head[16:24])[0]
         books_bytes = m * ksub * dsub * 4
-        if m * dsub != dim or qlen != n * m or size < off + 24 + books_bytes + qlen:
+        need = off + 24 + rot_bytes + books_bytes + qlen
+        if m * dsub != dim or qlen != n * m or size < need:
             return None
-        books = np.fromfile(fn, dtype="<f4", count=m * ksub * dsub, offset=off + 24)
+        rotation = None
+        boff = off + 24
+        if rot_bytes:
+            rotation = np.fromfile(
+                fn, dtype="<f4", count=dim * dim, offset=boff
+            ).reshape(dim, dim)
+            boff += rot_bytes
+        books = np.fromfile(fn, dtype="<f4", count=m * ksub * dsub, offset=boff)
         codes = np.memmap(
-            fn, dtype=np.uint8, mode="r", offset=off + 24 + books_bytes, shape=(n, m)
+            fn, dtype=np.uint8, mode="r", offset=boff + books_bytes, shape=(n, m)
         )
-        return _PqView(codes, books.reshape(m, ksub, dsub))
+        return _PqView(codes, books.reshape(m, ksub, dsub), rotation=rotation)
     except Exception:
         return None
 
@@ -316,7 +339,7 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
     from duckdb_annsearch_spark.index.dann_format import write_dann
 
     sq8_stats = None
-    pq_books = None
+    pq_books = pq_rotation = None
     parent_dir = os.path.dirname(shard_dir)
     parent_meta = os.path.join(parent_dir, "_graph_meta.json")
     if os.path.exists(parent_meta):
@@ -328,9 +351,11 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
                 np.asarray(side["sq8_scales"], dtype=np.float32),
             )
         elif side.get("pq_m"):
-            from duckdb_annsearch_spark.index.pq import load_codebooks
+            from duckdb_annsearch_spark.index.pq import load_codebooks, load_rotation
 
             pq_books = load_codebooks(parent_dir)
+            if side.get("opq"):
+                pq_rotation = load_rotation(parent_dir)
 
     t = pq.read_table(shard_dir).sort_by("label")
     glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -351,15 +376,20 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
         sq8 = {"mins": mins, "scales": scales, "codes": codes}
     elif pq_books is not None and "codes" in t.column_names:
         m, _ksub, dsub = pq_books.shape
+        dq = {"codebooks": pq_books}
+        if pq_rotation is not None:
+            dq["rotation"] = pq_rotation
         if len(glabels):
             codes = np.stack(
                 [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
             )
-            vectors = kernels.decode_codes(codes, {"codebooks": pq_books})
+            vectors = kernels.decode_codes(codes, dq)
         else:
             codes = np.zeros((0, m), dtype=np.uint8)
             vectors = np.zeros((0, m * dsub), dtype=np.float32)
         pq_trailer = {"codebooks": pq_books, "codes": codes}
+        if pq_rotation is not None:
+            pq_trailer["rotation"] = pq_rotation
     else:
         vectors = _vector_matrix(t.column("vector"))
     row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -429,10 +459,12 @@ def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
         }
         empty_dim = len(dq["mins"])
     elif side.get("pq_m"):
-        from duckdb_annsearch_spark.index.pq import load_codebooks
+        from duckdb_annsearch_spark.index.pq import load_codebooks, load_rotation
 
         books = load_codebooks(os.path.dirname(shard_dir))
         dq = {"codebooks": books}
+        if side.get("opq"):
+            dq["rotation"] = load_rotation(os.path.dirname(shard_dir))
         empty_dim = books.shape[0] * books.shape[2]
     if dq is not None:
         # quantized shard: read ONLY the codes (4-32x less IO than the f32

@@ -81,7 +81,7 @@ def sharded_build(
 
     art = with_labels(df, row_id_col, vector_col)
     sq8_mins = sq8_scales = None
-    pq_books = None
+    pq_books = pq_rot = None
     quant = str(p.get("quantization", "")).lower()
     if quant == "sq8":
         # GLOBAL per-dim min/scale (one map-only pass), not per-shard: codes
@@ -99,11 +99,18 @@ def sharded_build(
         from duckdb_annsearch_spark.index.pq import (
             pq_m_for,
             stride_sample,
+            train_opq,
             train_pq,
         )
 
         pq_m = pq_m_for(meta.dim, p.get("pq_m"))
-        pq_books = train_pq(stride_sample(art, meta.dim), pq_m)
+        if p.get("opq"):
+            # OPQ on the sharded path: one index-global rotation learned
+            # with the codebooks; shards encode R @ x, every decode applies
+            # R^T — cross-shard comparability holds exactly as for plain PQ
+            pq_rot, pq_books = train_opq(stride_sample(art, meta.dim), pq_m)
+        else:
+            pq_books = train_pq(stride_sample(art, meta.dim), pq_m)
     centroids = None
     if by == "kmeans":
         # SPANN-style clustered shards: rows go to their nearest centroid's
@@ -179,10 +186,11 @@ def sharded_build(
             cols["codes"] = [q[i].tobytes() for i in range(len(pdf))]
         elif pq_books is not None:
             # per-shard PQ codes under the GLOBAL codebooks (tens of KiB,
-            # shipped in the task closure like add_pq_codes)
+            # shipped in the task closure like add_pq_codes); OPQ encodes
+            # the rotated vector
             from duckdb_annsearch_spark.index.pq import encode_pq
 
-            q = encode_pq(x, pq_books)
+            q = encode_pq(x @ pq_rot.T if pq_rot is not None else x, pq_books)
             cols["codes"] = [q[i].tobytes() for i in range(len(pdf))]
         return pd.DataFrame(cols)
 
@@ -203,10 +211,13 @@ def sharded_build(
     if pq_books is not None:
         # codebooks live as one npy in the artifact root (not in the JSON
         # sidecar — m*256*dsub floats); the sidecar carries only the flag
-        from duckdb_annsearch_spark.index.pq import write_codebooks
+        from duckdb_annsearch_spark.index.pq import write_codebooks, write_rotation
 
         write_codebooks(path, pq_books)
         side["pq_m"] = int(pq_books.shape[0])
+        if pq_rot is not None:
+            write_rotation(path, pq_rot)
+            side["opq"] = True
     with open(os.path.join(path, "_graph_meta.json"), "w") as f:
         json.dump(side, f)
 
@@ -252,6 +263,8 @@ def sharded_build(
     if pq_books is not None:
         meta.quantized = True
         meta.extra["pq_m"] = int(pq_books.shape[0])
+        if pq_rot is not None:
+            meta.extra["opq"] = True
     meta.num_vectors = n
     catalog.save(meta)
     return {"num_vectors": n, "dimension": meta.dim, "shards": meta.extra["shards"]}

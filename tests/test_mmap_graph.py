@@ -248,3 +248,67 @@ def test_empty_graph_after_delete_all_vacuum_still_searchable(engine):
     idx = engine.get_index("mm0")
     assert idx.meta.num_vectors == 0
     assert idx.search(rows[0][1], 3).count() == 0
+
+
+def test_sharded_opq_graph_build_and_serving(engine, monkeypatch):
+    """Sharded OPQ graphs (round 5): the index-global rotation composes with
+    the per-shard codes — encode R @ x, decode applies R^T — so every load
+    path (parquet decode, OPQC-trailer mmap paging) reconstructs identical
+    original-space vectors and searches identically."""
+    from duckdb_annsearch_spark.index.dann_format import read_dann
+    from duckdb_annsearch_spark.index.graph import _PqView, _load_shard
+    from duckdb_annsearch_spark.index.pq import decode_pq
+
+    rng = np.random.RandomState(21)
+    n, dim = 700, 16
+    rows = [(i, rng.rand(dim).astype("float32").tolist()) for i in range(n)]
+    df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
+    engine.register_table("t_sopq", df, row_id="id")
+    engine.streaming_build(
+        "sopq", "t_sopq", "embedding", shards=3, shard_by="kmeans",
+        quantization="pq", pq_m=8, opq=True,
+    )
+    meta = engine.catalog.load("sopq")
+    assert meta.quantized and meta.extra["pq_m"] == 8 and meta.extra.get("opq")
+
+    path = engine.catalog.data_path("sopq")
+    sdirs = sorted(
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("shard=")
+    )
+    assert sdirs
+    # OPQC trailer round-trips: f32 block == decode(codes) @ R^T
+    d = read_dann(os.path.join(sdirs[0], "_graph.diskann"))
+    assert d["pq"] is not None and d["pq"].get("rotation") is not None
+    rot = np.ascontiguousarray(d["pq"]["rotation"], dtype=np.float32)
+    np.testing.assert_allclose(rot @ rot.T, np.eye(dim), atol=1e-4)
+    rec = decode_pq(d["pq"]["codes"], np.ascontiguousarray(d["pq"]["codebooks"]))
+    assert np.array_equal(rec @ rot.T, d["vectors"])
+
+    # mmap (OPQC paging) and parquet loads serve identical vectors/results
+    g_m, rid_m = _load_shard(sdirs[0])
+    assert isinstance(g_m.vectors, _PqView) and g_m.vectors.rotation is not None
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_MMAP", "0")
+    g_r, rid_r = _load_shard(sdirs[0])
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_MMAP")
+    assert np.array_equal(np.asarray(rid_m), np.asarray(rid_r))
+    assert np.allclose(g_m.vectors[:40], np.asarray(g_r.vectors[:40]), atol=1e-5)
+    qs = rng.rand(6, dim).astype(np.float32)
+    for (lm, _dm), (lr, _dr) in zip(
+        g_m.beam_search_batch(qs, 5, 32), g_r.beam_search_batch(qs, 5, 32)
+    ):
+        assert np.array_equal(np.asarray(lm), np.asarray(lr))
+
+    # engine-level fan-out recall floor vs exact brute force
+    import heapq
+
+    x = np.asarray([r[1] for r in rows], dtype=np.float32)
+    q = x[17]
+    exact = heapq.nsmallest(10, range(n), key=lambda i: float(((x[i] - q) ** 2).sum()))
+    got = [r["row_id"] for r in engine.get_index("sopq").search(q.tolist(), 10).collect()]
+    assert len(set(got) & set(exact)) >= 7
+
+    # opq without pq rejects loudly
+    with pytest.raises(ValueError, match="opq"):
+        engine.streaming_build(
+            "sopq_bad", "t_sopq", "embedding", shards=2, quantization="sq8", opq=True
+        )
