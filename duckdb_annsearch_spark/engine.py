@@ -1228,6 +1228,32 @@ class AnnEngine:
             if explain is not None:
                 explain.update(decision)
             idx = self.get_index(m.name)
+            if m.quantized:
+                # the user's original query was EXACT brute force — routing
+                # it through lossy codes must not silently change the
+                # distances, so a quantized index serves the rewrite via
+                # the rerank recipe: refine_k_factor-x candidates from the
+                # codes, exact JVM-side re-score on the full-precision
+                # column (the ",RFlat" serving shape; only the candidate
+                # set stays approximate, matching the reference's own
+                # approximate-index rewrite semantics)
+                from duckdb_annsearch_spark.functions.distance import metric_distance
+
+                fetch_k = k * int(m.params.get("refine_k_factor", 10))
+                hits = idx.search(list(query), fetch_k).drop("_distance")
+                exact = metric_distance(
+                    F.col(column), [float(x) for x in query], metric
+                )
+                return (
+                    t.df.join(
+                        F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),
+                        on=t.row_id,
+                        how="inner",
+                    )
+                    .select(*t.df.columns, exact.alias("_distance"))
+                    .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
+                    .limit(k)
+                )
             hits = idx.search(list(query), k)
             return (
                 t.df.join(
@@ -1259,12 +1285,18 @@ class AnnEngine:
             decision["reason"] = "no metric-compatible index"
             return None
         # deterministic preference: exact structures first (Flat, then IVF —
-        # exhaustive at full probe), graph last; name tie-break. Catalog
-        # listing order depends on build completion order under concurrent
-        # DDL, so an explicit ranking keeps the rewrite decision stable.
+        # exhaustive at full probe), graph last; within a type,
+        # full-precision beats quantized (a quantized pick forces the
+        # rerank overfetch below); name tie-break. Catalog listing order
+        # depends on build completion order under concurrent DDL, so an
+        # explicit ranking keeps the rewrite decision stable.
         rank = {"flat": 0, "ivfflat": 1, "hnsw": 2, "diskann": 3}
         candidates.sort(
-            key=lambda c: (rank.get(str(c.index_type).lower(), 9), c.name)
+            key=lambda c: (
+                rank.get(str(c.index_type).lower(), 9),
+                bool(c.quantized),
+                c.name,
+            )
         )
         m = candidates[0]
         n = max(m.num_vectors - m.num_deleted, 0)

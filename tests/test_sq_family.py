@@ -180,3 +180,33 @@ def test_sq_family_persistence(engine):
     after = [(r["id"], r["_distance"]) for r in
              eng2.ann_search("pv6", "p_sq6", q, k=5).collect()]
     assert before == after
+
+
+def test_topk_rewrite_through_quantized_index_reranks(engine):
+    """The implicit ORDER BY distance LIMIT k rewrite must not silently
+    swap exact distances for code distances: with only a quantized index
+    available it routes through the index but re-scores exactly (the
+    rerank recipe), and with a full-precision sibling it prefers that."""
+    rows = _rand_rows(53, 300, 8)
+    engine.register_table(
+        "qtk", make_vectors_df(engine.spark, rows, dim=8), row_id="id"
+    )
+    engine.create_index("qtk_sq4", "qtk", engine="faiss", description="SQ4")
+    q = rows[7][1]
+    exact_ids = _exact_topk(rows, q, 5)
+    x = np.asarray([v for _, v in rows], dtype=np.float32)
+    exact_d = np.sort(((x - np.asarray(q, dtype=np.float32)) ** 2).sum(axis=1))[:5]
+    info = {}
+    got = engine.topk("qtk", q, 5, explain=info).collect()
+    assert info["rewritten"] and info["index"] == "qtk_sq4"
+    assert [r["id"] for r in got] == exact_ids
+    np.testing.assert_allclose(
+        [r["_distance"] for r in got], exact_d, rtol=1e-5
+    )
+    # a full-precision sibling wins the selection
+    engine.create_index(
+        "qtk_flat", "qtk", engine="faiss", index_type="Flat"
+    )
+    info2 = {}
+    engine.topk("qtk", q, 5, explain=info2)
+    assert info2["index"] == "qtk_flat"
