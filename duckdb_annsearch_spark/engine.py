@@ -1232,28 +1232,11 @@ class AnnEngine:
                 # the user's original query was EXACT brute force — routing
                 # it through lossy codes must not silently change the
                 # distances, so a quantized index serves the rewrite via
-                # the rerank recipe: refine_k_factor-x candidates from the
-                # codes, exact JVM-side re-score on the full-precision
-                # column (the ",RFlat" serving shape; only the candidate
-                # set stays approximate, matching the reference's own
-                # approximate-index rewrite semantics)
-                from duckdb_annsearch_spark.functions.distance import metric_distance
-
-                fetch_k = k * int(m.params.get("refine_k_factor", 10))
-                hits = idx.search(list(query), fetch_k).drop("_distance")
-                exact = metric_distance(
-                    F.col(column), [float(x) for x in query], metric
-                )
-                return (
-                    t.df.join(
-                        F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),
-                        on=t.row_id,
-                        how="inner",
-                    )
-                    .select(*t.df.columns, exact.alias("_distance"))
-                    .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
-                    .limit(k)
-                )
+                # the rerank recipe (the ",RFlat" serving shape; only the
+                # candidate set stays approximate, matching the reference's
+                # own approximate-index rewrite semantics). ann_search's
+                # rerank path IS this plan — one implementation.
+                return self.ann_search(table, m.name, query, k, rerank=True)
             hits = idx.search(list(query), k)
             return (
                 t.df.join(
@@ -1496,7 +1479,15 @@ class AnnEngine:
         the k rows -> sort k rows only. Changes to the probe path (delta
         compensation, oversample, tombstones) live here once."""
         idx = self.get_index(meta.name)
-        hits = idx.search(list(query_vector), k)
+        # a quantized index ranks candidates by lossy code distance — the
+        # ordering expression is recomputed exactly on the fetched rows
+        # below, so over-fetching refine_k_factor-x candidates makes the
+        # rewrite serve the rerank recipe (only the candidate set stays
+        # approximate, as with any index rewrite)
+        fetch_k = (
+            k * int(meta.params.get("refine_k_factor", 10)) if meta.quantized else k
+        )
+        hits = idx.search(list(query_vector), fetch_k)
         fetched = base.join(
             F.broadcast(hits.select(F.col("row_id").alias(tie))),
             on=tie,

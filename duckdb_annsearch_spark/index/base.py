@@ -262,6 +262,7 @@ class BaseIndex:
             k,
             self.meta.metric,
             self.meta.dim,
+            dequantize=self._delta_dequant_args(),
         )
         return topk_per_query(hits.unionByName(extra), k)
 
@@ -296,6 +297,7 @@ class BaseIndex:
             k,
             self.meta.dim,
             self.meta.metric,
+            dequantize=self._delta_dequant_args(),
             deleted=self._deleted_rowid_array(),
             query_col=query_col,
             idx_col=idx_col,
@@ -319,6 +321,20 @@ class BaseIndex:
             return np.empty(0, dtype=np.int64)
         rows = self.catalog.tombstones(self.meta.name).collect()
         return np.asarray([r["row_id"] for r in rows], dtype=np.int64)
+
+    def _delta_dequant_args(self) -> dict | None:
+        """Dequant dict for probing the FULL-PRECISION delta tail.  None for
+        every quantization whose decode stays original-space (SQ/PQ/PCA —
+        true-L2 delta distances merge cleanly with reconstruction-space main
+        distances); for LSH the main hits are on the 4*hamming scale, so the
+        delta rows must pass through the same ±1 sign image
+        (``raw_vectors`` mode in the probe kernels) or inserted rows would
+        crowd out every indexed row in the merged top-k."""
+        if not self.meta.quantized or self.meta.extra.get("quantization") != "lsh":
+            return None
+        dq = dict(self._dequant_args())
+        dq["raw_vectors"] = True
+        return dq
 
     def _dequant_args(self) -> dict | None:
         if not self.meta.quantized:

@@ -319,7 +319,12 @@ def probe_partitions(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if dq is not None:
+            if dq is not None and dq.get("raw_vectors"):
+                # full-precision rows (a delta tail) probed under an LSH
+                # index: map them through the SAME ±1 image as the stored
+                # codes so their distances share the hamming scale
+                x = transform_queries(stack_vectors(pdf[vector_col], dim), dq)
+            elif dq is not None:
                 x = decode_codes(pdf[vector_col], dq)
             else:
                 x = stack_vectors(pdf[vector_col], dim)

@@ -106,7 +106,7 @@ def sharded_build(
         pq_m = pq_m_for(meta.dim, p.get("pq_m"))
         if p.get("opq"):
             # OPQ on the sharded path: one index-global rotation learned
-            # with the codebooks; shards encode R @ x, every decode applies
+            # with the codebooks; shards encode x @ R, every decode applies
             # R^T — cross-shard comparability holds exactly as for plain PQ
             pq_rot, pq_books = train_opq(stride_sample(art, meta.dim), pq_m)
         else:
@@ -187,10 +187,11 @@ def sharded_build(
         elif pq_books is not None:
             # per-shard PQ codes under the GLOBAL codebooks (tens of KiB,
             # shipped in the task closure like add_pq_codes); OPQ encodes
-            # the rotated vector
+            # the rotated vector — SAME convention as add_pq_codes
+            # (pq.py: codes = encode(x @ R), decode applies R^T)
             from duckdb_annsearch_spark.index.pq import encode_pq
 
-            q = encode_pq(x @ pq_rot.T if pq_rot is not None else x, pq_books)
+            q = encode_pq(x @ pq_rot if pq_rot is not None else x, pq_books)
             cols["codes"] = [q[i].tobytes() for i in range(len(pdf))]
         return pd.DataFrame(cols)
 

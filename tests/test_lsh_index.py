@@ -123,3 +123,45 @@ def test_lsh_rejections(engine):
         )
     with pytest.raises(ValueError):
         engine.create_index("r3", "lshr", engine="faiss", description="IVF2,LSH")
+
+
+def test_lsh_insert_delta_merges_on_hamming_scale(engine):
+    """Rows inserted after an LSH build are brute-forced from the delta —
+    their distances must land on the SAME 4*hamming scale as the coded main
+    hits (raw_vectors transform), or delta rows crowd out every indexed row
+    in the merged top-k regardless of actual proximity."""
+    rows = _rand_rows(71, 150, 8)
+    engine.register_table(
+        "lshd", make_vectors_df(engine.spark, rows, dim=8), row_id="id"
+    )
+    engine.create_index("lshd64", "lshd", engine="faiss", description="LSH64")
+    q = rows[5][1]
+    # insert rows far from q — with the scale bug these dominate the top-k
+    rng = np.random.RandomState(72)
+    far = [(500 + i, (rng.rand(8).astype(np.float32) + 3.0).tolist()) for i in range(10)]
+    engine.insert("lshd", make_vectors_df(engine.spark, far, dim=8))
+    live = rows + far
+    got = [
+        r["id"]
+        for r in engine.ann_search(
+            "lshd", "lshd64", q, k=5, oversample=10, rerank=True
+        ).collect()
+    ]
+    assert got == _exact_topk(live, q, 5)
+    assert not any(g >= 500 for g in got)
+    # and an inserted NEAR-duplicate must win through the same merge
+    engine.insert("lshd", make_vectors_df(engine.spark, [(600, q)], dim=8))
+    got2 = [
+        r["id"]
+        for r in engine.ann_search(
+            "lshd", "lshd64", q, k=2, oversample=10, rerank=True
+        ).collect()
+    ]
+    assert set(got2) == {5, 600}
+    # the df-distributed surface (ann_search_table path) merges on the same
+    # scale too
+    idx = engine.get_index("lshd64")
+    qdf = engine.spark.createDataFrame([(0, q)], "query_idx long, query array<float>")
+    got3 = [r["row_id"] for r in
+            idx.search_batch_df(qdf, 2).orderBy("_distance", "row_id").collect()]
+    assert set(got3) == {5, 600}

@@ -261,7 +261,15 @@ def test_sharded_opq_graph_build_and_serving(engine, monkeypatch):
 
     rng = np.random.RandomState(21)
     n, dim = 700, 16
-    rows = [(i, rng.rand(dim).astype("float32").tolist()) for i in range(n)]
+    # ANISOTROPIC data under a fixed non-axis-aligned mix: on isotropic
+    # uniform data train_opq converges to R ~ I, which would mask an
+    # encode/decode rotation-orientation mismatch (x @ R vs x @ R^T) —
+    # here R is far from identity, so a transposed encode wrecks the
+    # reconstruction and the fidelity assert below catches it
+    scales_ = np.linspace(0.05, 2.0, dim).astype(np.float32)
+    mix_q, _ = np.linalg.qr(np.random.RandomState(4).randn(dim, dim))
+    base = (rng.rand(n, dim).astype(np.float32) * scales_) @ mix_q.astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(n)]
     df = engine.spark.createDataFrame(rows, "id long, embedding array<float>")
     engine.register_table("t_sopq", df, row_id="id")
     engine.streaming_build(
@@ -283,6 +291,18 @@ def test_sharded_opq_graph_build_and_serving(engine, monkeypatch):
     np.testing.assert_allclose(rot @ rot.T, np.eye(dim), atol=1e-4)
     rec = decode_pq(d["pq"]["codes"], np.ascontiguousarray(d["pq"]["codebooks"]))
     assert np.array_equal(rec @ rot.T, d["vectors"])
+    # reconstruction FIDELITY to the true vectors — encode(x @ R) decoded
+    # through R^T must land near x; a transposed encode leaves the data
+    # doubly rotated and this relative error blows past 1
+    import pyarrow.parquet as papq
+
+    from duckdb_annsearch_spark.index import scan as _scan
+
+    t_shard = papq.read_table(sdirs[0]).sort_by("label")
+    x_true = _scan._fixed_matrix(t_shard.column("vector").combine_chunks(), dim)
+    num = float(((d["vectors"] - x_true) ** 2).sum())
+    den = float(((x_true - x_true.mean(axis=0)) ** 2).sum())
+    assert num / max(den, 1e-9) < 0.5
 
     # mmap (OPQC paging) and parquet loads serve identical vectors/results
     g_m, rid_m = _load_shard(sdirs[0])

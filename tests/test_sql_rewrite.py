@@ -160,3 +160,24 @@ def test_index_preference_exact_before_graph(docs_engine, rows):
     hits = eng.topk("docs", q, 5, metric="l2", explain=expl)
     assert expl["rewritten"] and expl["index"] == "docs_flat"
     assert [r["id"] for r in hits.collect()] == _brute(rows, q, 5)
+
+
+def test_quantized_only_index_sql_rewrite_serves_exact(engine):
+    """With only a quantized index on the column, the transparent SQL
+    rewrite must over-fetch refine_k_factor-x and re-score exactly (the
+    ordering expression is recomputed on the fetched rows) — k raw
+    code-space candidates would silently miss true neighbors."""
+    rng = np.random.RandomState(91)
+    rows = [(i, rng.rand(8).astype(np.float32).tolist()) for i in range(300)]
+    df = make_vectors_df(engine.spark, rows, dim=8)
+    engine.register_table("qdocs", df, row_id="id")
+    engine.create_index("qdocs_sq4", "qdocs", "embedding", engine="faiss",
+                        description="SQ4")
+    q = rows[7][1]
+    exp = {}
+    res = engine.sql(
+        f"SELECT * FROM qdocs ORDER BY array_distance(embedding, {_arr(q)}) LIMIT 5",
+        explain=exp,
+    )
+    assert exp["rewritten"] and exp["index"] == "qdocs_sq4"
+    assert [r["id"] for r in res.collect()] == _brute(rows, q, 5)
