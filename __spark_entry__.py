@@ -614,8 +614,14 @@ def _sq8_engine_for(spark, sf_dir):
             "info_gpq", "embeddings", "embedding",
             shards=4, shard_by="kmeans", quantization="pq", pq_m=16,
         ),
+        # sharded OPQ (late r5): index-global rotation composed with the
+        # per-shard codes (x @ R encode, R^T decode, OPQC mmap trailer)
+        lambda: eng.streaming_build(
+            "info_gopq", "embeddings", "embedding",
+            shards=4, shard_by="kmeans", quantization="pq", pq_m=16, opq=True,
+        ),
     ]
-    with ThreadPoolExecutor(11) as ex:
+    with ThreadPoolExecutor(12) as ex:
         for f in [ex.submit(b) for b in builds]:
             f.result()
     _SQ8_ENGINE_CACHE[key] = eng
@@ -823,6 +829,22 @@ def q_graph_pq_topk(spark, sf_dir):
     ).select("vec_id")
     exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
     return _recall_floor_certified(hits, exact, 7, "sharded-pq graph")
+
+
+def q_graph_opq_topk(spark, sf_dir):
+    """Sharded out-of-core OPQ graph search (late r5) — approximate (no
+    oracle), same >=7/10 in-plan recall-floor certification as
+    ``graph_pq_topk``: the index-global learned rotation composes with the
+    per-shard 16-byte codes (encode x @ R, decode applies R^T), served
+    through the rerank recipe so the floor covers rotation persistence,
+    the OPQC mmap trailer decode, and the graph approximation at once."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search(
+        "embeddings", "info_gopq", q, k=10, oversample=10, rerank=True
+    ).select("vec_id")
+    exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
+    return _recall_floor_certified(hits, exact, 7, "sharded-opq graph")
 
 
 def q_dann_roundtrip(spark, sf_dir):
@@ -1452,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_rerank": q_opq_rerank,
         "graph_sq8_topk": q_graph_sq8_topk,
         "graph_pq_topk": q_graph_pq_topk,
+        "graph_opq_topk": q_graph_opq_topk,
         "dann_roundtrip": q_dann_roundtrip,
         "drop_index_catalog": q_drop_index_catalog,
         "gpu_info": q_gpu_info,
@@ -1601,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
     FROM (VALUES
       ('info_flat',  'faiss',   'embeddings', 'embedding', false),
       ('info_fp16',  'faiss',   'embeddings', 'embedding', true),
+      ('info_gopq',  'diskann', 'embeddings', 'embedding', true),
       ('info_gpq',   'diskann', 'embeddings', 'embedding', true),
       ('info_gsq8',  'diskann', 'embeddings', 'embedding', true),
       ('info_ivfpq', 'faiss',   'embeddings', 'embedding', true),

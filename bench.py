@@ -81,6 +81,10 @@ def main():
         "graph_topk",
         "graph_pq_topk",
         "sq8_rerank",
+        "sq4_rerank",
+        "fp16_rerank",
+        "pca_rerank",
+        "lsh_rerank",
         "pq_rerank",
         "hybrid_rrf",
         # pipeline
