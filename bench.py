@@ -107,7 +107,11 @@ def main():
     timings = {}
     t_start = time.time()
     # warm the engine (Flat/IVF/graph/FTS index builds) as its own entry so
-    # search timings measure search, not DDL
+    # search timings measure search, not DDL.  Round-5 note: index_build
+    # grew r4 -> r5 (43.6s -> ~79s) because the warm family grew 13 -> 18
+    # indexes — the full factory surface now builds SQ4/SQfp16/PCA32/LSH256
+    # plus a SECOND sharded graph (OPQ) so their bench queries measure
+    # search only; per-index build cost is flat.
     t0 = time.time()
     try:
         entrymod._engine_for(spark, sf_dir)

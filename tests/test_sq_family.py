@@ -210,3 +210,49 @@ def test_topk_rewrite_through_quantized_index_reranks(engine):
     info2 = {}
     engine.topk("qtk", q, 5, explain=info2)
     assert info2["index"] == "qtk_flat"
+
+
+def test_new_quant_empty_table_build_and_lifecycle(engine):
+    """Zero-row CREATE INDEX for the round-5 code types (sq4, fp16, pca,
+    lsh): identity/degenerate training artifacts, empty serving, inserts
+    via the full-precision delta, vacuum retrains on real rows."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = engine.spark.createDataFrame([], schema)
+    engine.register_table("eq5", empty, row_id="id")
+    for name, kw in (
+        ("e_sq4", dict(quantization="sq4")),
+        ("e_fp16", dict(quantization="fp16")),
+        ("e_pca", dict(quantization="pca", pca_dim=2)),
+        ("e_lsh", dict(quantization="lsh", lsh_nbits=16)),
+    ):
+        engine.create_index(
+            name, "eq5", "v", engine="faiss", index_type="Flat", dim=4, **kw
+        )
+        assert engine.ann_search("eq5", name, [0.0] * 4, k=3).count() == 0
+    rows = [(i, [float(i)] * 4) for i in range(12)]
+    engine.insert("eq5", engine.spark.createDataFrame(rows, schema))
+    for name in ("e_sq4", "e_fp16", "e_pca", "e_lsh"):
+        got = [
+            r["id"]
+            for r in engine.ann_search(
+                "eq5", name, [5.0] * 4, k=3, oversample=4, rerank=True
+            ).collect()
+        ]
+        assert got[0] == 5, name
+        engine.vacuum(name)
+        meta = engine.catalog.load(name)
+        assert meta.quantized and meta.num_vectors == 12, name
+        got2 = [
+            r["id"]
+            for r in engine.ann_search(
+                "eq5", name, [5.0] * 4, k=3, oversample=4, rerank=True
+            ).collect()
+        ]
+        assert got2[0] == 5, name
