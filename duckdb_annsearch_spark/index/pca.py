@@ -46,7 +46,10 @@ def train_pca(sample: np.ndarray, dout: int) -> tuple[np.ndarray, np.ndarray]:
         # alive (empty-table CREATE INDEX; vacuum re-trains on real rows)
         w = np.eye(d)[:dout]
         return mean.astype(np.float32), w.astype(np.float32)
-    _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
+    # full matrices when the sample is rank-deficient (n-1 < dout): the
+    # complete right-singular basis pads the principal rows with an
+    # orthonormal completion, so W always has dout orthonormal rows
+    _, _, vt = np.linalg.svd(x - mean, full_matrices=len(x) < d + 1)
     w = vt[:dout]
     sign = np.sign(w[np.arange(dout), np.abs(w).argmax(axis=1)])
     sign[sign == 0] = 1.0

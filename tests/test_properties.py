@@ -137,3 +137,83 @@ def test_pq_adc_identity_and_idempotence(n, m, dsub, seed):
     # points when n < 256: tied re-encodes may land on a jittered twin
     recon2 = decode_pq(encode_pq(recon, books), books)
     np.testing.assert_allclose(recon2, recon, atol=1e-3)
+
+
+@given(
+    bits=st.sampled_from([4, 6, 8]),
+    n=st.integers(min_value=1, max_value=40),
+    dim=st.integers(min_value=1, max_value=24),
+    seed=seeds,
+)
+@settings(max_examples=60, deadline=None)
+def test_sq_family_pack_roundtrip_error_bound(bits, n, dim, seed):
+    """For every sub-byte width: packed-code decode stays within half a
+    quantization step per dimension, and code width is ceil(dim*bits/8)."""
+    from duckdb_annsearch_spark.index import kernels
+    from duckdb_annsearch_spark.index.base import pack_sq_codes
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, dim).astype(np.float32) * rng.rand() * 10
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    sc = np.maximum(mx - mn, 1e-12)
+    levels = (1 << bits) - 1
+    q = np.clip(np.rint((x - mn) / sc * levels), 0, levels).astype(np.uint8)
+    packed = pack_sq_codes(q, bits)
+    assert packed.shape == (n, -(-dim * bits // 8))
+    dq = {"mins": mn.tolist(), "scales": sc.tolist()}
+    if bits != 8:
+        dq["bits"] = bits
+    dec = kernels.decode_codes(packed, dq)
+    assert np.abs(dec - x).max() <= (sc / levels).max() * 0.51
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    dim=st.integers(min_value=1, max_value=16),
+    nbits=st.integers(min_value=1, max_value=48),
+    seed=seeds,
+)
+@settings(max_examples=60, deadline=None)
+def test_lsh_gemm_hamming_identity(n, dim, nbits, seed):
+    """Squared-L2 between decoded ±1 images == 4 * hamming(codes) for every
+    (n, dim, nbits) — the identity the LSH serving path rides on; and
+    transform_queries of a stored row equals its decoded image."""
+    from duckdb_annsearch_spark.index import kernels, lsh
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, dim).astype(np.float32)
+    mean, h = lsh.train_lsh(x, dim, nbits)
+    codes = lsh.encode_lsh(x, mean, h)
+    dq = {"lsh_mean": mean, "lsh_h": h}
+    dec = kernels.decode_codes(codes, dq)
+    bits = np.unpackbits(codes, axis=1)[:, :nbits]
+    i = int(rng.randint(n))
+    ham = (bits ^ bits[i]).sum(axis=1)
+    np.testing.assert_array_equal(((dec - dec[i]) ** 2).sum(axis=1), 4.0 * ham)
+    np.testing.assert_array_equal(kernels.transform_queries(x, dq), dec)
+
+
+@given(
+    n=st.integers(min_value=2, max_value=60),
+    dim=st.integers(min_value=2, max_value=12),
+    seed=seeds,
+)
+@settings(max_examples=60, deadline=None)
+def test_pca_decode_is_best_rank_dout_reconstruction(n, dim, seed):
+    """decode(encode(x)) equals the orthogonal projection onto the learned
+    subspace, whose error never exceeds the centered data norm; W rows stay
+    orthonormal for every sample shape."""
+    from duckdb_annsearch_spark.index import kernels
+    from duckdb_annsearch_spark.index.pca import train_pca
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, dim).astype(np.float32)
+    dout = int(rng.randint(1, dim + 1))
+    mean, w = train_pca(x, dout)
+    np.testing.assert_allclose(w @ w.T, np.eye(dout), atol=1e-4)
+    y = (x - mean) @ w.T
+    bufs = [y[i].astype(np.float32).tobytes() for i in range(n)]
+    dec = kernels.decode_codes(bufs, {"pca_mean": mean, "pca_w": w})
+    proj = (x - mean) @ w.T @ w + mean
+    np.testing.assert_allclose(dec, proj, atol=1e-3)
+    assert ((dec - x) ** 2).sum() <= ((x - x.mean(0)) ** 2).sum() + 1e-2
