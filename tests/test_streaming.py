@@ -321,3 +321,64 @@ def test_streaming_insert_requires_stream(engine):
     engine.register_table("ing2", df, row_id="id")
     with _pt.raises(ValueError, match="streaming"):
         streaming_insert(engine, "ing2", df, checkpoint_dir="/tmp/x")
+
+
+def test_streaming_insert_into_quantized_index_retrains(engine, tmp_path):
+    """Continuous ingest into a QUANTIZED index: inserts land in the
+    full-precision delta, the mid-stream auto-vacuum re-trains the affine
+    stats on the grown row set, and post-drain rerank searches match exact
+    brute force over every ingested row."""
+    import numpy as np
+
+    from duckdb_annsearch_spark.streaming import streaming_insert
+
+    spark = engine.spark
+    rng = np.random.RandomState(33)
+    dim, n_seed, n_stream = 8, 100, 150
+    all_rows = [
+        (i, rng.rand(dim).astype("float32").tolist())
+        for i in range(n_seed + n_stream)
+    ]
+    schema = "id long, embedding array<float>"
+    engine.register_table(
+        "qing", spark.createDataFrame(all_rows[:n_seed], schema), row_id="id"
+    )
+    engine.create_index("qing_sq4", "qing", "embedding", engine="faiss",
+                        description="SQ4")
+    sdir = tmp_path / "qstream_in"
+    per = n_stream // 3
+    for b in range(3):
+        spark.createDataFrame(
+            all_rows[n_seed + b * per : n_seed + (b + 1) * per], schema
+        ).coalesce(1).write.mode("append").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q = streaming_insert(
+        engine, "qing", stream,
+        checkpoint_dir=str(tmp_path / "qckpt"),
+        auto_vacuum_rows=80,  # crosses mid-stream
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    meta = engine.catalog.load("qing_sq4")
+    assert meta.quantized and meta.extra.get("quantization") == "sq4"
+    assert meta.num_vectors + int(meta.extra.get("delta_rows", 0)) == n_seed + n_stream
+    assert int(meta.extra.get("delta_rows", 0)) < 80
+
+    x = np.asarray([v for _, v in all_rows], dtype=np.float32)
+    for qid in (3, 150, 249):
+        qv = all_rows[qid][1]
+        d = ((x - np.asarray(qv)) ** 2).sum(axis=1)
+        exact = np.lexsort((np.arange(len(x)), d))[:5].tolist()
+        got = [
+            r["id"]
+            for r in engine.ann_search(
+                "qing", "qing_sq4", qv, k=5, oversample=10, rerank=True
+            ).collect()
+        ]
+        assert got == exact, (qid, got, exact)
