@@ -326,13 +326,20 @@ class BaseIndex:
         """Dequant dict for probing the FULL-PRECISION delta tail.  None for
         every quantization whose decode stays original-space (SQ/PQ/PCA —
         true-L2 delta distances merge cleanly with reconstruction-space main
-        distances); for LSH the main hits are on the 4*hamming scale, so the
-        delta rows must pass through the same ±1 sign image
-        (``raw_vectors`` mode in the probe kernels) or inserted rows would
-        crowd out every indexed row in the merged top-k."""
-        if not self.meta.quantized or self.meta.extra.get("quantization") != "lsh":
+        distances); for code-space quantizations (today: LSH, whose main
+        hits are on the 4*hamming scale) the delta rows must pass through
+        the same query transform (``raw_vectors`` mode in the probe
+        kernels) or inserted rows would crowd out every indexed row in the
+        merged top-k.  Gated on the descriptor's own
+        ``kernels.needs_query_transform`` predicate — not the quantization
+        name — so a future code-space code extends one module, not this
+        call site."""
+        if not self.meta.quantized:
             return None
-        dq = dict(self._dequant_args())
+        dq = self._dequant_args()
+        if not kernels.needs_query_transform(dq):
+            return None
+        dq = dict(dq)
         dq["raw_vectors"] = True
         return dq
 

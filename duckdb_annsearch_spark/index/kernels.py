@@ -279,6 +279,30 @@ def decode_codes(bufs, dq: dict) -> np.ndarray:
     return codes.astype(np.float32) / 255.0 * scales + mins
 
 
+def needs_query_transform(dq: dict | None) -> bool:
+    """True when the dequant descriptor's decode does NOT return to the
+    original vector space, so queries (and any full-precision rows merged
+    into the same top-k, e.g. an insert-delta tail) must pass through
+    ``transform_queries`` to share the codes' distance scale.  Today that
+    is exactly the LSH ±1 image; a future code-space quantization extends
+    this predicate and ``transform_queries`` together, in this module."""
+    return dq is not None and "lsh_h" in dq
+
+
+def materialize_block(dq: dict | None, raw_fn, codes_fn) -> np.ndarray:
+    """One dispatch for every probe surface: full-precision rows under a
+    code-space quantization map through the query transform (same scale as
+    the stored codes), coded rows decode, plain rows pass through.
+    ``raw_fn``/``codes_fn`` are thunks because each site extracts its
+    column differently (pandas Series vs arrow column) and only one side
+    exists per frame."""
+    if dq is None:
+        return raw_fn()
+    if dq.get("raw_vectors"):
+        return transform_queries(raw_fn(), dq)
+    return decode_codes(codes_fn(), dq)
+
+
 def transform_queries(qarr: np.ndarray, dq: dict | None) -> np.ndarray:
     """Map queries into the space the decoded candidates live in.  Identity
     for every quantization except LSH (the one code whose decode cannot
@@ -319,15 +343,11 @@ def probe_partitions(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if dq is not None and dq.get("raw_vectors"):
-                # full-precision rows (a delta tail) probed under an LSH
-                # index: map them through the SAME ±1 image as the stored
-                # codes so their distances share the hamming scale
-                x = transform_queries(stack_vectors(pdf[vector_col], dim), dq)
-            elif dq is not None:
-                x = decode_codes(pdf[vector_col], dq)
-            else:
-                x = stack_vectors(pdf[vector_col], dim)
+            x = materialize_block(
+                dq,
+                lambda: stack_vectors(pdf[vector_col], dim),
+                lambda: pdf[vector_col],
+            )
             d = pairwise_distances(qarr, x, metric)
             rid = pdf[row_id_col].to_numpy()
             outs = []

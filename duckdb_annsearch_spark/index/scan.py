@@ -47,14 +47,11 @@ def iter_vector_batches(
             continue
         rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
         col = batch.column(vector_col)
-        if dequantize is not None and dequantize.get("raw_vectors"):
-            # full-precision rows probed under an LSH index (delta tail):
-            # map through the same ±1 image as the stored codes
-            x = kernels.transform_queries(_fixed_matrix(col, dim), dequantize)
-        elif dequantize is not None:
-            x = kernels.decode_codes([b.as_py() for b in col], dequantize)
-        else:
-            x = _fixed_matrix(col, dim)
+        x = kernels.materialize_block(
+            dequantize,
+            lambda: _fixed_matrix(col, dim),
+            lambda: [b.as_py() for b in col],
+        )
         yield rid, x
 
 
