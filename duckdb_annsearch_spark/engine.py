@@ -1549,10 +1549,42 @@ class AnnEngine:
             if m.column == column and m.metric == metric
         ]
         if candidates:
+            # same deterministic preference as _choose_index: exact
+            # structures first, full-precision before quantized, name
+            # tie-break (catalog order depends on concurrent-DDL timing)
+            rank = {"flat": 0, "ivfflat": 1, "hnsw": 2, "diskann": 3}
+            candidates.sort(
+                key=lambda c: (
+                    rank.get(str(c.index_type).lower(), 9),
+                    bool(c.quantized),
+                    c.name,
+                )
+            )
             m = candidates[0]
             idx = self.get_index(m.name)
             fetch_k = k * overfetch_multiplier + OVERFETCH_BONUS
             hits = idx.search(list(query), fetch_k)
+            if m.quantized:
+                # code distances must not surface as `_distance` (for LSH
+                # they are not even on the L2 scale) — recompute exactly on
+                # the post-filter fetched rows; the 3x+100 over-fetch above
+                # already covers the candidate set
+                from duckdb_annsearch_spark.functions.distance import metric_distance
+
+                hits = hits.drop("_distance")
+                exact = metric_distance(
+                    F.col(column), [float(x) for x in query], metric
+                )
+                return (
+                    filtered.join(
+                        F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),
+                        on=t.row_id,
+                        how="inner",
+                    )
+                    .select(*t.df.columns, exact.alias("_distance"))
+                    .orderBy(F.col("_distance").asc(), F.col(t.row_id).asc())
+                    .limit(k)
+                )
             out = (
                 filtered.join(
                     F.broadcast(hits.withColumnRenamed("row_id", t.row_id)),

@@ -256,3 +256,26 @@ def test_new_quant_empty_table_build_and_lifecycle(engine):
             ).collect()
         ]
         assert got2[0] == 5, name
+
+
+def test_topk_filtered_through_quantized_index_is_exact(engine):
+    """The filtered-ANN path (3x+100 over-fetch) must also surface EXACT
+    distances when the serving index is quantized, and must prefer a
+    full-precision sibling deterministically."""
+    rows = _rand_rows(83, 300, 8)
+    engine.register_table(
+        "ftk", make_vectors_df(engine.spark, rows, dim=8), row_id="id"
+    )
+    engine.create_index("ftk_sq4", "ftk", engine="faiss", description="SQ4")
+    q = rows[11][1]
+    from pyspark.sql import functions as F
+
+    got = engine.topk_filtered("ftk", F.col("id") % 2 == 0, q, 5).collect()
+    x = np.asarray([v for _, v in rows], dtype=np.float32)
+    d = ((x - np.asarray(q, dtype=np.float32)) ** 2).sum(axis=1)
+    even = [(i, d[i]) for i, _ in rows if i % 2 == 0]
+    even.sort(key=lambda t: (t[1], t[0]))
+    assert [r["id"] for r in got] == [i for i, _ in even[:5]]
+    np.testing.assert_allclose(
+        [r["_distance"] for r in got], [dd for _, dd in even[:5]], rtol=1e-5
+    )
