@@ -7,6 +7,8 @@ regression here (e.g. a refactor that slips a UDF into a scan path or
 breaks pushdown) changes no answers at test scale and 10x the cost at
 fleet scale."""
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -132,3 +134,20 @@ def test_rerank_path_stays_broadcast_no_python(engine):
     # the final top-k is a limit-sort (TakeOrderedAndProject), not a
     # global sort of the joined frame
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantized_probe_reads_only_codes(engine):
+    """A quantized Flat probe's artifact scan must read (row_id, codes) —
+    never the full-precision vector column (the 4-32x IO saving the codes
+    exist for): column pruning asserted on the executed plan's ReadSchema."""
+    rng = np.random.RandomState(8)
+    rows = [(i, rng.rand(8).astype(np.float32).tolist()) for i in range(120)]
+    engine.register_table("ppq", make_vectors_df(engine.spark, rows, dim=8), row_id="id")
+    engine.create_index("ppq_sq4", "ppq", engine="faiss", description="SQ4")
+    df = engine.ann_search("ppq", "ppq_sq4", rows[0][1], k=5, oversample=5, rerank=True)
+    plan = _plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    probe = [s for s in schemas if "codes" in s]
+    assert probe, schemas
+    for s in probe:
+        assert "vector" not in s and "embedding" not in s, s
