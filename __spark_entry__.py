@@ -20,7 +20,6 @@ duckdb_annsearch_spark/pipeline/text.py):
 from __future__ import annotations
 
 import os
-import random
 import tempfile
 from collections.abc import Callable
 
@@ -29,8 +28,15 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- constants
 
-HASH_MOD = 2147483647
-FP_MOD = 1000000007
+# imported from the library, NOT re-derived: the oracles replicate these
+# values as SQL literals, so a drift between entry file and pipeline module
+# would silently break minhash/langid/doc_stats parity with no build error
+from duckdb_annsearch_spark.pipeline.text import (  # noqa: E402
+    FP_MOD,
+    HASH_MOD,
+    LANG_MARKERS,
+)
+
 NUM_MINHASH = 16
 LSH_BANDS = 4
 SIMHASH_BITS = 32
@@ -45,18 +51,9 @@ NEARDUP_LSH_DIM = 64  # embeddings.embedding dim at every sf (TESTDATA.md)
 NEARDUP_LSH_SEED = 42
 HYBRID_TERMS = ["fast", "query", "join", "window", "sort"]
 
-_rng = random.Random(42)
-MINHASH_AB = [
-    (_rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD))
-    for _ in range(NUM_MINHASH)
-]
+from duckdb_annsearch_spark.pipeline.dedup import _minhash_params  # noqa: E402
 
-LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
-    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
-    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
-}
+MINHASH_AB = _minhash_params(NUM_MINHASH)
 
 # ---------------------------------------------------------------- helpers
 
@@ -294,6 +291,7 @@ def q_topk_ip(spark, sf_dir):
     expl = {}
     hits = eng.topk("embeddings", q, 10, metric="ip", explain=expl)
     assert expl.get("rewritten"), f"ip topk did not rewrite: {expl}"
+    assert expl.get("index") == "emb_flat_ip", f"wrong index: {expl}"
     return hits.select("vec_id", _dec(-_dot64("embedding", q)).alias("_distance"))
 
 
@@ -366,11 +364,10 @@ def q_lifecycle_search(spark, sf_dir):
     DELETE every 7th row (tombstone anti-join compensation), search; then
     VACUUM (staged rebuild) and assert the compacted index returns the
     same rows. Flat is exact, so the whole lifecycle is DuckDB-checkable."""
-    import tempfile as _tf
 
     from duckdb_annsearch_spark.engine import AnnEngine
 
-    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_lifecycle_"))
+    eng = AnnEngine(spark, workdir=tempfile.mkdtemp(prefix="ann_lifecycle_"))
     emb = _read(spark, sf_dir, "embeddings")
     eng.register_table("lc", emb.where(F.col("vec_id") < 400), row_id="vec_id")
     eng.create_index("lc_flat", "lc", "embedding", engine="faiss", index_type="Flat")
@@ -395,11 +392,10 @@ def q_persistence_search(spark, sf_dir):
     restart; catalog + artifact reload from disk — diskann_persist.test /
     faiss_bind_after_restart.test semantics), search through the reloaded
     index. Flat is exact, so the reloaded results are DuckDB-checkable."""
-    import tempfile as _tf
 
     from duckdb_annsearch_spark.engine import AnnEngine
 
-    wd = _tf.mkdtemp(prefix="ann_persist_")
+    wd = tempfile.mkdtemp(prefix="ann_persist_")
     emb = _read(spark, sf_dir, "embeddings")
     eng1 = AnnEngine(spark, workdir=wd)
     eng1.register_table("pt", emb, row_id="vec_id")
@@ -420,11 +416,10 @@ def q_merge_scan(spark, sf_dir):
     shape, faiss_basic.test:216-256), merge source into target, raw
     (row_id, distance) scan sees BOTH tables' vectors. Flat is exact ->
     the merged top-k is DuckDB-checkable."""
-    import tempfile as _tf
 
     from duckdb_annsearch_spark.engine import AnnEngine
 
-    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_merge_"))
+    eng = AnnEngine(spark, workdir=tempfile.mkdtemp(prefix="ann_merge_"))
     emb = _read(spark, sf_dir, "embeddings")
     eng.register_table("ma", emb.where(F.col("vec_id") < 300), row_id="vec_id")
     eng.register_table(
@@ -541,7 +536,6 @@ def _sq8_engine_for(spark, sf_dir):
     Flat, SQ8-Flat, and the sharded out-of-core SQ8 graph (per-shard u8
     codes under index-global min/scale — rust_lib/src/provider.rs:157-230,
     DANN SQ8 trailing section rust_lib/src/file_format.rs:84-120)."""
-    import tempfile as _tf
     from concurrent.futures import ThreadPoolExecutor
 
     from duckdb_annsearch_spark.engine import AnnEngine
@@ -549,7 +543,7 @@ def _sq8_engine_for(spark, sf_dir):
     key = (id(spark), sf_dir)
     if key in _SQ8_ENGINE_CACHE:
         return _SQ8_ENGINE_CACHE[key]
-    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_sq8_"))
+    eng = AnnEngine(spark, workdir=tempfile.mkdtemp(prefix="ann_sq8_"))
     eng.register_table("embeddings", _read(spark, sf_dir, "embeddings"), row_id="vec_id")
     builds = [
         lambda: eng.create_index(
@@ -909,11 +903,10 @@ def q_drop_index_catalog(spark, sf_dir):
     DuckDB-checkable.  The surviving index is then searched to prove the
     drops didn't disturb its artifact (the search feeds the in-plan
     assert; the returned rows are the catalog listing)."""
-    import tempfile as _tf
 
     from duckdb_annsearch_spark.engine import AnnEngine
 
-    eng = AnnEngine(spark, workdir=_tf.mkdtemp(prefix="ann_drop_"))
+    eng = AnnEngine(spark, workdir=tempfile.mkdtemp(prefix="ann_drop_"))
     emb = _read(spark, sf_dir, "embeddings")
     eng.register_table("da", emb, row_id="vec_id")
     eng.register_table("db", emb.where(F.col("vec_id") < 300), row_id="vec_id")
@@ -924,7 +917,10 @@ def q_drop_index_catalog(spark, sf_dir):
     eng.unregister_table("db")  # cascades drop_casc away
     q = _qvec(spark, sf_dir)
     # surviving index still serves: top-10 through drop_keep must overlap
-    # the exact top-10 fully (Flat is exact) — asserted in-plan
+    # the exact top-10 at >=9/10 — Flat is exact but ranks in f32 GEMM
+    # while the exact side ranks in f64, so one unit of slack absorbs a
+    # potential near-tie flip at the rank-10 boundary (the only zero-risk
+    # floor; every other certification already carries slack)
     hits = eng.ann_search("da", "drop_keep", q, k=10).select("vec_id")
     exact_ids = (
         emb.select("vec_id", _sqdist64("embedding", q).alias("_d"))
@@ -942,7 +938,7 @@ def q_drop_index_catalog(spark, sf_dir):
         "num_vectors", "num_deleted", "quantized",
     ).orderBy("name")
     return out.crossJoin(
-        F.broadcast(_recall_floor_certified(hits, exact_ids, 10, "post-drop").agg(
+        F.broadcast(_recall_floor_certified(hits, exact_ids, 9, "post-drop").agg(
             F.count("*").alias("__chk")
         ))
     ).drop("__chk")
@@ -981,7 +977,6 @@ def q_hybrid_rrf(spark, sf_dir):
         )
         .select("row_id", "_vector_rank")
     )
-    import os
 
     from duckdb_annsearch_spark.operators.fts import bm25_scores
 
@@ -1394,7 +1389,10 @@ def _event_ts_us(ev):
     """Epoch-microseconds LONG for ``ts``, whatever its loaded dtype."""
     dt = dict(ev.dtypes)["ts"]
     if dt == "bigint":  # legacy nanos-as-long
-        return (F.col("ts") / 1000).cast("long")
+        # integer division: epoch-ns ~1.7e18 exceeds double's 53-bit
+        # mantissa, so (ts / 1000).cast(long) would truncate one µs low
+        # for ~half of all rows and diverge from the oracle's epoch_us
+        return F.expr("ts div 1000")
     # TIMESTAMP / TIMESTAMP_NTZ: under the UTC session tz the cast is
     # value-preserving and matches DuckDB's epoch_us(ts)
     return F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1404,7 +1402,7 @@ def _event_ts(ev):
     """Native TIMESTAMP column (for F.window), whatever the loaded dtype."""
     dt = dict(ev.dtypes)["ts"]
     if dt == "bigint":
-        return F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        return F.timestamp_micros(F.expr("ts div 1000"))
     return F.col("ts").cast("timestamp")
 
 
@@ -1714,7 +1712,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["dedup_exact"] = """
     SELECT doc_id FROM (
-      SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      SELECT doc_id, row_number() OVER (PARTITION BY coalesce(md5(text), '__null__' || doc_id) ORDER BY doc_id ASC) AS rn
       FROM documents
     ) WHERE rn = 1
     """
@@ -1963,7 +1961,7 @@ def oracle_sql() -> dict[str, str]:
       WHERE l.lang = 'en' AND q.quality >= 0.3
     )
     SELECT doc_id, lang, quality FROM (
-      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      SELECT *, row_number() OVER (PARTITION BY coalesce(md5(text), '__null__' || doc_id) ORDER BY doc_id ASC) AS rn
       FROM kept
     ) WHERE rn = 1
     """
