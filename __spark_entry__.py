@@ -167,7 +167,9 @@ def _dec(col, prec=18, scale=6):
     """Canonical float output: round in double — both engines produce the
     correctly-rounded (hence bit-identical) double, which any reasonable
     value-hash canonicalization then agrees on. ``+ 0.0`` folds -0.0 to
-    +0.0 (DuckDB's 1.0 - x can yield -0.0 where Spark yields 0.0)."""
+    +0.0 (DuckDB's 1.0 - x can yield -0.0 where Spark yields 0.0).
+    ``prec`` is call-site documentation only (no decimal cast happens —
+    values stay double end-to-end); ``scale`` is what is applied."""
     return F.round(col.cast("double"), scale) + F.lit(0.0)
 
 
@@ -1379,8 +1381,13 @@ def _read_events(spark, sf_dir):
     shipped: TIMESTAMP(NANOS) (readable only as LONG nanos via the legacy
     conf) or timestamp[us] (read as TIMESTAMP_NTZ). Consumers derive time
     via _event_ts_us / _event_ts instead of touching ``ts`` raw."""
+    # Session-WIDE on purpose (and session-lifetime: restoring after the
+    # read would corrupt the events queries at execution time, since the
+    # conf applies when actions run, not when plans build). Safe for the
+    # relational queries because their timestamp columns load as NTZ and
+    # their oracles use naive timestamps — both tz-independent; the UTC
+    # pin only makes the events cast epoch-exact.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # all time semantics here and in the oracles are wall-clock-as-UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
