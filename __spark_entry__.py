@@ -575,7 +575,7 @@ def _sq8_engine_for(spark, sf_dir):
         ),
         lambda: eng.create_index(
             "info_lsh", "embeddings", "embedding", engine="faiss",
-            description="LSH256",
+            description="LSH512",
         ),
         # product quantization via the FAISS factory-composite surface
         # (src/faiss_index.cpp:39-60); 8 bytes/vector vs 256 raw
@@ -722,13 +722,16 @@ def q_pca_rerank(spark, sf_dir):
 
 
 def q_lsh_rerank(spark, sf_dir):
-    """LSH binary codes ("LSH256" factory, faiss IndexLSH): candidates by
-    hamming distance over 256 hyperplane sign bits (32 bytes/vector — the
+    """LSH binary codes ("LSH512" factory, faiss IndexLSH): candidates by
+    hamming distance over 512 hyperplane sign bits (64 bytes/vector — the
     ±1-image GEMM identity, 4*hamming), exact f64 re-rank — certifies the
-    sign-encode + hamming-ranking + query-transform chain end-to-end."""
+    sign-encode + hamming-ranking + query-transform chain end-to-end.
+    512 bits + 20x over-fetch carries 2x candidate-coverage margin at BOTH
+    driver scales (256-bit top-100 drops to 8/10 at sf0.1's 2000 rows —
+    measured; sign bits on near-isotropic data need width)."""
     eng = _sq8_engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
-    hits = eng.ann_search("embeddings", "info_lsh", q, k=10, oversample=10)
+    hits = eng.ann_search("embeddings", "info_lsh", q, k=10, oversample=20)
     d = _sqdist64("embedding", q)
     return (
         hits.select("vec_id", d.alias("_dx"))
