@@ -1226,6 +1226,53 @@ def q_doc_stats(spark, sf_dir):
     )
 
 
+# Mixing parameters shared by the sampling queries and their oracles.
+SAMPLE_RATES = {"de": 1.0, "en": 0.5, "zh": 0.25}
+QUOTA_PER_SOURCE = 10
+TOKEN_BUDGETS = {"en": 1500, "zh": 1000}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Corpus mixing by per-language Bernoulli rate (pipeline/sample.py):
+    md5-keyed deterministic membership, map-only (no shuffle), so the
+    DuckDB oracle reproduces the selection bit-for-bit."""
+    from duckdb_annsearch_spark.pipeline.sample import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, SAMPLE_RATES, group_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+def q_quota_sample(spark, sf_dir):
+    """Exact per-source row quotas: each stratum keeps its smallest-hash
+    prefix, so membership is deterministic and monotone under corpus
+    growth (pipeline/sample.py; at scale a map-only presample bounds the
+    rank window's input — exercised in tests/test_sample.py)."""
+    from duckdb_annsearch_spark.pipeline.sample import quota_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return quota_sample(docs, QUOTA_PER_SOURCE, group_col="source").select(
+        "doc_id", "source"
+    )
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Training-mixture composition by per-language TOKEN budget: walk each
+    stratum in hash order, keep while the running BPE-piece total fits
+    (pipeline/sample.py)."""
+    from duckdb_annsearch_spark.pipeline.sample import token_budget_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    out = token_budget_mix(docs, TOKEN_BUDGETS, group_col="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing (pipeline/quality.py): typed placeholder replacement +
     per-type match counts, pure JVM regexp chain (RE2-compatible patterns so
@@ -1504,6 +1551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_corpus": q_prepare_corpus,
         "langid": q_langid,
         "doc_stats": q_doc_stats,
+        "stratified_sample": q_stratified_sample,
+        "quota_sample": q_quota_sample,
+        "token_budget_mix": q_token_budget_mix,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -1937,6 +1987,49 @@ def oracle_sql() -> dict[str, str]:
         (acc, h) -> (acc * 31 + h) % {FP_MOD}
       ) AS fingerprint
     FROM m
+    """
+
+    # sampling/mixing (pipeline/sample.py): same md5 hash, same thresholds
+    samp_h = _SQL_HASH.format(s="doc_id::VARCHAR || '#0'")
+    thr_case = " ".join(
+        f"WHEN '{g}' THEN {int(round(r * (1 << 60)))}"
+        for g, r in sorted(SAMPLE_RATES.items())
+    )
+    oracles["stratified_sample"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {samp_h} < CASE lang {thr_case} ELSE 0 END
+    """
+
+    oracles["quota_sample"] = f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY {samp_h}, doc_id) AS rk
+      FROM documents WHERE source IS NOT NULL
+    )
+    SELECT doc_id, source FROM r WHERE rk <= {QUOTA_PER_SOURCE}
+    """
+
+    budget_langs = ", ".join(f"'{g}'" for g in sorted(TOKEN_BUDGETS))
+    budget_case = " ".join(
+        f"WHEN '{g}' THEN {int(b)}" for g, b in sorted(TOKEN_BUDGETS.items())
+    )
+    oracles["token_budget_mix"] = f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))::BIGINT
+          AS n_tokens,
+        {samp_h} AS h
+      FROM documents WHERE lang IN ({budget_langs})
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        (sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+      FROM b
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= CASE lang {budget_case} ELSE 0 END
     """
 
     oracles["prepare_corpus"] = f"""

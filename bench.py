@@ -88,6 +88,9 @@ def main():
         "pq_rerank",
         "hybrid_rrf",
         # pipeline
+        "stratified_sample",
+        "quota_sample",
+        "token_budget_mix",
         "minhash_sigs",
         "lsh_pairs",
         "dedup_clusters",

@@ -11,6 +11,12 @@ from duckdb_annsearch_spark.pipeline.text import (
     quality_score,
     token_count,
 )
+from duckdb_annsearch_spark.pipeline.sample import (
+    hash_sample,
+    quota_sample,
+    stratified_sample,
+    token_budget_mix,
+)
 from duckdb_annsearch_spark.pipeline.dedup import (
     embedding_neardup_pairs,
     exact_duplicates,
@@ -31,4 +37,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "embedding_neardup_pairs",
+    "hash_sample",
+    "stratified_sample",
+    "quota_sample",
+    "token_budget_mix",
 ]

@@ -1,0 +1,279 @@
+"""Deterministic corpus sampling and mixture composition.
+
+The data-mixing stage of a training pipeline: down/up-weight strata
+(language, source domain, quality band) by rate, by row quota, or by token
+budget.  All selection is keyed on a deterministic 60-bit md5 hash of
+``(key, seed)`` so results are reproducible across runs, engines (the
+DuckDB oracle replicates the hash bit-for-bit), and *incremental loads* —
+a row's fate never depends on which other rows are present (Bernoulli
+stages) or only on its hash rank within its stratum (quota/budget stages).
+
+Scale design (the part that matters at 100 TB):
+
+- ``hash_sample`` / ``stratified_sample`` are map-only row filters — no
+  shuffle, no state; they push down to the scan like any other predicate.
+- ``quota_sample`` / ``token_budget_mix`` need a per-stratum rank /
+  running sum, which is a window over the stratum — and a naive window
+  funnels the WHOLE stratum through one task.  Both therefore presample
+  first: selection-by-hash-rank means the answer lives entirely inside the
+  smallest-hash *prefix* of the stratum, so a map-only ``hash < t``
+  filter with a safety margin bounds the window's input to
+  O(safety x quota) rows per stratum regardless of stratum size.  Both
+  stages compare and order by the SAME full hash, so the presample is a
+  true prefix superset and the final answer is provably identical to the
+  full-stratum computation whenever the margin held — which is verified
+  exactly (one aggregate over the presampled rows) and raises loudly if a
+  pathological hash distribution ever breached it.
+
+Strata are assumed few (languages, source domains — tens to thousands):
+per-stratum totals are collected to the driver to plan the presample.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.pipeline.text import bpe_token_count
+
+# Full range of the 60-bit hash. Rates are applied as `hash < rate * SPACE`
+# so a rate filter selects a *prefix* of the hash order — the property the
+# quota/budget presample correctness argument rests on.
+HASH_SPACE = 1 << 60
+
+
+def sample_hash(key: Column, seed: int = 0) -> Column:
+    """Deterministic uniform 60-bit hash of ``(key, seed)``.
+
+    md5-based (like every cross-engine hash in this package) so the DuckDB
+    oracle reproduces it exactly:
+    ``('0x' || substr(md5(key::VARCHAR || '#seed'), 1, 15))::BIGINT``.
+    """
+    s = F.concat(key.cast("string"), F.lit(f"#{int(seed)}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _rate_threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate must be in [0, 1], got {rate}")
+    return int(round(rate * HASH_SPACE))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``hash(key, seed) < rate * 2^60``.  Map-only — no shuffle, stable under
+    re-runs and incremental corpus growth; change ``seed`` for an
+    independent draw."""
+    return df.where(sample_hash(F.col(key_col), seed) < _rate_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (corpus mixing by proportion): e.g.
+    ``{"en": 0.5, "zh": 1.0}`` keeps half of English and all of Chinese.
+    Strata absent from ``rates`` get ``default_rate``.  Map-only."""
+    thr: Column = F.lit(_rate_threshold(default_rate))
+    # fold in sorted order so the plan (and its canonical string) is stable
+    for g in sorted(rates, reverse=True):
+        thr = F.when(
+            F.col(group_col) == g, F.lit(_rate_threshold(rates[g]))
+        ).otherwise(thr)
+    return df.where(sample_hash(F.col(key_col), seed) < thr)
+
+
+def _group_quota(quotas: dict[str, int] | int, group: str) -> int:
+    q = quotas if isinstance(quotas, int) else quotas.get(group, 0)
+    if q < 0:
+        raise ValueError(f"quota for stratum {group!r} is negative: {q}")
+    return int(q)
+
+
+def _plan_presample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    seed: int,
+    presample_above: int,
+    rate_for: dict[str, float],
+) -> DataFrame:
+    """Map-only prefix filter: per-stratum ``hash < rate * SPACE`` for the
+    strata in ``rate_for``, pass-through for the rest."""
+    if not rate_for:
+        return df
+    thr: Column = F.lit(HASH_SPACE)  # keep everything by default
+    for g in sorted(rate_for, reverse=True):
+        thr = F.when(
+            F.col(group_col) == g, F.lit(_rate_threshold(rate_for[g]))
+        ).otherwise(thr)
+    return df.where(sample_hash(F.col(key_col), seed) < thr)
+
+
+def quota_sample(
+    df: DataFrame,
+    quotas: dict[str, int] | int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    presample_above: int = 100_000,
+    safety: float = 8.0,
+) -> DataFrame:
+    """Exactly ``min(quota, |stratum|)`` rows per stratum — the
+    smallest-hash prefix, so membership is deterministic and *monotone*
+    under corpus growth (a kept row is only ever displaced by a new row
+    with a smaller hash, never by reordering).  ``quotas`` is a per-stratum
+    dict or one int for all strata; strata not in the dict contribute
+    nothing.
+
+    Strata larger than ``presample_above`` are first cut by a map-only
+    hash-prefix filter sized ``safety * quota / count`` so the exact rank
+    window sees O(safety x quota) rows, not the stratum (see module
+    docstring); prefix sufficiency is verified exactly and raises if the
+    safety margin were ever breached (at the default 8x the probability is
+    astronomically small — a binomial lower tail at 8x its mean).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().collect()
+        if r[0] is not None
+    }
+    quota_of = {g: _group_quota(quotas, g) for g in counts}
+    big = {
+        g: min(1.0, safety * quota_of[g] / counts[g])
+        for g in counts
+        if counts[g] > presample_above and quota_of[g] > 0
+    }
+    base = df.where(F.col(group_col).isNotNull())
+    pre = _plan_presample(base, group_col, key_col, seed, presample_above, big)
+    if big:
+        # exact sufficiency check: the prefix must still hold >= the target
+        # row count for every presampled stratum, else the rank below would
+        # silently return a different (shorter) answer than the full stratum
+        got = {
+            r[0]: r[1]
+            for r in pre.where(F.col(group_col).isin(list(big)))
+            .groupBy(group_col)
+            .count()
+            .collect()
+        }
+        for g in big:
+            need = min(quota_of[g], counts[g])
+            if got.get(g, 0) < need:
+                raise RuntimeError(
+                    f"quota_sample presample for stratum {g!r} retained "
+                    f"{got.get(g, 0)} < {need} rows; raise safety= (got "
+                    f"{safety}) or presample_above="
+                )
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(key_col), seed), F.col(key_col)
+    )
+    quota_col: Column = (
+        F.lit(int(quotas))
+        if isinstance(quotas, int)
+        else F.coalesce(
+            *(
+                [
+                    F.when(F.col(group_col) == g, F.lit(int(q)))
+                    for g, q in sorted(quotas.items())
+                ]
+                + [F.lit(0)]
+            )
+        )
+    )
+    return (
+        pre.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota_col)
+        .drop("__rk")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    presample_above: int = 100_000,
+    safety: float = 4.0,
+    counter=bpe_token_count,
+) -> DataFrame:
+    """Compose a training mixture by per-stratum TOKEN budget (the unit
+    mixtures are actually specified in): within each stratum, walk
+    documents in hash order and keep while the running token total stays
+    <= the budget.  Adds ``n_tokens`` (per-doc count from ``counter``,
+    default the BPE-piece proxy) and ``cum_tokens`` (the running total that
+    admitted the row).  Strata absent from ``budgets`` contribute nothing.
+    A document larger than the remaining budget ends its stratum's intake
+    (keep-while-prefix-fits; no skip-ahead, so membership stays a pure
+    hash-prefix property).
+
+    Strata larger than ``presample_above`` rows are prefix-presampled at
+    ``safety * budget / total_tokens`` (see module docstring).  Prefix
+    sufficiency — the presampled prefix either already overflows the
+    budget or is the whole stratum — is verified exactly and raises
+    otherwise."""
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"token budget for stratum {g!r} is negative: {b}")
+    n_tok = counter(F.col(text_col)).cast("long")
+    base = (
+        df.where(F.col(group_col).isNotNull() & F.col(group_col).isin(list(budgets)))
+        .withColumn("n_tokens", n_tok)
+    )
+    totals = {
+        r[0]: (r[1], r[2])
+        for r in base.groupBy(group_col)
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    big = {}
+    for g, (n, tok) in totals.items():
+        if n > presample_above and tok and tok > 0:
+            big[g] = min(1.0, safety * budgets[g] / tok)
+    pre = _plan_presample(base, group_col, key_col, seed, presample_above, big)
+    if big:
+        got = {
+            r[0]: (r[1], r[2])
+            for r in pre.where(F.col(group_col).isin(list(big)))
+            .groupBy(group_col)
+            .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("tok"))
+            .collect()
+        }
+        for g in big:
+            n_pre, tok_pre = got.get(g, (0, 0))
+            # exact iff the prefix overflows the budget (cutoff falls
+            # strictly inside it) or nothing was actually dropped
+            if not (tok_pre > budgets[g] or n_pre == totals[g][0]):
+                raise RuntimeError(
+                    f"token_budget_mix presample for stratum {g!r} retained "
+                    f"{tok_pre} tokens <= budget {budgets[g]} while dropping "
+                    f"rows; raise safety= (got {safety}) or presample_above="
+                )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(sample_hash(F.col(key_col), seed), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_col = F.coalesce(
+        *(
+            [
+                F.when(F.col(group_col) == g, F.lit(int(b)))
+                for g, b in sorted(budgets.items())
+            ]
+            + [F.lit(0)]
+        )
+    )
+    return (
+        pre.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_col)
+    )
