@@ -31,12 +31,10 @@ per-stratum totals are collected to the driver to plan the presample.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_annsearch_spark.pipeline.text import bpe_token_count
+from duckdb_annsearch_spark.pipeline.text import bpe_token_count, token_hash
 
 # Full range of the 60-bit hash. Rates are applied as `hash < rate * SPACE`
 # so a rate filter selects a *prefix* of the hash order — the property the
@@ -45,14 +43,23 @@ HASH_SPACE = 1 << 60
 
 
 def sample_hash(key: Column, seed: int = 0) -> Column:
-    """Deterministic uniform 60-bit hash of ``(key, seed)``.
-
-    md5-based (like every cross-engine hash in this package) so the DuckDB
-    oracle reproduces it exactly:
+    """Deterministic uniform 60-bit hash of ``(key, seed)`` — ``token_hash``
+    (the package's one cross-engine md5 hash) over ``"{key}#{seed}"``, so
+    the DuckDB oracle reproduces it exactly:
     ``('0x' || substr(md5(key::VARCHAR || '#seed'), 1, 15))::BIGINT``.
-    """
-    s = F.concat(key.cast("string"), F.lit(f"#{int(seed)}"))
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    A NULL key hashes to NULL and is dropped by every comparison below —
+    NULL-keyed rows never sample in (uniformly on all paths)."""
+    return token_hash(F.concat(key.cast("string"), F.lit(f"#{int(seed)}")))
+
+
+def _per_group_lit(mapping: dict[str, int], default: int, group_col: str) -> Column:
+    """Per-stratum integer literal: ``mapping[group]`` else ``default``
+    (NULL group gets ``default`` too).  Folded in sorted key order so the
+    plan's canonical string is stable across runs."""
+    out: Column = F.lit(int(default))
+    for g in sorted(mapping, reverse=True):
+        out = F.when(F.col(group_col) == g, F.lit(int(mapping[g]))).otherwise(out)
+    return out
 
 
 def _rate_threshold(rate: float) -> int:
@@ -81,13 +88,13 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli rates (corpus mixing by proportion): e.g.
     ``{"en": 0.5, "zh": 1.0}`` keeps half of English and all of Chinese.
-    Strata absent from ``rates`` get ``default_rate``.  Map-only."""
-    thr: Column = F.lit(_rate_threshold(default_rate))
-    # fold in sorted order so the plan (and its canonical string) is stable
-    for g in sorted(rates, reverse=True):
-        thr = F.when(
-            F.col(group_col) == g, F.lit(_rate_threshold(rates[g]))
-        ).otherwise(thr)
+    Strata absent from ``rates`` (and NULL strata) get ``default_rate``.
+    Map-only."""
+    thr = _per_group_lit(
+        {g: _rate_threshold(r) for g, r in rates.items()},
+        _rate_threshold(default_rate),
+        group_col,
+    )
     return df.where(sample_hash(F.col(key_col), seed) < thr)
 
 
@@ -103,18 +110,17 @@ def _plan_presample(
     group_col: str,
     key_col: str,
     seed: int,
-    presample_above: int,
     rate_for: dict[str, float],
 ) -> DataFrame:
     """Map-only prefix filter: per-stratum ``hash < rate * SPACE`` for the
     strata in ``rate_for``, pass-through for the rest."""
     if not rate_for:
         return df
-    thr: Column = F.lit(HASH_SPACE)  # keep everything by default
-    for g in sorted(rate_for, reverse=True):
-        thr = F.when(
-            F.col(group_col) == g, F.lit(_rate_threshold(rate_for[g]))
-        ).otherwise(thr)
+    thr = _per_group_lit(
+        {g: _rate_threshold(r) for g, r in rate_for.items()},
+        HASH_SPACE,  # keep everything by default
+        group_col,
+    )
     return df.where(sample_hash(F.col(key_col), seed) < thr)
 
 
@@ -141,19 +147,25 @@ def quota_sample(
     safety margin were ever breached (at the default 8x the probability is
     astronomically small — a binomial lower tail at 8x its mean).
     """
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(group_col).count().collect()
-        if r[0] is not None
-    }
+    # zero-quota strata (and NULL strata / NULL keys) are cut map-only up
+    # front — never funneled through the rank window just to be discarded
+    base = df.where(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+    if not isinstance(quotas, int):
+        base = base.where(
+            F.col(group_col).isin(
+                [g for g in quotas if _group_quota(quotas, g) > 0]
+            )
+        )
+    elif _group_quota(quotas, "") == 0:  # int 0: validate sign, empty result
+        return base.where(F.lit(False))
+    counts = {r[0]: r[1] for r in base.groupBy(group_col).count().collect()}
     quota_of = {g: _group_quota(quotas, g) for g in counts}
     big = {
         g: min(1.0, safety * quota_of[g] / counts[g])
         for g in counts
         if counts[g] > presample_above and quota_of[g] > 0
     }
-    base = df.where(F.col(group_col).isNotNull())
-    pre = _plan_presample(base, group_col, key_col, seed, presample_above, big)
+    pre = _plan_presample(base, group_col, key_col, seed, big)
     if big:
         # exact sufficiency check: the prefix must still hold >= the target
         # row count for every presampled stratum, else the rank below would
@@ -179,15 +191,7 @@ def quota_sample(
     quota_col: Column = (
         F.lit(int(quotas))
         if isinstance(quotas, int)
-        else F.coalesce(
-            *(
-                [
-                    F.when(F.col(group_col) == g, F.lit(int(q)))
-                    for g, q in sorted(quotas.items())
-                ]
-                + [F.lit(0)]
-            )
-        )
+        else _per_group_lit({g: int(q) for g, q in quotas.items()}, 0, group_col)
     )
     return (
         pre.withColumn("__rk", F.row_number().over(w))
@@ -225,9 +229,16 @@ def token_budget_mix(
     for g, b in budgets.items():
         if b < 0:
             raise ValueError(f"token budget for stratum {g!r} is negative: {b}")
-    n_tok = counter(F.col(text_col)).cast("long")
+    # NULL text counts as 0 tokens (admitted for free, explicitly); NULL
+    # keys and zero-budget strata are cut map-only up front — a zero
+    # budget admits nothing, so its stratum must not reach the window
+    # (and its presample rate would be 0, which can never be "sufficient")
+    n_tok = F.coalesce(counter(F.col(text_col)).cast("long"), F.lit(0))
     base = (
-        df.where(F.col(group_col).isNotNull() & F.col(group_col).isin(list(budgets)))
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(group_col).isin([g for g, b in budgets.items() if b > 0])
+        )
         .withColumn("n_tokens", n_tok)
     )
     totals = {
@@ -240,7 +251,7 @@ def token_budget_mix(
     for g, (n, tok) in totals.items():
         if n > presample_above and tok and tok > 0:
             big[g] = min(1.0, safety * budgets[g] / tok)
-    pre = _plan_presample(base, group_col, key_col, seed, presample_above, big)
+    pre = _plan_presample(base, group_col, key_col, seed, big)
     if big:
         got = {
             r[0]: (r[1], r[2])
@@ -264,15 +275,7 @@ def token_budget_mix(
         .orderBy(sample_hash(F.col(key_col), seed), F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    budget_col = F.coalesce(
-        *(
-            [
-                F.when(F.col(group_col) == g, F.lit(int(b)))
-                for g, b in sorted(budgets.items())
-            ]
-            + [F.lit(0)]
-        )
-    )
+    budget_col = _per_group_lit({g: int(b) for g, b in budgets.items()}, 0, group_col)
     return (
         pre.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= budget_col)

@@ -214,6 +214,37 @@ def test_token_budget_mix_presample_insufficient_raises(docs):
         )
 
 
+def test_zero_quota_and_budget_strata_are_cut_before_the_window(docs):
+    """A zero quota/budget stratum contributes nothing AND never reaches
+    the rank window (map-only cut) — including on the presample path,
+    where a zero target would otherwise make the prefix-sufficiency check
+    raise spuriously."""
+    out = quota_sample(docs, {"en": 5, "zh": 0}, group_col="lang")
+    assert {r[0] for r in out.select("lang").distinct().collect()} == {"en"}
+    assert quota_sample(docs, 0, group_col="lang").count() == 0
+    mix = token_budget_mix(
+        docs, {"en": 0, "zh": 400}, group_col="lang",
+        presample_above=10, safety=4.0,  # 'en' would have presampled at rate 0
+    )
+    assert {r[0] for r in mix.select("lang").distinct().collect()} == {"zh"}
+
+
+def test_null_text_and_null_key_handling(spark):
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, None, "en"),        # NULL text: 0 tokens, admitted for free
+        (None, "the dog ran", "en"),  # NULL key: dropped on every path
+        (3, "a b c d e f g h", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    mix = token_budget_mix(df, {"en": 1000}, group_col="lang")
+    got = {r["doc_id"]: r["n_tokens"] for r in mix.collect()}
+    assert None not in got and got[2] == 0 and set(got) == {1, 2, 3}
+    q = quota_sample(df, 10, group_col="lang")
+    assert {r["doc_id"] for r in q.collect()} == {1, 2, 3}
+    assert hash_sample(df, 1.0).count() == 3  # NULL key never samples in
+
+
 def test_sampling_plans_are_python_free(docs):
     """Bernoulli stages must stay JVM-side map-only filters (no shuffle,
     no Python), and the quota window must be the only exchange."""
