@@ -1088,6 +1088,30 @@ def q_neardup_embeddings(spark, sf_dir):
     return out.select("id_a", "id_b", _dec(F.col("cos"), 9, 6).alias("cos"))
 
 
+SEMDEDUP_EPS = 0.45
+SEMDEDUP_MAX_ID = 600
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (pipeline/dedup.py::semantic_dedup) in its n_clusters=1
+    degenerate form, which is exactly SQL-expressible: keep=False iff some
+    smaller-id row has rounded cosine >= eps (the paper's upper-triangle
+    rule, no transitive chaining).  The clustered path (kmeans partition +
+    within-cluster pruning, the 100 TB shape) is equivalence-tested
+    against this exact form in tests/test_pipeline.py.  Restricted to
+    vec_id < {MAX_ID} so the O(n^2) DuckDB oracle stays bounded at
+    sf0.1."""
+    from duckdb_annsearch_spark.pipeline.dedup import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < SEMDEDUP_MAX_ID
+    )
+    out = semantic_dedup(
+        emb, "embedding", "vec_id", eps=SEMDEDUP_EPS, n_clusters=1
+    )
+    return out.select("vec_id", "keep")
+
+
 def q_neardup_lsh(spark, sf_dir):
     """Banded hyperplane-LSH near-dup (the 100 TB path): per-band bucket
     join -> distinct candidates -> exact double-fold cosine verify. The
@@ -1547,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_lsh": q_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "prepare_corpus": q_prepare_corpus,
         "langid": q_langid,
@@ -1897,6 +1922,16 @@ def oracle_sql() -> dict[str, str]:
            CAST(round({cos_ab}, 6) + 0.0 AS DOUBLE) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round({cos_ab}, 6) >= {NEARDUP_T}
+    """
+
+    oracles["semantic_dedup"] = f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {SEMDEDUP_MAX_ID}),
+    l AS (SELECT DISTINCT b.vec_id AS vid
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round({cos_ab}, 6) >= {SEMDEDUP_EPS})
+    SELECT v.vec_id, (l.vid IS NULL) AS keep
+    FROM v LEFT JOIN l ON v.vec_id = l.vid
     """
 
     # banded hyperplane LSH: same plane matrix as the Spark side (same seed),

@@ -97,6 +97,7 @@ def main():
         "simhash",
         "jaccard_pairs",
         "neardup_embeddings",
+        "semantic_dedup",
         "doc_stats",
         "pii_scrub",
         "repetition_stats",

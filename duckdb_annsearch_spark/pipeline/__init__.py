@@ -23,6 +23,7 @@ from duckdb_annsearch_spark.pipeline.dedup import (
     minhash_signatures,
     lsh_duplicate_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash,
 )
 
@@ -37,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "embedding_neardup_pairs",
+    "semantic_dedup",
     "hash_sample",
     "stratified_sample",
     "quota_sample",

@@ -733,3 +733,143 @@ def dedup_fuzzy(
             (F.col(id_col) == F.col("cluster")).alias("keep"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    eps: float = 0.95,
+    n_clusters: int = 64,
+    sample_rows: int = 25_000,
+    seed: int = 42,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then prune near-duplicates WITHIN each cluster — the
+    all-pairs O(n²) similarity work drops to O(Σ n_c²) with cross-cluster
+    pairs deliberately ignored (the paper's trade: true near-dups embed
+    close together, so they co-cluster).
+
+    Returns ``(id_col, cluster, keep)`` for every input row.
+    ``keep = False`` iff some SAME-CLUSTER member with a smaller id has
+    rounded cosine >= eps — the paper's upper-triangle rule (no transitive
+    chaining: b is judged against every smaller-id a, whether or not a
+    itself survived).  ``n_clusters=1`` degenerates to exact global
+    pruning — the brute-force-oracle shape used by the driver row.
+
+    Mechanics: centroids train driver-side on a deterministic stride
+    sample (Lloyd's, fixed seed — ``index/ivf.py::_train_kmeans`` on
+    L2-normalized vectors, so L2-argmin == cosine-argmax); assignment is a
+    distributed broadcast-GEMM ``mapInPandas``; within-cluster candidate
+    pairs come from a per-cluster chunked GEMM (``applyInPandas``, float
+    margin below eps) and are then verified with the deterministic
+    double left-fold cosine (``_cos_double``, rounded to 6) so the final
+    keep decision is oracle-reproducible — the same two-stage
+    candidates → exact-verify shape as :func:`embedding_neardup_pairs`.
+    Clusters above ``max_cluster_rows`` raise with advice (raise
+    ``n_clusters``) rather than risking an executor OOM."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < eps <= 1.0:
+        raise ValueError(f"eps must be in (0, 1], got {eps}")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+
+    if n_clusters <= 1:
+        assigned = base.withColumn("cluster", F.lit(0))
+    else:
+        n = base.count()
+        stride = max(1, -(-n // sample_rows))  # ceil: at most sample_rows rows
+        sample = (
+            base.where(F.col(id_col) % stride == 0)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .collect()
+        )
+        mat = np.asarray([r["__v"] for r in sample], dtype=np.float32)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        from duckdb_annsearch_spark.index.ivf import _train_kmeans
+
+        cents = _train_kmeans(mat, n_clusters, "l2", seed=seed)
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign(batches):
+            c = bc.value.astype(np.float32)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.asarray(
+                    [np.asarray(x, dtype=np.float32) for x in pdf["__v"]]
+                )
+                vn = v / np.maximum(
+                    np.linalg.norm(v, axis=1, keepdims=True), 1e-30
+                )
+                # L2 argmin on unit vectors == cosine argmax
+                pdf = pdf.copy()
+                pdf["cluster"] = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+                yield pdf
+
+        assigned = base.mapInPandas(
+            assign, f"{id_col} long, __v {df.schema[vec_col].dataType.simpleString()}, cluster int"
+        )
+
+    sizes = assigned.groupBy("cluster").count().collect()
+    over = [(r[0], r[1]) for r in sizes if r[1] > max_cluster_rows]
+    if over:
+        raise RuntimeError(
+            f"semantic_dedup cluster(s) exceed max_cluster_rows="
+            f"{max_cluster_rows}: {over[:5]}; raise n_clusters (got "
+            f"{n_clusters}) so per-cluster pair work stays bounded"
+        )
+
+    margin = float(eps) - 1e-6
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        out_a, out_b = [], []
+        # chunked GEMM: block vs all earlier rows (+ intra-block triangle)
+        # bounds memory at chunk x n_c instead of n_c x n_c
+        chunk = 1024
+        for s in range(0, len(ids), chunk):
+            blk = vn[s : s + chunk]
+            sims = blk @ vn[: s + len(blk)].T  # (b, s+b)
+            ii, jj = np.nonzero(sims >= margin)
+            keep_mask = jj < (s + ii)  # strictly-earlier rows only
+            gi, gj = s + ii[keep_mask], jj[keep_mask]
+            out_a.append(ids[gj])  # smaller id
+            out_b.append(ids[gi])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    cand = assigned.select("cluster", id_col, "__v").groupBy("cluster").applyInPandas(
+        cluster_pairs, "id_a long, id_b long"
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    losers = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(F.round(_cos_double(F.col("va"), F.col("vb")), 6) >= eps)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(losers.withColumn("__lost", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__lost"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -391,3 +391,79 @@ def test_prepare_corpus_hygiene_stages(spark):
     assert ids == [1, 4]
     texts = {r["doc_id"]: r["text"] for r in out}
     assert "<EMAIL>" in texts[1] and "a@x.com" not in texts[1]
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def _semdedup_vectors(spark, n=200, dim=16, seed=3):
+    """Random unit-ish vectors plus planted duplicates: ids >= 1000 are
+    exact copies of id-1000, ids >= 2000 are near-copies (tiny noise)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, dim).astype(np.float64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    for i in range(5):
+        rows.append((1000 + i, [float(x) for x in base[i]]))  # exact dup
+        # noise large enough that the cosine rounds BELOW 1.0 at the
+        # contract's 6 decimals (~0.9988) yet far above the 0.95 eps
+        noisy = base[10 + i] + rng.randn(dim) * 5e-2
+        rows.append((2000 + i, [float(x) for x in noisy]))  # near dup
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    df = _semdedup_vectors(spark)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in D.semantic_dedup(
+            df, "embedding", "vec_id", eps=0.95, n_clusters=8, seed=1
+        ).collect()
+    }
+    assert len(out) == 210
+    for i in range(5):
+        assert out[1000 + i] is False  # exact copy: smaller-id twin wins
+        assert out[2000 + i] is False  # near copy
+        assert out[i] is True and out[10 + i] is True
+
+
+def test_semantic_dedup_clustered_equals_global_on_co_clustered_dups(spark):
+    """Planted dups are (near-)identical, so they must co-cluster; the
+    clustered answer then equals the n_clusters=1 exact answer."""
+    df = _semdedup_vectors(spark)
+    exact = {
+        (r["vec_id"], r["keep"])
+        for r in D.semantic_dedup(
+            df, "embedding", "vec_id", eps=0.95, n_clusters=1
+        ).collect()
+    }
+    clustered = {
+        (r["vec_id"], r["keep"])
+        for r in D.semantic_dedup(
+            df, "embedding", "vec_id", eps=0.95, n_clusters=8, seed=1
+        ).collect()
+    }
+    assert clustered == exact
+
+
+def test_semantic_dedup_eps_one_drops_only_exact_copies(spark):
+    df = _semdedup_vectors(spark)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in D.semantic_dedup(
+            df, "embedding", "vec_id", eps=1.0, n_clusters=1
+        ).collect()
+    }
+    dropped = {k for k, v in out.items() if not v}
+    assert dropped == {1000 + i for i in range(5)}
+
+
+def test_semantic_dedup_guards(spark):
+    df = _semdedup_vectors(spark)
+    with pytest.raises(ValueError, match="eps"):
+        D.semantic_dedup(df, "embedding", "vec_id", eps=0.0)
+    with pytest.raises(RuntimeError, match="max_cluster_rows"):
+        D.semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=2, max_cluster_rows=10
+        )
