@@ -751,7 +751,10 @@ def semantic_dedup(
     pairs deliberately ignored (the paper's trade: true near-dups embed
     close together, so they co-cluster).
 
-    Returns ``(id_col, cluster, keep)`` for every input row.
+    Returns ``(id_col, cluster, keep)`` for every input row with a
+    non-NULL vector (a NULL vector cannot be compared, so those rows are
+    excluded from the result — filter them beforehand if they must
+    survive).
     ``keep = False`` iff some SAME-CLUSTER member with a smaller id has
     rounded cosine >= eps — the paper's upper-triangle rule (no transitive
     chaining: b is judged against every smaller-id a, whether or not a
@@ -782,14 +785,21 @@ def semantic_dedup(
     if n_clusters <= 1:
         assigned = base.withColumn("cluster", F.lit(0))
     else:
+        # hash-based positional sample (NOT id-value stride — sparse or
+        # non-dense ids would match nothing), deterministic via the same
+        # md5 key hash the sampling module uses; ordered limit bounds it
+        from duckdb_annsearch_spark.pipeline.sample import hash_sample
+
         n = base.count()
-        stride = max(1, -(-n // sample_rows))  # ceil: at most sample_rows rows
+        rate = min(1.0, 2.0 * sample_rows / max(n, 1))
         sample = (
-            base.where(F.col(id_col) % stride == 0)
+            hash_sample(base, rate, key_col=id_col)
             .orderBy(id_col)
             .limit(sample_rows)
             .collect()
         )
+        if not sample:  # n == 0, or an astronomically unlucky hash draw
+            raise ValueError("semantic_dedup: no rows with a non-NULL vector")
         mat = np.asarray([r["__v"] for r in sample], dtype=np.float32)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         from duckdb_annsearch_spark.index.ivf import _train_kmeans
@@ -798,7 +808,11 @@ def semantic_dedup(
         bc = spark.sparkContext.broadcast(cents)
 
         def assign(batches):
+            # closure stays numpy-only (no package import): pipeline
+            # operators work without an engine to ship the package to
+            # executors, unlike index/ paths which run ensure_shipped
             c = bc.value.astype(np.float32)
+            c_sq = (c.astype(np.float64) ** 2).sum(axis=1)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -808,15 +822,24 @@ def semantic_dedup(
                 vn = v / np.maximum(
                     np.linalg.norm(v, axis=1, keepdims=True), 1e-30
                 )
-                # L2 argmin on unit vectors == cosine argmax
+                # L2 argmin against the trained centroids — the SAME rule
+                # training used (centroids are Lloyd means, NOT unit norm,
+                # so a dot-product argmax would favor large-norm centroids
+                # and disagree with the trained cells at the boundaries);
+                # ||v||² is constant per row, so argmin(||c||² - 2 c·v)
+                d = c_sq[:, None] - 2.0 * (c.astype(np.float64) @ vn.astype(np.float64).T)
                 pdf = pdf.copy()
-                pdf["cluster"] = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+                pdf["cluster"] = np.argmin(d, axis=0).astype(np.int32)
                 yield pdf
 
         assigned = base.mapInPandas(
             assign, f"{id_col} long, __v {df.schema[vec_col].dataType.simpleString()}, cluster int"
         )
 
+    # three consumers (size guard, candidate pairs, final keep join):
+    # checkpoint so the assignment GEMM runs once, not three times
+    # (lazy localCheckpoint, GC-reclaimed — see lsh_candidate_pairs)
+    assigned = assigned.localCheckpoint(eager=False)
     sizes = assigned.groupBy("cluster").count().collect()
     over = [(r[0], r[1]) for r in sizes if r[1] > max_cluster_rows]
     if over:

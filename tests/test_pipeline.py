@@ -467,3 +467,20 @@ def test_semantic_dedup_guards(spark):
         D.semantic_dedup(
             df, "embedding", "vec_id", n_clusters=2, max_cluster_rows=10
         )
+
+
+def test_semantic_dedup_sparse_ids(spark):
+    """Non-dense ids: the training sample is hash-positional, not an
+    id-value stride (odd-only ids used to produce an empty sample), and
+    the executor closure needs no package shipping (engine-free usage)."""
+    df = _semdedup_vectors(spark).selectExpr(
+        "vec_id * 2 + 1 as vec_id", "embedding"
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in D.semantic_dedup(
+            df, "embedding", "vec_id", eps=0.95, n_clusters=4, sample_rows=50
+        ).collect()
+    }
+    assert len(out) == 210
+    assert all(out[2 * (1000 + i) + 1] is False for i in range(5))
