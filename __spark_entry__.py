@@ -1297,6 +1297,31 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus reporting: doc counts, char/BPE-token sums,
+    exact n_chars percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, same linear interpolation — verified bit-equal), and
+    mean quality via an exact integer-micros sum so the average is
+    order-independent (a double sum would be partition-order dependent).
+    At 100 TB swap `percentile` for `percentile_approx` (same plan shape,
+    sketch-mergeable map-side) — exact percentile buffers each group."""
+    from duckdb_annsearch_spark.pipeline.text import bpe_token_count, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    q6 = F.round(quality_score(F.col("text")) * 1e6).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(bpe_token_count(F.col("text")).cast("long")).alias("sum_bpe_tokens"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+            F.round(F.sum(q6) / F.count("*") / 1e6, 6).alias("avg_quality"),
+        )
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing (pipeline/quality.py): typed placeholder replacement +
     per-type match counts, pure JVM regexp chain (RE2-compatible patterns so
@@ -1579,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quota_sample": q_quota_sample,
         "token_budget_mix": q_token_budget_mix,
+        "corpus_stats": q_corpus_stats,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -2022,6 +2048,40 @@ def oracle_sql() -> dict[str, str]:
         (acc, h) -> (acc * 31 + h) % {FP_MOD}
       ) AS fingerprint
     FROM m
+    """
+
+    oracles["corpus_stats"] = f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, n_chars, {toks_d} AS tk,
+             length(text)::DOUBLE AS nc,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS n_digits
+      FROM documents
+    ),
+    m AS (
+      SELECT *, len(tk)::DOUBLE AS n_tokens,
+             len(list_filter(tk, t -> list_contains([{stop}], t)))::DOUBLE AS n_stop
+      FROM base
+    ),
+    q AS (
+      SELECT lang, n_chars,
+        len(regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))::BIGINT
+          AS bpe,
+        round(round(
+          0.4 * least(n_tokens / 100.0, 1.0)
+        + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 3.0, 1.0)
+        + 0.15 * (1.0 - least(CASE WHEN nc > 0 THEN n_punct / nc ELSE 0 END * 5.0, 1.0))
+        + 0.15 * (1.0 - least(CASE WHEN nc > 0 THEN n_digits / nc ELSE 0 END * 5.0, 1.0))
+        , 6) * 1e6)::BIGINT AS q6
+      FROM m
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+      sum(bpe)::BIGINT AS sum_bpe_tokens,
+      CAST(round(quantile_cont(n_chars, 0.5), 6) + 0.0 AS DOUBLE) AS p50_chars,
+      CAST(round(quantile_cont(n_chars, 0.9), 6) + 0.0 AS DOUBLE) AS p90_chars,
+      CAST(round(sum(q6)::DOUBLE / count(*) / 1e6, 6) + 0.0 AS DOUBLE) AS avg_quality
+    FROM q GROUP BY lang
     """
 
     # sampling/mixing (pipeline/sample.py): same md5 hash, same thresholds

@@ -99,6 +99,7 @@ def main():
         "neardup_embeddings",
         "semantic_dedup",
         "doc_stats",
+        "corpus_stats",
         "pii_scrub",
         "repetition_stats",
         "decontaminate",
@@ -118,8 +119,17 @@ def main():
     # search only; per-index build cost is flat.
     t0 = time.time()
     try:
-        entrymod._engine_for(spark, sf_dir)
-        entrymod._sq8_engine_for(spark, sf_dir)  # quantized family (sq8/pq/sharded-sq8)
+        # the two warm engines are fully independent (separate AnnEngine
+        # instances, separate workdirs, engine-local table registry) and
+        # each already parallelizes its own DDL — overlap them too so the
+        # 18-index warm-up is bounded by the slower family, not the sum
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            fa = ex.submit(entrymod._engine_for, spark, sf_dir)
+            fb = ex.submit(entrymod._sq8_engine_for, spark, sf_dir)
+            fa.result()
+            fb.result()
         timings["index_build"] = round(time.time() - t0, 3)
         print(f"# index_build: {timings['index_build']}s", file=sys.stderr)
     except Exception as exc:
