@@ -1549,6 +1549,71 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: every click matched to the user's most recent purchase
+    at or before the click (ties at equal ts match; largest purchase id
+    wins among equal-ts purchases). Runs the union+window shape in
+    operators/temporal.py — one shuffle, no inequality join; the oracle
+    is DuckDB's independent inequality-join + row_number formulation."""
+    from duckdb_annsearch_spark.operators.temporal import asof_join
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.withColumn("_us", _event_ts_us(ev))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "_us"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        "_us",
+        _cents(F.col("value")).alias("p_vc"),
+    )
+    out = asof_join(
+        clicks, purch, on="user_id", left_ts="_us", right_ts="_us",
+        right_cols=["p_id", "p_vc"], tiebreak="p_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("_us").alias("click_us"),
+        F.col("matched_p_id").alias("matched_p_id"),
+        (F.col("matched_p_vc").cast("double") / 100).alias("matched_value"),
+    )
+
+
+def q_events_range_agg(spark, sf_dir):
+    """Bounded interval join + aggregate: clicks in the 10 minutes up to
+    each purchase by the same user (attribution window). Bucketed
+    equi-join shape (operators/temporal.py) vs DuckDB's BETWEEN join."""
+    from duckdb_annsearch_spark.operators.temporal import range_join
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.withColumn("_us", _event_ts_us(ev))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("_us").alias("c_us"),
+        _cents(F.col("value")).alias("c_vc"),
+    )
+    joined = range_join(
+        purch, clicks, on="user_id", left_ts="_us", right_ts="c_us",
+        lo=-600_000_000, hi=0, how="left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(
+            F.count("c_id").alias("n_clicks"),
+            (F.coalesce(F.sum("c_vc"), F.lit(0)).cast("double") / 100).alias(
+                "sum_click_value"
+            ),
+        )
+        .select("event_id", "user_id", "n_clicks", "sum_click_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_l2": q_topk_l2,
@@ -1615,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_by_user": q_events_top_by_user,
         "events_sessionize": q_events_sessionize,
         "event_type_stats": q_event_type_stats,
+        "events_asof": q_events_asof,
+        "events_range_agg": q_events_range_agg,
     }
 
 
@@ -2312,6 +2379,42 @@ def oracle_sql() -> dict[str, str]:
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """
+
+    oracles["events_asof"] = """
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS us,
+             round(value * 100)::BIGINT AS vc
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT c.event_id, c.user_id, c.us, p.p_id, p.vc,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.us DESC, p.p_id DESC) AS rn
+      FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.us <= c.us
+    )
+    SELECT event_id, user_id, us AS click_us, p_id AS matched_p_id,
+           CAST(vc AS DOUBLE) / 100 AS matched_value
+    FROM j WHERE rn = 1
+    """
+
+    oracles["events_range_agg"] = """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS c_id, user_id, epoch_us(ts) AS us,
+             round(value * 100)::BIGINT AS vc
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           count(c.c_id) AS n_clicks,
+           CAST(coalesce(sum(c.vc), 0) AS DOUBLE) / 100 AS sum_click_value
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id AND c.us BETWEEN p.us - 600000000 AND p.us
+    GROUP BY p.event_id, p.user_id
     """
 
     return oracles
