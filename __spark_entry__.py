@@ -1549,6 +1549,17 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Self-trained add-1 unigram LM NLL per document (CCNet-style
+    perplexity-filter signal, pipeline/lm.py). Integer micronat costs make
+    the per-doc sums order-independent; the oracle replays the identical
+    model in DuckDB SQL."""
+    from duckdb_annsearch_spark.pipeline.lm import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_perplexity(docs, text_col="text", id_col="doc_id", n=1, alpha=1.0)
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: every click matched to the user's most recent purchase
     at or before the click (ties at equal ts match; largest purchase id
@@ -1682,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "events_asof": q_events_asof,
         "events_range_agg": q_events_range_agg,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2379,6 +2391,32 @@ def oracle_sql() -> dict[str, str]:
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """
+
+    oracles["lm_perplexity"] = f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS.format(t="text")} AS toks FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(toks) AS gram FROM tk
+    ), cnt AS (
+      SELECT gram, count(*)::BIGINT AS c FROM t GROUP BY gram
+    ), tot AS (
+      SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM cnt
+    ), cost AS (
+      SELECT t.doc_id,
+             round(-ln((cnt.c + 1.0) / (tot.n + 1.0 * tot.v)) * 1000000)::BIGINT AS mc
+      FROM t JOIN cnt USING (gram) CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_grams, sum(mc)::BIGINT AS s
+      FROM cost GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.s, 0) AS sum_nll_micro,
+           CASE WHEN a.n_grams > 0
+                THEN round(CAST(a.s AS DOUBLE) / (CAST(a.n_grams AS DOUBLE) * 1000000), 6) + 0.0
+           END AS avg_nll
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
     oracles["events_asof"] = """
