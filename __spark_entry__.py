@@ -1549,6 +1549,16 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing over documents in doc_id order
+    (pipeline/pack.py): distributed two-phase prefix sum vs the oracle's
+    single window cumsum."""
+    from duckdb_annsearch_spark.pipeline.pack import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_chunks(docs, budget=512, id_col="doc_id", text_col="text")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Self-trained add-1 unigram LM NLL per document (CCNet-style
     perplexity-filter signal, pipeline/lm.py). Integer micronat costs make
@@ -1694,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range_agg": q_events_range_agg,
         "lm_perplexity": q_lm_perplexity,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -2391,6 +2402,27 @@ def oracle_sql() -> dict[str, str]:
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """
+
+    oracles["pack_chunks"] = """
+    WITH tok AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))::BIGINT
+          AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
+          - n_tokens AS BIGINT) AS s
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+      CAST(s // 512 AS BIGINT) AS chunk_id,
+      CAST(s % 512 AS BIGINT) AS chunk_offset,
+      (n_tokens > 0 AND
+       ((s + greatest(n_tokens - 1, 0)) // 512) > (s // 512)) AS crosses_boundary
+    FROM c
     """
 
     oracles["lm_perplexity"] = f"""
