@@ -103,10 +103,14 @@ def main():
         "pii_scrub",
         "repetition_stats",
         "decontaminate",
-        # relational
+        "lm_perplexity",
+        "pack_chunks",
+        # relational / temporal
         "pricing_summary",
         "top_orders",
         "events_sessionize",
+        "events_asof",
+        "events_range_agg",
     ]
 
     timings = {}

@@ -17,6 +17,14 @@ from duckdb_annsearch_spark.pipeline.sample import (
     stratified_sample,
     token_budget_mix,
 )
+from duckdb_annsearch_spark.pipeline.lm import (
+    lm_perplexity,
+    train_ngram_counts,
+)
+from duckdb_annsearch_spark.pipeline.pack import (
+    pack_chunks,
+    pack_greedy,
+)
 from duckdb_annsearch_spark.pipeline.dedup import (
     embedding_neardup_pairs,
     exact_duplicates,
@@ -43,4 +51,8 @@ __all__ = [
     "stratified_sample",
     "quota_sample",
     "token_budget_mix",
+    "lm_perplexity",
+    "train_ngram_counts",
+    "pack_chunks",
+    "pack_greedy",
 ]

@@ -1,7 +1,7 @@
 """Scale demonstration: sharded out-of-core graph build + serving at
 hundreds of thousands of vectors (the ROADMAP 50k sweep at 4-10x).
 
-    python tools/scale_demo.py [N] [dim] [shards] [--sq8 | --pq]
+    python tools/scale_demo.py [N] [dim] [shards] [--sq8 | --pq] [--pq-m=M]
 
 Generates N synthetic vectors DISTRIBUTEDLY (mapInPandas, per-row seeded —
 no driver materialization), builds the kmeans-sharded streaming graph
@@ -67,6 +67,10 @@ def main() -> None:
     shards = int(args[2]) if len(args) > 2 else 32
     sq8 = "--sq8" in sys.argv
     pq = "--pq" in sys.argv
+    pq_m = None
+    for a in sys.argv[1:]:
+        if a.startswith("--pq-m="):
+            pq_m = int(a.split("=", 1)[1])
     n_queries, k = 20, 10
 
     import numpy as np
@@ -121,7 +125,7 @@ def main() -> None:
     if sq8:
         params = {"quantization": "sq8"}
     elif pq:
-        params = {"quantization": "pq", "pq_m": max(8, dim // 4)}
+        params = {"quantization": "pq", "pq_m": pq_m or max(8, dim // 4)}
     eng.streaming_build(
         "big_graph", "vectors", "embedding", shards=shards, shard_by="kmeans", **params
     )
@@ -181,6 +185,7 @@ def main() -> None:
                 "shards": shards,
                 "sq8": sq8,
                 "pq": pq,
+                "pq_m": (pq_m or max(8, dim // 4)) if pq else None,
                 "build_wall_sec": build_wall,
                 "recall_at_10": round(float(np.mean(recalls)), 3),
                 "min_recall_at_10": round(float(np.min(recalls)), 3),
