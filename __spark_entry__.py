@@ -1549,6 +1549,26 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate removal (pipeline/lines.py). The
+    synthetic corpus is single-line, so the query first re-wraps each
+    document into 8-token lines — deterministically, in BOTH engines —
+    which makes short common token runs repeat across documents exactly
+    like web boilerplate does; then drops lines with document frequency
+    >= 2 and reassembles."""
+    from duckdb_annsearch_spark.pipeline.lines import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ", -1)
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, F.lit(8))),
+    )
+    wrapped = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(wrapped, min_df=2)
+
+
 def q_pack_chunks(spark, sf_dir):
     """Concat-and-chunk sequence packing over documents in doc_id order
     (pipeline/pack.py): distributed two-phase prefix sum vs the oracle's
@@ -1705,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_agg": q_events_range_agg,
         "lm_perplexity": q_lm_perplexity,
         "pack_chunks": q_pack_chunks,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2402,6 +2423,35 @@ def oracle_sql() -> dict[str, str]:
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """
+
+    oracles["line_dedup"] = """
+    WITH w AS (
+      SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(l) / 8.0) AS INT)),
+                       i -> array_to_string(l[i*8+1 : i*8+8], ' ')) AS ls
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ), lx AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(range(0, len(ls))) AS pos
+      FROM w
+    ), b AS (
+      SELECT lower(trim(line)) AS k
+      FROM lx WHERE lower(trim(line)) <> ''
+      GROUP BY k HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT lx.doc_id, lx.line, lx.pos FROM lx
+      WHERE lower(trim(lx.line)) = ''
+         OR NOT EXISTS (SELECT 1 FROM b WHERE b.k = lower(trim(lx.line)))
+    ), a AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(a.text, '') AS text,
+           coalesce(a.n_kept, 0) AS n_kept,
+           CAST(len(d.ls) AS BIGINT) - coalesce(a.n_kept, 0) AS n_dropped
+    FROM w d LEFT JOIN a USING (doc_id)
     """
 
     oracles["pack_chunks"] = """

@@ -105,6 +105,7 @@ def main():
         "decontaminate",
         "lm_perplexity",
         "pack_chunks",
+        "line_dedup",
         # relational / temporal
         "pricing_summary",
         "top_orders",

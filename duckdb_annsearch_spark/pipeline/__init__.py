@@ -25,6 +25,10 @@ from duckdb_annsearch_spark.pipeline.pack import (
     pack_chunks,
     pack_greedy,
 )
+from duckdb_annsearch_spark.pipeline.lines import (
+    line_dedup,
+    line_df_counts,
+)
 from duckdb_annsearch_spark.pipeline.dedup import (
     embedding_neardup_pairs,
     exact_duplicates,
@@ -55,4 +59,6 @@ __all__ = [
     "train_ngram_counts",
     "pack_chunks",
     "pack_greedy",
+    "line_dedup",
+    "line_df_counts",
 ]

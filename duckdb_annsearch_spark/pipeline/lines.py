@@ -1,0 +1,126 @@
+"""Line-level dedup: cross-document boilerplate removal.
+
+The CCNet / RefinedWeb curation stage that n-gram and MinHash dedup do
+not cover: navigation bars, cookie banners, license headers and other
+boilerplate repeat VERBATIM across many documents while each document as
+a whole stays unique.  The fix is per-line document frequency — drop any
+line that appears in at least ``min_df`` distinct documents, keep the
+rest in order.
+
+Plan shape (all JVM expressions, no Python):
+  1. ``posexplode(split(text))`` — map-only line table;
+  2. one groupBy on the normalized line computing ``countDistinct(doc)``
+     (partial aggregation applies: a line seen 10^6 times sends one
+     partial row per task, not 10^6 rows, into the shuffle);
+  3. a left-anti join of lines against the over-threshold set — the
+     boilerplate set is the aggregate's output and is data-sized, so it
+     stays a shuffle join unless AQE proves it broadcastable;
+  4. per-document reassembly: ``array_sort(collect_list(struct(pos,
+     line)))`` then join with the delimiter — bounded by single-document
+     size — the bound the input row itself already sets.
+
+Whole-doc NULL text stays NULL; a document whose every line is
+boilerplate comes back as the empty string (dropped-to-empty, not lost).
+Blank (whitespace-only) lines are never counted as boilerplate and are
+always kept — structure, not content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _split(col, delimiter: str):
+    """Literal-delimiter split (F.split takes a REGEX — quote it)."""
+    return F.split(col, "\\Q" + delimiter + "\\E", -1)
+
+__all__ = ["line_dedup", "line_df_counts"]
+
+
+def _norm(col, normalize: bool):
+    return F.lower(F.trim(col)) if normalize else col
+
+
+def line_df_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """``(line, df)`` — distinct-document frequency per normalized
+    non-blank line.  The reporting / threshold-tuning companion of
+    :func:`line_dedup`."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(_split(F.col(text_col), delimiter)).alias("_line"),
+    )
+    key = _norm(F.col("_line"), normalize).alias("line")
+    return (
+        lines.select(F.col(id_col), key)
+        .where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove every line whose normalized form occurs in >= ``min_df``
+    distinct documents; emit ``(id_col, text, n_kept, n_dropped)`` with
+    the surviving lines rejoined in original order.
+
+    ``normalize=True`` compares ``lower(trim(line))`` (case/indent
+    variants of one banner are one banner); the emitted text always
+    carries the ORIGINAL line bytes.  Within-document repeats of a
+    boilerplate line all drop (df counts distinct docs, removal hits
+    every copy).
+    """
+    if min_df < 2:
+        raise ValueError(f"line_dedup: min_df must be >= 2, got {min_df}")
+    split_col = _split(F.col(text_col), delimiter)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(split_col).alias("pos", "_line"),
+    ).withColumn("_key", _norm(F.col("_line"), normalize))
+
+    boiler = (
+        lines.where(F.col("_key") != "")
+        .groupBy("_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_key")
+    )
+    kept = lines.join(boiler, "_key", "left_anti")
+
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_text_kept"),
+        F.count("*").alias("_n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        F.when(F.col(text_col).isNotNull(), F.size(split_col)).alias("_n_lines"),
+    )
+    return base.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("_orig").isNotNull(), F.coalesce(F.col("_text_kept"), F.lit("")))
+        .alias(text_col),
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.coalesce(F.col("_n_lines"), F.lit(0)) - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
