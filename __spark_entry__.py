@@ -1549,6 +1549,16 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_dup_ngram_stats(spark, sf_dir):
+    """Per-doc duplicated-n-gram fraction (arXiv:2107.06499 ExactSubstr
+    signal, pipeline/dedup.py::dup_ngram_stats). k=2 so the small-vocab
+    synthetic corpus has real cross-document duplication to measure."""
+    from duckdb_annsearch_spark.pipeline.dedup import dup_ngram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_ngram_stats(docs, k=2)
+
+
 def q_line_dedup(spark, sf_dir):
     """Cross-document boilerplate removal (pipeline/lines.py). The
     synthetic corpus is single-line, so the query first re-wraps each
@@ -1726,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "pack_chunks": q_pack_chunks,
         "line_dedup": q_line_dedup,
+        "dup_ngram_stats": q_dup_ngram_stats,
     }
 
 
@@ -2423,6 +2434,32 @@ def oracle_sql() -> dict[str, str]:
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """
+
+    oracles["dup_ngram_stats"] = f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS.format(t="text")} AS l FROM documents
+    ), g AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(l) - 2 + 2, 1)),
+               i -> array_to_string(l[i : i + 1], ' '))) AS gram
+      FROM tk
+    ), gh AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g
+    ), dup AS (
+      SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), per AS (
+      SELECT gh.doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      FROM gh LEFT JOIN dup USING (h) GROUP BY gh.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_dup, 0) AS n_dup_grams,
+           CASE WHEN p.n_grams > 0
+                THEN round(CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) + 0.0
+           END AS dup_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
     oracles["line_dedup"] = """

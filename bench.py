@@ -106,6 +106,7 @@ def main():
         "lm_perplexity",
         "pack_chunks",
         "line_dedup",
+        "dup_ngram_stats",
         # relational / temporal
         "pricing_summary",
         "top_orders",

@@ -30,6 +30,7 @@ from duckdb_annsearch_spark.pipeline.lines import (
     line_df_counts,
 )
 from duckdb_annsearch_spark.pipeline.dedup import (
+    dup_ngram_stats,
     embedding_neardup_pairs,
     exact_duplicates,
     minhash_signatures,
@@ -61,4 +62,5 @@ __all__ = [
     "pack_greedy",
     "line_dedup",
     "line_df_counts",
+    "dup_ngram_stats",
 ]

@@ -39,8 +39,9 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams joined by single spaces.
+def word_grams(text: Column, k: int = 3) -> Column:
+    """Positional word k-grams joined by single spaces (one per gram
+    START position, multiplicity preserved).
 
     Built from k-1 ``zip_with`` concats of shifted token arrays — O(k)
     array ops per row instead of one ``slice`` per gram position."""
@@ -50,8 +51,12 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     for j in range(1, k):
         shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
         grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
-    grams = F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(F.array())
-    return F.array_distinct(grams)
+    return F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(F.array())
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams joined by single spaces."""
+    return F.array_distinct(word_grams(text, k))
 
 
 def _content_key(text_col: str, id_col: str):
@@ -895,4 +900,60 @@ def semantic_dedup(
             "cluster",
             F.coalesce(~F.col("__lost"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the ExactSubstr-style
+    signal of Lee et al. 2021 (arXiv:2107.06499, "Deduplicating Training
+    Data Makes Language Models Better"): what share of a document's word
+    ``k``-grams also occur in at least one OTHER document.  Quality
+    filters threshold this (high dup_frac = templated / syndicated /
+    boilerplate-heavy text) where whole-doc dedup sees nothing.
+
+    Emits ``(id_col, n_grams, n_dup_grams, dup_frac)``; positions count
+    with multiplicity, so a gram repeated inside one document inflates
+    neither count unless some other document also has it (duplication is
+    cross-document by definition — df counts distinct docs).
+
+    Scale shape: grams explode map-only, then ONE partial-aggregating
+    groupBy on the 60-bit md5 gram hash (16 bytes/row into the shuffle,
+    not the gram text), a left join of positions against the df>=2 hash
+    set, and a per-doc aggregate.  Same cost class as line-level dedup.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_grams(F.col(text_col), k)).alias("_gram"),
+    ).select(F.col(id_col), token_hash(F.col("_gram")).alias("_gh"))
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("_gh", F.lit(1).alias("_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_grams"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("dup_frac"),
     )
