@@ -2485,9 +2485,11 @@ def oracle_sql() -> dict[str, str]:
              count(*)::BIGINT AS n_kept
       FROM kept GROUP BY doc_id
     )
-    SELECT d.doc_id, coalesce(a.text, '') AS text,
+    SELECT d.doc_id,
+           CASE WHEN d.ls IS NULL THEN NULL
+                ELSE coalesce(a.text, '') END AS text,
            coalesce(a.n_kept, 0) AS n_kept,
-           CAST(len(d.ls) AS BIGINT) - coalesce(a.n_kept, 0) AS n_dropped
+           coalesce(CAST(len(d.ls) AS BIGINT), 0) - coalesce(a.n_kept, 0) AS n_dropped
     FROM w d LEFT JOIN a USING (doc_id)
     """
 

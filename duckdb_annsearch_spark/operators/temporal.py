@@ -80,13 +80,26 @@ def asof_join(
 
     carry = list(dict.fromkeys([*right_cols, tiebreak]))  # right payload, deduped
     # Union layout: keys + _ts + _side (0=right sorts first at ties, so a
-    # right row AT the left timestamp is visible to it) + right payload.
-    r = right.select(
+    # right row AT the left timestamp is visible to it) + ONE struct of the
+    # whole right payload + the right timestamp.  The struct is what makes
+    # the match atomic: per-column last(ignorenulls) would stitch values
+    # from DIFFERENT right rows whenever a carried column holds a genuine
+    # NULL (the ignorenulls skip would reach past it to an older row).
+    # Right rows with a NULL key are dropped up front — NULL equality keys
+    # never match (pandas merge_asof / SQL join semantics); left rows with
+    # NULL keys survive with NULL matches (their window partition then
+    # contains no right rows).
+    key_ok = F.lit(True)
+    for kcol in keys:
+        key_ok = key_ok & F.col(kcol).isNotNull()
+    r = right.where(key_ok).select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.col(tiebreak).alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in carry],
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c).alias(c) for c in carry]
+        ).alias("_r"),
     )
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
     l = left.select(
@@ -94,34 +107,35 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
-        *[F.lit(None).cast(r.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in carry],
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *[F.col(c) for c in left_payload],
     )
     unioned = r.unionByName(l, allowMissingColumns=True)
 
     # Right rows first at equal _ts (_side asc); among equal-_ts right rows
-    # the largest tiebreak is scanned last, so last(ignorenulls) picks it.
+    # the largest NON-NULL tiebreak is scanned last, so last(ignorenulls)
+    # picks it (nulls_first: a NULL tiebreak loses to any real value, the
+    # way ORDER BY ... DESC NULLS LAST would rank them).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc_nulls_last())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_m_{c}") for c in carry]
-    matched_ts = F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w)
+    matched = F.last(F.col("_r"), ignorenulls=True).over(w)
 
     out = (
-        unioned.select("*", *carried, matched_ts.alias("_m_ts"))
+        unioned.select("*", matched.alias("_m"))
         .where(F.col("_side") == 1)
     )
     ok: Column = F.lit(True)
     if tolerance is not None:
-        ok = (F.col("_ts") - F.col("_m_ts")) <= F.lit(tolerance)
+        ok = (F.col("_ts") - F.col("_m.__rts")) <= F.lit(tolerance)
     return out.select(
         *keys,
         F.col("_ts").alias(left_ts),
         *left_payload,
         *[
-            F.when(ok, F.col(f"_m_{c}")).alias(f"{prefix}{c}")
+            F.when(ok, F.col(f"_m.{c}")).alias(f"{prefix}{c}")
             for c in right_cols
         ],
     )
@@ -190,13 +204,23 @@ def range_join(
         return exact
     if how != "left":
         raise ValueError(f"range_join: how must be 'inner' or 'left', got {how!r}")
-    # Left outer: dedupe the exploded left copies via a left join of the
-    # original left against the exact matches on the full left row-identity
-    # is unnecessary — re-join left to the match set on its own columns
-    # would need a row id.  Instead: run the inner form, then union back
-    # the left rows that found nothing (left anti on the keys+ts identity).
+    # Left outer: run the inner form, then union back the left rows that
+    # found nothing.  The anti-join condition must be NULL-SAFE (eqNullSafe
+    # per column): a left row carrying a NULL payload value would never
+    # equal its own entry in the match set under plain equality and would
+    # come back a second time as a spurious "unmatched" row.  exact is
+    # lazily checkpointed so the bucketed join executes once, not once per
+    # branch.
+    exact = exact.localCheckpoint(eager=False)
     matched_keys = exact.select(*left.columns).dropDuplicates(left.columns)
-    unmatched = left.join(matched_keys, on=left.columns, how="left_anti")
+    mk = matched_keys.alias("_mk")
+    lf = left.alias("_lf")
+    cond = F.lit(True)
+    for c in left.columns:
+        cond = cond & F.col(f"_lf.{c}").eqNullSafe(F.col(f"_mk.{c}"))
+    unmatched = lf.join(mk, on=cond, how="left_anti").select(
+        *[F.col(f"_lf.{c}").alias(c) for c in left.columns]
+    )
     null_right = unmatched.select(
         "*",
         *[

@@ -59,7 +59,9 @@ def line_df_counts(
     key = _norm(F.col("_line"), normalize).alias("line")
     return (
         lines.select(F.col(id_col), key)
-        .where(F.col("line") != "")
+        # trim() regardless of `normalize`: whitespace-only lines are
+        # structural and never counted as boilerplate in either mode
+        .where(F.trim(F.col("line")) != "")
         .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
     )
@@ -92,7 +94,7 @@ def line_dedup(
     ).withColumn("_key", _norm(F.col("_line"), normalize))
 
     boiler = (
-        lines.where(F.col("_key") != "")
+        lines.where(F.trim(F.col("_key")) != "")
         .groupBy("_key")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .where(F.col("_df") >= min_df)

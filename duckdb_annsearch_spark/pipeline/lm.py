@@ -90,6 +90,7 @@ def lm_perplexity(
     it is left to the caller because exp's last-ulp varies across libm
     implementations while the rational avg is bit-stable.
     """
+    counts_external = counts is not None
     if counts is None:
         counts = train_ngram_counts(docs, text_col, n)
     toks = tokenize(F.col(text_col))
@@ -112,6 +113,16 @@ def lm_perplexity(
         )
     elif n == 2:
         if cond_counts is None:
+            if counts_external:
+                # Self-training the context denominators on the TARGET
+                # corpus while the bigram numerators come from a reference
+                # corpus mixes two models and can yield p > 1 (negative
+                # NLL) — require the matching unigram table instead.
+                raise ValueError(
+                    "lm_perplexity(n=2): external `counts` requires the "
+                    "matching `cond_counts` (unigram counts of the SAME "
+                    "training corpus)"
+                )
             cond_counts = train_ngram_counts(docs, text_col, 1)
         vocab = cond_counts.agg(F.count("*").alias("_V"))
         ctx = cond_counts.select(

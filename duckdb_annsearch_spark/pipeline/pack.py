@@ -39,9 +39,14 @@ __all__ = ["pack_chunks", "pack_greedy"]
 
 
 def _tokens_col(df: DataFrame, text_col: str, token_col: str | None) -> Column:
+    """Non-negative token count; NULL text (or a NULL/negative count
+    column) contributes 0 tokens — a NULL reaching the prefix sum would
+    silently shift every later doc's chunk/bin assignment."""
     if token_col is not None:
-        return F.col(token_col).cast("long")
-    return bpe_token_count(F.col(text_col)).cast("long")
+        raw = F.col(token_col).cast("long")
+    else:
+        raw = bpe_token_count(F.col(text_col)).cast("long")
+    return F.greatest(F.coalesce(raw, F.lit(0)), F.lit(0))
 
 
 def pack_chunks(
@@ -120,18 +125,6 @@ def pack_chunks(
     )
 
 
-_GREEDY_SCHEMA = T.StructType(
-    [
-        T.StructField("stream", T.StringType(), True),
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("n_tokens", T.LongType(), False),
-        T.StructField("bin_id", T.LongType(), False),
-        T.StructField("bin_fill", T.LongType(), False),
-        T.StructField("oversize", T.BooleanType(), False),
-    ]
-)
-
-
 def pack_greedy(
     docs: DataFrame,
     budget: int,
@@ -145,9 +138,11 @@ def pack_greedy(
     ``budget``, then open a new bin.  Docs longer than ``budget`` get a
     bin of their own with ``oversize=true`` (never split, never dropped).
 
-    Output: ``(stream, doc_id, n_tokens, bin_id, bin_fill, oversize)``
+    Output: ``(stream, <id_col>, n_tokens, bin_id, bin_fill, oversize)``
     where ``bin_id`` numbers bins within the stream in visit order and
-    ``bin_fill`` is the bin's running fill AFTER this doc.
+    ``bin_fill`` is the bin's running fill AFTER this doc.  The id column
+    keeps its input name and type (string/UUID ids pack fine — they just
+    define the visit order).
 
     Sequential per stream by construction (each decision depends on all
     prior ones); distributed across streams via ``applyInPandas``.
@@ -156,13 +151,23 @@ def pack_greedy(
         raise ValueError(f"pack_greedy: budget must be positive, got {budget}")
     d = docs.select(
         (F.col(stream_col).cast("string") if stream_col else F.lit("")).alias("stream"),
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col),
         _tokens_col(docs, text_col, token_col).alias("n_tokens"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("stream", T.StringType(), True),
+            d.schema[id_col],
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("bin_id", T.LongType(), False),
+            T.StructField("bin_fill", T.LongType(), False),
+            T.StructField("oversize", T.BooleanType(), False),
+        ]
     )
     bud = int(budget)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         bins, fills, overs = [], [], []
         bin_id, fill = 0, 0
         started = False
@@ -181,4 +186,4 @@ def pack_greedy(
         pdf["oversize"] = pd.Series(overs, dtype="bool")
         return pdf
 
-    return d.groupBy("stream").applyInPandas(_pack, schema=_GREEDY_SCHEMA)
+    return d.groupBy("stream").applyInPandas(_pack, schema=out_schema)

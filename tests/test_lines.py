@@ -102,3 +102,13 @@ def test_regex_delimiter_is_literal(spark):
     df = spark.createDataFrame([(0, "a.b.a"), (1, "a.c")], ["doc_id", "text"])
     got = {r.doc_id: r.text for r in line_dedup(df, delimiter=".").collect()}
     assert got == {0: "b", 1: "c"}  # 'a' has df=2 -> dropped everywhere
+
+
+def test_blank_lines_kept_without_normalize(spark):
+    """Whitespace-only lines are structural in BOTH modes — never counted
+    as boilerplate even under normalize=False."""
+    df = spark.createDataFrame(
+        [(0, "x\n  \ny"), (1, "z\n  \nw")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.text for r in line_dedup(df, normalize=False).collect()}
+    assert got == {0: "x\n  \ny", 1: "z\n  \nw"}

@@ -106,3 +106,11 @@ def test_plan_python_free(docs_df):
 def test_bad_n_raises(docs_df):
     with pytest.raises(ValueError, match="n must be"):
         lm_perplexity(docs_df, n=3)
+
+
+def test_external_bigram_counts_require_cond_counts(spark, docs_df):
+    from duckdb_annsearch_spark.pipeline.lm import train_ngram_counts
+
+    counts = train_ngram_counts(docs_df, n=2)
+    with pytest.raises(ValueError, match="cond_counts"):
+        lm_perplexity(docs_df, n=2, counts=counts)

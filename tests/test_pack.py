@@ -110,3 +110,23 @@ def test_chunk_totals_consistent(docs):
     assert max_start_chunk <= total // BUDGET
     # offsets stay within budget
     assert all(0 <= r.chunk_offset < BUDGET for r in out)
+
+
+def test_null_text_counts_zero_tokens(spark):
+    """NULL text contributes 0 tokens — it must not shift the cursor."""
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_tokens, r.chunk_id, r.chunk_offset)
+           for r in pack_chunks(df, 4).collect()}
+    assert got == {0: (3, 0, 0), 1: (0, 0, 3), 2: (2, 0, 3)}
+
+
+def test_greedy_string_ids_preserved(spark):
+    """String ids keep their type/name and define the visit order."""
+    df = spark.createDataFrame(
+        [("b", 3), ("a", 3), ("c", 3)], ["name", "nt"]
+    )
+    got = {r.name: r.bin_id
+           for r in pack_greedy(df, 4, id_col="name", token_col="nt").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}

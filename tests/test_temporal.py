@@ -149,3 +149,52 @@ def test_asof_negative_timestamps(spark):
         for r in range_join(ldf, rdf, on="key", lo=-10, hi=10).collect()
     )
     assert pairs == [(1, 10), (1, 11), (2, 12)]
+
+
+def test_asof_null_right_value_stays_atomic(spark):
+    """A genuine NULL in a carried right column must NOT be back-filled
+    from an older right row (struct-carry atomicity)."""
+    ldf = _mk(spark, [(1, 0, 30)], ["lid", "key", "ts"])
+    rdf = _mk(
+        spark,
+        [(10, 0, 10, 5.0), (11, 0, 20, None)],
+        ["rid", "key", "ts", "rval"],
+    )
+    row = asof_join(
+        ldf, rdf, on="key", right_cols=["rid", "rval"], tiebreak="rid"
+    ).collect()[0]
+    assert row.matched_rid == 11 and row.matched_rval is None
+
+
+def test_asof_null_keys_never_match(spark):
+    ldf = _mk(spark, [(1, None, 30), (2, 0, 30)], ["lid", "key", "ts"])
+    rdf = _mk(spark, [(10, None, 10), (11, 0, 10)], ["rid", "key", "ts"])
+    rows = {r.lid: r.matched_rid for r in
+            asof_join(ldf, rdf, on="key", right_cols=["rid"]).collect()}
+    assert rows == {1: None, 2: 11}
+
+
+def test_asof_null_tiebreak_loses(spark):
+    """At equal ts, a right row with a NULL tiebreak loses to any real
+    value (ORDER BY tie DESC NULLS LAST semantics)."""
+    ldf = _mk(spark, [(1, 0, 10)], ["lid", "key", "ts"])
+    rdf = _mk(spark, [(None, 0, 10, 1.0), (7, 0, 10, 2.0)],
+              ["rid", "key", "ts", "rval"])
+    row = asof_join(ldf, rdf, on="key", right_cols=["rid", "rval"],
+                    tiebreak="rid").collect()[0]
+    assert row.matched_rid == 7 and row.matched_rval == 2.0
+
+
+def test_range_left_outer_null_payload_multiplicity(spark):
+    """A left row with a NULL payload column must not reappear as a
+    spurious unmatched row (null-safe anti-join)."""
+    ldf = spark.createDataFrame(
+        [(1, 0, 100, None), (2, 0, 500, None)],
+        "lid long, key long, ts long, note string",
+    )
+    rdf = _mk(spark, [(10, 0, 105)], ["rid", "key", "ts"])
+    got = range_join(ldf, rdf, on="key", lo=0, hi=10, how="left").collect()
+    by_lid = {}
+    for r in got:
+        by_lid.setdefault(r.lid, []).append(r.rid)
+    assert by_lid == {1: [10], 2: [None]}
