@@ -1,0 +1,143 @@
+"""Pipeline scale demonstration: curation-operator throughput on a
+synthetic corpus of N documents (default 1M).
+
+    python tools/pipeline_scale.py [N] [tokens_per_doc]
+
+Generates N ~L-token documents DISTRIBUTEDLY (mapInPandas, deterministic
+per id — splitmix64 token draws over a 1000-word vocabulary) with
+planted structure the operators must find:
+  * every 20th doc is an exact copy of its predecessor,
+  * every 17th doc is a near-dup (one token changed),
+  * every doc gets a shared boilerplate header line (line_dedup fodder).
+
+Then times one full pass of each curation stage over the parquet corpus:
+doc token/quality stats, exact dedup, MinHash+LSH candidate pairs,
+line-level dedup, duplicated-n-gram fraction, unigram LM perplexity, and
+sequence packing.  Prints ONE JSON line with wall seconds and docs/s per
+stage.  The measured table lives in ROADMAP.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    toks_per_doc = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_annsearch_spark.session import get_spark
+
+    spark = get_spark("pipeline-scale")
+    tmp = tempfile.mkdtemp(prefix="pipeline_scale_")
+    path = os.path.join(tmp, "docs.parquet")
+
+    vocab = np.array([f"w{i:04d}" for i in range(1000)])
+    L = toks_per_doc
+
+    def splitmix(z):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            # exact dups: doc 20k copies doc 20k-1 (generate from source id)
+            src = np.where((ids % 20 == 0) & (ids > 0), ids - 1, ids)
+            idx = src.astype(np.uint64)[:, None] * np.uint64(L) + np.arange(
+                L, dtype=np.uint64
+            )
+            words = vocab[(splitmix(idx) % np.uint64(len(vocab))).astype(np.int64)]
+            # near-dups: flip token 0 of every 17th doc (unless exact-dup)
+            flip = (ids % 17 == 0) & (ids % 20 != 0)
+            words[flip, 0] = "zzflip"
+            texts = [
+                "BOILERPLATE HEADER COMMON TO ALL\n" + " ".join(row)
+                for row in words
+            ]
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    t0 = time.time()
+    (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(gen, "doc_id long, text string")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    gen_wall = round(time.time() - t0, 1)
+
+    from pyspark.sql import functions as F
+
+    from duckdb_annsearch_spark.pipeline.dedup import (
+        dup_ngram_stats,
+        exact_duplicates,
+        lsh_duplicate_pairs,
+    )
+    from duckdb_annsearch_spark.pipeline.lines import line_dedup
+    from duckdb_annsearch_spark.pipeline.lm import lm_perplexity
+    from duckdb_annsearch_spark.pipeline.pack import pack_chunks
+    from duckdb_annsearch_spark.pipeline.text import (
+        bpe_token_count,
+        detect_language,
+        quality_score,
+    )
+
+    docs = spark.read.parquet(path)
+
+    def stage(name, fn):
+        t = time.time()
+        rows = fn().count()
+        wall = round(time.time() - t, 1)
+        out[name] = {
+            "wall_sec": wall,
+            "rows": rows,
+            "docs_per_sec": round(n / wall) if wall > 0 else None,
+        }
+        print(f"# {name}: {wall}s ({rows} rows)", file=sys.stderr)
+
+    out: dict = {}
+    stage(
+        "doc_stats",
+        lambda: docs.select(
+            "doc_id",
+            bpe_token_count(F.col("text")).alias("bpe"),
+            quality_score(F.col("text")).alias("q"),
+            detect_language(F.col("text")).alias("lang"),
+        ),
+    )
+    stage("exact_dedup", lambda: exact_duplicates(docs, "text", "doc_id"))
+    stage(
+        "lsh_pairs",
+        lambda: lsh_duplicate_pairs(docs, "text", "doc_id", max_bucket=200),
+    )
+    stage("line_dedup", lambda: line_dedup(docs, min_df=2))
+    stage("dup_ngram_stats", lambda: dup_ngram_stats(docs, k=8))
+    stage("lm_perplexity", lambda: lm_perplexity(docs))
+    stage("pack_chunks", lambda: pack_chunks(docs, budget=2048))
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "tokens_per_doc": toks_per_doc,
+                "gen_wall_sec": gen_wall,
+                "stages": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
