@@ -62,3 +62,15 @@ def test_plan_python_free(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     plan = dup_ngram_stats(df, k=K)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_xx_hash_same_results(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    md5 = {r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac)
+           for r in dup_ngram_stats(df, k=K).collect()}
+    xx = {r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac)
+          for r in dup_ngram_stats(df, k=K, hash_fn="xx").collect()}
+    assert md5 == xx
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_fn"):
+        dup_ngram_stats(df, hash_fn="sha")

@@ -96,9 +96,20 @@ def main() -> None:
 
     docs = spark.read.parquet(path)
 
+    def force_execution(df):
+        # .count() alone lets Catalyst prune the payload (map-only stages
+        # collapse to a parquet row count; outer joins on unique keys are
+        # eliminated) — hash every column under the aggregate to pin the
+        # full computation (see bench.force_execution)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))),
+        ).collect()[0]
+        return row["n"]
+
     def stage(name, fn):
         t = time.time()
-        rows = fn().count()
+        rows = force_execution(fn())
         wall = round(time.time() - t, 1)
         out[name] = {
             "wall_sec": wall,
