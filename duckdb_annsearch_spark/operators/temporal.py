@@ -45,11 +45,16 @@ def asof_join(
     tolerance: int | None = None,
     prefix: str = "matched_",
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right.ts <= left.ts`` on the same key (backward as-of, pandas
     ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics; ties at equal
-    timestamps DO match).
+    timestamps DO match).  ``direction='forward'`` flips the comparison:
+    the EARLIEST right row with ``right.ts >= left.ts`` wins instead
+    (same plan, inverted window order).  pandas' third mode ('nearest')
+    is deliberately absent — it needs a unique left row identity to
+    reconcile the two directions; run both and pick in caller code.
 
     Parameters
     ----------
@@ -60,8 +65,9 @@ def asof_join(
         not epoch-exact).
     right_cols: right columns to carry onto the match, each emitted as
         ``{prefix}{col}``; all are NULL when no right row precedes.
-    tolerance: optional max allowed ``left_ts - right_ts`` (same unit as
-        the ts columns); staler matches are nulled out, like pandas
+    tolerance: optional max allowed ``left_ts - right_ts`` (or
+        ``right_ts - left_ts`` under ``direction='forward'``; same unit
+        as the ts columns); farther matches are nulled out, like pandas
         ``merge_asof(tolerance=...)``.
     tiebreak: right-side column ordering the winner among right rows
         sharing one timestamp (the LARGEST tiebreak value wins, so the
@@ -76,6 +82,10 @@ def asof_join(
     right_cols = list(right_cols)
     if not right_cols:
         raise ValueError("asof_join: right_cols must name at least one column")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     tiebreak = tiebreak or right_cols[0]
 
     carry = list(dict.fromkeys([*right_cols, tiebreak]))  # right payload, deduped
@@ -116,9 +126,12 @@ def asof_join(
     # the largest NON-NULL tiebreak is scanned last, so last(ignorenulls)
     # picks it (nulls_first: a NULL tiebreak loses to any real value, the
     # way ORDER BY ... DESC NULLS LAST would rank them).
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc_nulls_first())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.last(F.col("_r"), ignorenulls=True).over(w)
@@ -129,7 +142,12 @@ def asof_join(
     )
     ok: Column = F.lit(True)
     if tolerance is not None:
-        ok = (F.col("_ts") - F.col("_m.__rts")) <= F.lit(tolerance)
+        delta = (
+            F.col("_ts") - F.col("_m.__rts")
+            if direction == "backward"
+            else F.col("_m.__rts") - F.col("_ts")
+        )
+        ok = delta <= F.lit(tolerance)
     return out.select(
         *keys,
         F.col("_ts").alias(left_ts),

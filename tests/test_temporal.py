@@ -198,3 +198,39 @@ def test_range_left_outer_null_payload_multiplicity(spark):
     for r in got:
         by_lid.setdefault(r.lid, []).append(r.rid)
     assert by_lid == {1: [10], 2: [None]}
+
+
+def _brute_asof_fwd(left, right, tolerance=None):
+    out = {}
+    for lid, k, lts, _ in left:
+        cands = [r for r in right if r[1] == k and r[2] >= lts]
+        if tolerance is not None:
+            cands = [r for r in cands if r[2] - lts <= tolerance]
+        if cands:
+            best = min(cands, key=lambda r: (r[2], -r[0]))  # earliest ts, largest tiebreak
+            out[lid] = best[0]
+        else:
+            out[lid] = None
+    return out
+
+
+def test_asof_forward_matches_brute_force(sides):
+    left, right, ldf, rdf = sides
+    got = {r.lid: r.matched_rid for r in asof_join(
+        ldf, rdf, on="key", right_cols=["rid"], tiebreak="rid",
+        direction="forward",
+    ).collect()}
+    exp = _brute_asof_fwd(left, right)
+    assert got == exp
+
+
+def test_asof_forward_tolerance_and_validation(sides):
+    left, right, ldf, rdf = sides
+    got = {r.lid: r.matched_rid for r in asof_join(
+        ldf, rdf, on="key", right_cols=["rid"], tiebreak="rid",
+        direction="forward", tolerance=50,
+    ).collect()}
+    exp = _brute_asof_fwd(left, right, tolerance=50)
+    assert got == exp
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ldf, rdf, on="key", right_cols=["rid"], direction="nearest")
