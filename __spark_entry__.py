@@ -1589,6 +1589,20 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(docs, budget=512, id_col="doc_id", text_col="text")
 
 
+def q_pack_greedy(spark, sf_dir):
+    """Next-fit whole-document packing per language stream
+    (pipeline/pack.py::pack_greedy). Inherently sequential per stream, so
+    the oracle is a recursive CTE walking every stream in lockstep — one
+    row per (lang, step); the Spark side is one applyInPandas per
+    stream."""
+    from duckdb_annsearch_spark.pipeline.pack import pack_greedy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_greedy(
+        docs, budget=512, id_col="doc_id", text_col="text", stream_col="lang"
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Self-trained add-1 unigram LM NLL per document (CCNet-style
     perplexity-filter signal, pipeline/lm.py). Integer micronat costs make
@@ -1735,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_agg": q_events_range_agg,
         "lm_perplexity": q_lm_perplexity,
         "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
         "line_dedup": q_line_dedup,
         "dup_ngram_stats": q_dup_ngram_stats,
     }
@@ -2512,6 +2527,36 @@ def oracle_sql() -> dict[str, str]:
       (n_tokens > 0 AND
        ((s + greatest(n_tokens - 1, 0)) // 512) > (s // 512)) AS crosses_boundary
     FROM c
+    """
+
+    oracles["pack_greedy"] = """
+    WITH RECURSIVE tok AS (
+      SELECT lang, doc_id,
+        len(regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))::BIGINT
+          AS n_tokens
+      FROM documents
+    ), d AS MATERIALIZED (
+      -- MATERIALIZED: the recursive walk re-reads d every round; inlined,
+      -- DuckDB would re-tokenize the whole corpus per iteration
+      SELECT lang, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS seq
+      FROM tok
+    ), walk AS (
+      SELECT lang, seq, doc_id, n_tokens,
+             0::BIGINT AS bin_id, n_tokens AS bin_fill
+      FROM d WHERE seq = 1
+      UNION ALL
+      SELECT d.lang, d.seq, d.doc_id, d.n_tokens,
+        CASE WHEN w.bin_fill + d.n_tokens > 512
+             THEN w.bin_id + 1 ELSE w.bin_id END,
+        CASE WHEN w.bin_fill + d.n_tokens > 512
+             THEN d.n_tokens ELSE w.bin_fill + d.n_tokens END
+      FROM walk w JOIN d ON d.lang = w.lang AND d.seq = w.seq + 1
+    )
+    SELECT lang AS stream, doc_id, n_tokens, bin_id, bin_fill,
+           n_tokens > 512 AS oversize
+    FROM walk
     """
 
     oracles["lm_perplexity"] = f"""
