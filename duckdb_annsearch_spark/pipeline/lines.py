@@ -88,18 +88,34 @@ def line_dedup(
     if min_df < 2:
         raise ValueError(f"line_dedup: min_df must be >= 2, got {min_df}")
     split_col = _split(F.col(text_col), delimiter)
+    # The df-count shuffle is keyed on md5(normalized line), not the line
+    # text: boilerplate lines run hundreds of bytes and the count needs
+    # only identity — 32-char keys shrink that shuffle's rows ~20x
+    # (measured end-to-end 57s -> 20-34s across runs at 5M docs; the
+    # remaining cost is the reassembly shuffle, which must carry the
+    # output text).  md5 collisions (~2^-64) would merge two distinct
+    # lines' counts; acceptable for a >=min_df threshold.  Blank test
+    # happens BEFORE hashing (whitespace-only lines are structural).
     lines = docs.select(
         F.col(id_col),
         F.posexplode(split_col).alias("pos", "_line"),
-    ).withColumn("_key", _norm(F.col("_line"), normalize))
+    ).withColumn(
+        "_key",
+        F.when(
+            F.trim(F.col("_line")) != "",
+            F.md5(_norm(F.col("_line"), normalize)),
+        ),
+    )
 
     boiler = (
-        lines.where(F.trim(F.col("_key")) != "")
+        lines.where(F.col("_key").isNotNull())
         .groupBy("_key")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .where(F.col("_df") >= min_df)
         .select("_key")
     )
+    # blank lines carry a NULL _key, which an equi-join never matches --
+    # they pass the anti-join untouched, preserving the structural rule
     kept = lines.join(boiler, "_key", "left_anti")
 
     reassembled = kept.groupBy(id_col).agg(
