@@ -1549,6 +1549,19 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-similarity benchmark decontamination
+    (pipeline/quality.py::semantic_decontaminate): every 97th embedding
+    plays the benchmark; members + exact/near copies flag at cos >= 0.95."""
+    from duckdb_annsearch_spark.pipeline.quality import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(
+        emb, bench, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-doc duplicated-n-gram fraction (arXiv:2107.06499 ExactSubstr
     signal, pipeline/dedup.py::dup_ngram_stats). k=2 so the small-vocab
@@ -1752,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "line_dedup": q_line_dedup,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "semantic_decontaminate": q_semantic_decontaminate,
     }
 
 
@@ -2449,6 +2463,26 @@ def oracle_sql() -> dict[str, str]:
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """
+
+    dot_b = _sql_dot("e.embedding", "b.bv")
+    norm_b = "sqrt(list_sum(list_transform(b.bv, x -> x::DOUBLE * x::DOUBLE)))"
+    oracles["semantic_decontaminate"] = f"""
+    WITH b AS (
+      SELECT embedding AS bv FROM embeddings
+      WHERE vec_id % 97 = 0 AND embedding IS NOT NULL
+    ), p AS (
+      SELECT e.vec_id,
+             round({dot_b} / greatest({_sql_norm("e.embedding")} * {norm_b}, 1e-300), 6)
+               + 0.0 AS c
+      FROM embeddings e CROSS JOIN b
+      WHERE e.embedding IS NOT NULL
+    ), m AS (
+      SELECT vec_id, max(c) AS max_benchmark_cos FROM p GROUP BY vec_id
+    )
+    SELECT e.vec_id, m.max_benchmark_cos,
+           coalesce(m.max_benchmark_cos >= 0.95, false) AS contaminated
+    FROM embeddings e LEFT JOIN m USING (vec_id)
     """
 
     oracles["dup_ngram_stats"] = f"""

@@ -131,6 +131,7 @@ def main():
         "pii_scrub",
         "repetition_stats",
         "decontaminate",
+        "semantic_decontaminate",
         "lm_perplexity",
         "pack_chunks",
         "line_dedup",

@@ -25,6 +25,9 @@ from duckdb_annsearch_spark.pipeline.pack import (
     pack_chunks,
     pack_greedy,
 )
+from duckdb_annsearch_spark.pipeline.quality import (
+    semantic_decontaminate,
+)
 from duckdb_annsearch_spark.pipeline.lines import (
     line_dedup,
     line_df_counts,
@@ -63,4 +66,5 @@ __all__ = [
     "line_dedup",
     "line_df_counts",
     "dup_ngram_stats",
+    "semantic_decontaminate",
 ]

@@ -199,3 +199,59 @@ def decontaminate(
             (F.coalesce(F.col("overlap_ngrams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id, max_benchmark_cos, contaminated): embedding-similarity
+    benchmark overlap — the semantic complement of the n-gram
+    :func:`decontaminate` (paraphrased test items share no 8-gram but sit
+    next to the benchmark in embedding space).
+
+    The benchmark is broadcast (test sets, not corpora) and every corpus
+    vector takes the max deterministic double-fold cosine against it —
+    rounded to 6 BEFORE the max, so ties and the oracle agree bit-exactly.
+    Rows with NULL vectors come back with NULL score and
+    ``contaminated=false``.
+
+    Scale shape: map-side only — corpus x broadcast, no shuffle but the
+    final per-id aggregate.  Cost is O(|corpus| x |benchmark|) SQL-fold
+    dot products; fine for real benchmark suites (10^3-10^5 items).  For
+    benchmark sides beyond broadcast size, index the benchmark and use
+    ``operators.knn.knn_join(corpus, benchmark, k=1)`` — same decision,
+    index-routed.
+    """
+    from duckdb_annsearch_spark.pipeline.dedup import _cos_double
+
+    bcol = bench_vec_col or vec_col
+    bench = benchmark.where(F.col(bcol).isNotNull()).select(
+        F.col(bcol).alias("_bvec")
+    )
+    pairs = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(bench))
+    )
+    cos6 = F.round(_cos_double(F.col(vec_col), F.col("_bvec")), 6) + F.lit(0.0)
+    hits = (
+        pairs.select(F.col(id_col), cos6.alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("max_benchmark_cos"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("max_benchmark_cos"),
+            F.coalesce(
+                F.col("max_benchmark_cos") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )

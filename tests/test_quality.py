@@ -154,3 +154,42 @@ def test_decontaminate(spark):
     assert not out[2]["contaminated"] and out[2]["overlap_ngrams"] == 0
     assert out[3]["contaminated"] and out[3]["overlap_ngrams"] == 3
     assert not out[4]["contaminated"]
+
+
+class TestSemanticDecontaminate:
+    def _dfs(self, spark):
+        from tests.conftest import make_vectors_df
+
+        corpus = make_vectors_df(
+            spark,
+            [
+                (0, [1.0, 0.0, 0.0]),      # exact benchmark copy
+                (1, [0.99, 0.14, 0.0]),    # near the benchmark
+                (2, [0.0, 1.0, 0.0]),      # orthogonal
+                (3, None),                  # NULL vector
+            ],
+            id_col="doc_id",
+        )
+        bench = make_vectors_df(spark, [(100, [1.0, 0.0, 0.0])], id_col="bid")
+        return corpus, bench
+
+    def test_flags(self, spark):
+        from duckdb_annsearch_spark.pipeline.quality import semantic_decontaminate
+
+        corpus, bench = self._dfs(spark)
+        rows = {r.doc_id: r for r in semantic_decontaminate(
+            corpus, bench, threshold=0.95
+        ).collect()}
+        assert rows[0].contaminated and rows[0].max_benchmark_cos == 1.0
+        assert rows[1].contaminated  # cos ~ 0.990
+        assert not rows[2].contaminated and abs(rows[2].max_benchmark_cos) < 1e-9
+        assert not rows[3].contaminated and rows[3].max_benchmark_cos is None
+
+    def test_empty_benchmark(self, spark):
+        from duckdb_annsearch_spark.pipeline.quality import semantic_decontaminate
+
+        corpus, bench = self._dfs(spark)
+        rows = semantic_decontaminate(
+            corpus, bench.where("bid < 0"), threshold=0.95
+        ).collect()
+        assert all(not r.contaminated and r.max_benchmark_cos is None for r in rows)
