@@ -34,6 +34,10 @@ def prepare_corpus(
     max_dup_token_frac: float | None = None,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 8,
+    boilerplate_min_df: int | None = None,
+    max_dup_ngram_frac: float | None = None,
+    dup_ngram_k: int = 8,
+    max_avg_nll: float | None = None,
 ) -> DataFrame:
     """Filtered + deduplicated corpus, original schema plus ``lang`` and
     ``quality`` columns.  ``dedup``: 'exact' | 'near' | 'fuzzy' | 'none'
@@ -47,12 +51,44 @@ def prepare_corpus(
     document differing only in the PII they leak are duplicates);
     ``max_dup_token_frac`` drops repetition spam (Gopher rule);
     ``benchmark`` drops any document sharing a ``decontaminate_n``-gram
-    with it (test-set decontamination)."""
+    with it (test-set decontamination).
+
+    Round-5 stages, all default-off: ``boilerplate_min_df`` strips lines
+    appearing in that many docs (line-level dedup) BEFORE any scoring —
+    quality/dedup then judge the content, not the banner;
+    ``max_dup_ngram_frac`` drops documents whose duplicated-``dup_ngram_k``-gram
+    share exceeds the threshold (ExactSubstr-style); ``max_avg_nll``
+    drops the high-perplexity tail under a self-trained unigram LM
+    (CCNet shape — pass a reference-corpus model via
+    :func:`~duckdb_annsearch_spark.pipeline.lm.lm_perplexity` directly
+    for the full CCNet deployment)."""
     out = df
     if scrub:
         from duckdb_annsearch_spark.pipeline.quality import scrub_pii
 
         out = out.withColumn(text_col, scrub_pii(F.col(text_col)))
+    if boilerplate_min_df is not None:
+        from duckdb_annsearch_spark.pipeline.lines import line_dedup
+
+        cleaned = line_dedup(out, text_col, id_col, min_df=boilerplate_min_df)
+        out = (
+            out.drop(text_col)
+            .join(cleaned.select(id_col, text_col), id_col)
+        )
+    if max_dup_ngram_frac is not None:
+        from duckdb_annsearch_spark.pipeline.dedup import dup_ngram_stats
+
+        ok = dup_ngram_stats(out, text_col, id_col, k=dup_ngram_k).where(
+            F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= float(max_dup_ngram_frac)
+        ).select(id_col)
+        out = out.join(ok, id_col, "left_semi")
+    if max_avg_nll is not None:
+        from duckdb_annsearch_spark.pipeline.lm import lm_perplexity
+
+        fluent = lm_perplexity(out, text_col, id_col).where(
+            F.coalesce(F.col("avg_nll"), F.lit(0.0)) <= float(max_avg_nll)
+        ).select(id_col)
+        out = out.join(fluent, id_col, "left_semi")
     if max_dup_token_frac is not None:
         from duckdb_annsearch_spark.pipeline.quality import dup_token_fraction
 

@@ -484,3 +484,49 @@ def test_semantic_dedup_sparse_ids(spark):
     }
     assert len(out) == 210
     assert all(out[2 * (1000 + i) + 1] is False for i in range(5))
+
+
+def test_prepare_corpus_round5_stages(spark):
+    """boilerplate_min_df strips the shared banner BEFORE quality/dedup,
+    max_dup_ngram_frac drops the templated doc, max_avg_nll drops the
+    gibberish-rare doc; the ordinary doc survives all three."""
+    from duckdb_annsearch_spark.pipeline.corpus import prepare_corpus
+
+    banner = "the shared banner line is here"
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, banner + "\n" + shared + " unique words for document zero only right here"),
+        (1, banner + "\ntotally different content for document one with its own words"),
+        (2, banner + "\n" + shared),  # template: every 4-gram also in doc 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_corpus(
+        df,
+        langs=(),
+        min_quality=0.0,
+        dedup="none",
+        boilerplate_min_df=2,
+        max_dup_ngram_frac=0.8,
+        dup_ngram_k=4,
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    # the banner line is gone from every surviving doc
+    assert got and all(banner not in t for t in got.values())
+    # doc 2 is entirely covered by doc 0's grams -> dup_frac 1.0 -> dropped;
+    # doc 0 shares only its prefix (dup_frac ~0.38) and doc 1 nothing
+    assert sorted(got) == [0, 1]
+
+    # perplexity filter: a rare-token doc scores worse than common text
+    rows2 = [
+        (0, ("the and of to in is " * 20).strip()),
+        (1, "zzq xxv qqj wvx kkz jjq pqz vvk"),
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    from duckdb_annsearch_spark.pipeline.lm import lm_perplexity
+
+    nll = {r.doc_id: r.avg_nll for r in lm_perplexity(df2).collect()}
+    cut = (nll[0] + nll[1]) / 2
+    out2 = prepare_corpus(
+        df2, langs=(), min_quality=0.0, dedup="none", max_avg_nll=cut
+    )
+    assert [r.doc_id for r in out2.collect()] == [0]
