@@ -1602,6 +1602,16 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(docs, budget=512, id_col="doc_id", text_col="text")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (RAG/embedding prep,
+    pipeline/pack.py::chunk_documents): window 32, stride 16 — map-only,
+    original bytes preserved."""
+    from duckdb_annsearch_spark.pipeline.pack import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, window=32, stride=16)
+
+
 def q_pack_greedy(spark, sf_dir):
     """Next-fit whole-document packing per language stream
     (pipeline/pack.py::pack_greedy). Inherently sequential per stream, so
@@ -1763,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
+        "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
         "dup_ngram_stats": q_dup_ngram_stats,
         "semantic_decontaminate": q_semantic_decontaminate,
@@ -2560,6 +2571,24 @@ def oracle_sql() -> dict[str, str]:
       CAST(s % 512 AS BIGINT) AS chunk_offset,
       (n_tokens > 0 AND
        ((s + greatest(n_tokens - 1, 0)) // 512) > (s // 512)) AS crosses_boundary
+    FROM c
+    """
+
+    oracles["chunk_documents"] = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ), c AS (
+      SELECT doc_id, l,
+        unnest(range(0,
+          CAST(ceil(greatest(len(l) - 32, 0) / 16.0) AS INT) + 1)) AS i
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(l[i*16+1 : i*16+32], ' ') AS chunk_text,
+           CAST(least(32, len(l) - i*16) AS BIGINT) AS n_tokens
     FROM c
     """
 

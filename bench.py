@@ -134,6 +134,7 @@ def main():
         "semantic_decontaminate",
         "lm_perplexity",
         "pack_chunks",
+        "chunk_documents",
         "line_dedup",
         "dup_ngram_stats",
         # relational / temporal

@@ -22,6 +22,7 @@ from duckdb_annsearch_spark.pipeline.lm import (
     train_ngram_counts,
 )
 from duckdb_annsearch_spark.pipeline.pack import (
+    chunk_documents,
     pack_chunks,
     pack_greedy,
 )
@@ -67,4 +68,5 @@ __all__ = [
     "line_df_counts",
     "dup_ngram_stats",
     "semantic_decontaminate",
+    "chunk_documents",
 ]

@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from duckdb_annsearch_spark.pipeline.text import bpe_token_count
 
-__all__ = ["pack_chunks", "pack_greedy"]
+__all__ = ["pack_chunks", "pack_greedy", "chunk_documents"]
 
 
 def _tokens_col(df: DataFrame, text_col: str, token_col: str | None) -> Column:
@@ -187,3 +187,52 @@ def pack_greedy(
         return pdf
 
     return d.groupBy("stream").applyInPandas(_pack, schema=out_schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 256,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunks per document — the RAG /
+    embedding-prep stage (each chunk gets embedded; ``stride < window``
+    overlaps neighbors so no answer span straddles a hard cut).
+
+    Emits ``(id_col, chunk_idx, chunk_text, n_tokens)``: whitespace
+    tokens, ORIGINAL bytes preserved (chunking must not normalize — the
+    chunk is what gets embedded/served), last chunk short.  ``stride``
+    defaults to ``window`` (disjoint).  NULL/empty/whitespace-only docs
+    emit no chunks.  Entirely map-side: one ``transform`` + ``explode``,
+    no shuffle anywhere.
+    """
+    if window <= 0:
+        raise ValueError(f"chunk_documents: window must be positive, got {window}")
+    stride = window if stride is None else int(stride)
+    if not 0 < stride <= window:
+        raise ValueError(
+            f"chunk_documents: stride must be in (0, window], got {stride}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunk = lambda i: F.struct(  # noqa: E731
+        i.cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(toks, i * stride + 1, F.lit(window))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(window), n - i * stride).cast("long").alias("n_tokens"),
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col),
+            F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)).alias(
+                "_c"
+            ),
+        )
+        .select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tokens")
+    )

@@ -130,3 +130,56 @@ def test_greedy_string_ids_preserved(spark):
     got = {r.name: r.bin_id
            for r in pack_greedy(df, 4, id_col="name", token_col="nt").collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def _brute_chunk_docs(text, window, stride):
+    toks = text.strip().split()
+    if not toks:
+        return []
+    out, i, idx = [], 0, 0
+    n = len(toks)
+    import math
+    n_chunks = math.ceil(max(n - window, 0) / stride) + 1
+    for idx in range(n_chunks):
+        s = idx * stride
+        out.append((idx, " ".join(toks[s:s + window]), min(window, n - s)))
+    return out
+
+
+def test_chunk_documents_brute_force(spark):
+    from duckdb_annsearch_spark.pipeline.pack import chunk_documents
+
+    texts = {
+        0: " ".join(f"W{i}" for i in range(300)),   # overlapping chunks
+        1: "one two three",                           # single short chunk
+        2: " ".join(f"x{i}" for i in range(256)),    # exactly one window
+        3: "",                                        # no chunks
+        4: None,                                      # no chunks
+        5: "   ",                                     # whitespace only
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in chunk_documents(df, window=256, stride=128).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    for d in got:
+        got[d].sort()
+    exp = {d: _brute_chunk_docs(t, 256, 128) for d, t in texts.items()
+           if t and t.strip()}
+    assert got == exp
+    # original case preserved, overlap real
+    assert got[0][1][1].startswith("W128 ")
+
+
+def test_chunk_documents_validation_and_plan(spark):
+    from duckdb_annsearch_spark.pipeline.pack import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    import pytest as _p
+    with _p.raises(ValueError, match="window"):
+        chunk_documents(df, window=0)
+    with _p.raises(ValueError, match="stride"):
+        chunk_documents(df, window=4, stride=5)
+    plan = chunk_documents(df, window=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle at all
