@@ -2576,9 +2576,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["chunk_documents"] = """
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
       FROM documents
-      WHERE text IS NOT NULL AND trim(text) <> ''
+      WHERE text IS NOT NULL AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
     ), c AS (
       SELECT doc_id, l,
         unnest(range(0,
@@ -2601,8 +2601,11 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     ), d AS MATERIALIZED (
       -- MATERIALIZED: the recursive walk re-reads d every round; inlined,
-      -- DuckDB would re-tokenize the whole corpus per iteration
-      SELECT lang, doc_id, n_tokens,
+      -- DuckDB would re-tokenize the whole corpus per iteration.
+      -- coalesce(n_tokens, 0): a NULL-text doc must not poison every
+      -- later bin_fill in its stream through the CASE recurrence (the
+      -- Spark side coalesces in _tokens_col).
+      SELECT lang, doc_id, coalesce(n_tokens, 0) AS n_tokens,
              row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS seq
       FROM tok
     ), walk AS (
@@ -2615,7 +2618,10 @@ def oracle_sql() -> dict[str, str]:
              THEN w.bin_id + 1 ELSE w.bin_id END,
         CASE WHEN w.bin_fill + d.n_tokens > 512
              THEN d.n_tokens ELSE w.bin_fill + d.n_tokens END
-      FROM walk w JOIN d ON d.lang = w.lang AND d.seq = w.seq + 1
+      -- IS NOT DISTINCT FROM: a NULL-lang stream must keep walking past
+      -- its seed row (Spark's groupBy keeps the NULL group whole)
+      FROM walk w JOIN d
+        ON d.lang IS NOT DISTINCT FROM w.lang AND d.seq = w.seq + 1
     )
     SELECT lang AS stream, doc_id, n_tokens, bin_id, bin_fill,
            n_tokens > 512 AS oversize

@@ -214,7 +214,11 @@ def chunk_documents(
         raise ValueError(
             f"chunk_documents: stride must be in (0, window], got {stride}"
         )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # filter empties rather than trim+split: F.trim strips only ASCII
+    # spaces, and split(limit=-1) keeps leading/trailing empty strings —
+    # a doc ending in '\n' would otherwise count a phantom token and
+    # spawn a spurious chunk
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     n_chunks = (
         F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(float(stride))).cast("int") + 1
@@ -227,7 +231,7 @@ def chunk_documents(
         F.least(F.lit(window), n - i * stride).cast("long").alias("n_tokens"),
     )
     return (
-        docs.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        docs.where(F.col(text_col).isNotNull() & (n > 0))
         .select(
             F.col(id_col),
             F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)).alias(

@@ -227,18 +227,41 @@ def semantic_decontaminate(
     ``operators.knn.knn_join(corpus, benchmark, k=1)`` — same decision,
     index-routed.
     """
-    from duckdb_annsearch_spark.pipeline.dedup import _cos_double
+    def _f64(c):
+        return F.transform(c, lambda x: x.cast("double"))
 
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(_f64(c), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        )
+
+    # norms precomputed per SIDE before the cross join: _cos_double would
+    # re-fold both norms inside every pair — 3x the expression work on the
+    # O(|corpus| x |benchmark|) hot path for values that depend on one row
+    # each.  Same deterministic left folds, so the value (and the oracle
+    # hash) is bit-identical.
     bcol = bench_vec_col or vec_col
     bench = benchmark.where(F.col(bcol).isNotNull()).select(
-        F.col(bcol).alias("_bvec")
+        F.col(bcol).alias("_bvec"), _norm(F.col(bcol)).alias("_bnorm")
     )
     pairs = (
         corpus.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), F.col(vec_col))
+        .select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_cnorm"))
         .crossJoin(F.broadcast(bench))
     )
-    cos6 = F.round(_cos_double(F.col(vec_col), F.col("_bvec")), 6) + F.lit(0.0)
+    dot = F.aggregate(
+        F.zip_with(_f64(F.col(vec_col)), _f64(F.col("_bvec")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos6 = (
+        F.round(
+            dot / F.greatest(F.col("_cnorm") * F.col("_bnorm"), F.lit(1e-300)), 6
+        )
+        + F.lit(0.0)
+    )
     hits = (
         pairs.select(F.col(id_col), cos6.alias("_c"))
         .groupBy(id_col)

@@ -183,3 +183,22 @@ def test_chunk_documents_validation_and_plan(spark):
         chunk_documents(df, window=4, stride=5)
     plan = chunk_documents(df, window=4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: no shuffle at all
+
+
+def test_chunk_documents_whitespace_robust(spark):
+    """Trailing newline / tabs / whitespace-only text: no phantom tokens,
+    no spurious chunks (review-pass regression)."""
+    from duckdb_annsearch_spark.pipeline.pack import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "a b\n"), (1, "\n"), (2, "\tx y"), (3, "a  b")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(df, window=2, stride=1).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    assert got == {
+        0: [(0, "a b", 2)],
+        2: [(0, "x y", 2)],
+        3: [(0, "a b", 2)],
+    }  # doc 1 (whitespace-only) emits nothing

@@ -59,8 +59,12 @@ def main() -> None:
                 L, dtype=np.uint64
             )
             words = vocab[(splitmix(idx) % np.uint64(len(vocab))).astype(np.int64)]
-            # near-dups: flip token 0 of every 17th doc (unless exact-dup)
-            flip = (ids % 17 == 0) & (ids % 20 != 0)
+            # near-dups: flip token 0 of every 17th doc.  Keyed on SRC so
+            # an exact-copy doc inherits its predecessor's flip — keying
+            # on ids left ~1/340 of the planted exact dups non-identical
+            # (copy generated from the unflipped base while the
+            # predecessor shipped flipped)
+            flip = (src % 17 == 0) & (src % 20 != 0)
             words[flip, 0] = "zzflip"
             texts = [
                 "BOILERPLATE HEADER COMMON TO ALL\n" + " ".join(row)
@@ -96,16 +100,9 @@ def main() -> None:
 
     docs = spark.read.parquet(path)
 
-    def force_execution(df):
-        # .count() alone lets Catalyst prune the payload (map-only stages
-        # collapse to a parquet row count; outer joins on unique keys are
-        # eliminated) — hash every column under the aggregate to pin the
-        # full computation (see bench.force_execution)
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))),
-        ).collect()[0]
-        return row["n"]
+    # one shared honest-forcing implementation — a drift between copies
+    # would silently reintroduce the pruned-plan measurement bug
+    from bench import force_execution
 
     def stage(name, fn):
         t = time.time()
