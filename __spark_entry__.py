@@ -1572,6 +1572,33 @@ def q_dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(docs, k=2)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint sets (MOSS, SIGMOD 2003;
+    pipeline/winnow.py): per-window min of k-gram hashes, map-only."""
+    from duckdb_annsearch_spark.pipeline.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = winnow_fingerprints(docs, k=3, w=4)
+    # array -> comma string so vanilla (Arrow-less) pandas conversion and
+    # the DuckDB fetch agree on representation (same trick as minhash_sigs)
+    return fps.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("fingerprints"), lambda h: h.cast("string")), ","
+        ).alias("fingerprints"),
+        "n_fingerprints",
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Partial-overlap candidate pairs by shared winnowing fingerprints
+    (posting-list self-join with the max_df hot-hash cap)."""
+    from duckdb_annsearch_spark.pipeline.winnow import winnow_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_pairs(docs, k=3, w=4, min_shared=2, max_df=1000)
+
+
 def q_line_dedup(spark, sf_dir):
     """Cross-document boilerplate removal (pipeline/lines.py). The
     synthetic corpus is single-line, so the query first re-wraps each
@@ -1776,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "semantic_decontaminate": q_semantic_decontaminate,
     }
 
@@ -2520,6 +2549,57 @@ def oracle_sql() -> dict[str, str]:
                 THEN round(CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) + 0.0
            END AS dup_frac
     FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    # winnowing: k=3 grams, w=4 windows; l[i : i+2] is DuckDB's inclusive
+    # 3-element slice, hs[i : i+3] the 4-element window.
+    _winnow_fps = f"""
+    tk AS (
+      SELECT doc_id, {_SQL_TOKS.format(t="text")} AS l,
+             text IS NULL AS tnull
+      FROM documents
+    ), gh AS (
+      SELECT doc_id, tnull,
+        CASE WHEN len(l) >= 3 THEN
+          list_transform(
+            list_transform(range(1, len(l) - 1), i -> array_to_string(l[i : i + 2], ' ')),
+            g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)
+        ELSE [] END AS hs
+      FROM tk
+    ), fps AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) > 0 THEN
+          list_sort(list_distinct(
+            list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                           i -> list_min(hs[i : i + 3]))))
+        WHEN tnull THEN NULL ELSE [] END AS fingerprints
+      FROM gh
+    )"""
+
+    oracles["winnow_fingerprints"] = f"""
+    WITH {_winnow_fps}
+    SELECT doc_id, array_to_string(fingerprints, ',') AS fingerprints,
+           len(fingerprints) AS n_fingerprints
+    FROM fps
+    """
+
+    oracles["winnow_pairs"] = f"""
+    WITH {_winnow_fps}, posts AS (
+      SELECT doc_id, len(fingerprints) AS nf, unnest(fingerprints) AS fp
+      FROM fps WHERE len(fingerprints) > 0
+    ), rare AS (
+      SELECT fp FROM posts GROUP BY fp HAVING count(*) <= 1000
+    ), p AS (
+      SELECT posts.* FROM posts JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*)::BIGINT AS n_shared,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(least(any_value(a.nf), any_value(b.nf)) AS DOUBLE), 6)
+             AS overlap
+    FROM p a JOIN p b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
     """
 
     oracles["line_dedup"] = """

@@ -137,6 +137,7 @@ def main():
         "chunk_documents",
         "line_dedup",
         "dup_ngram_stats",
+        "winnow_pairs",
         # relational / temporal
         "pricing_summary",
         "top_orders",
