@@ -1572,6 +1572,17 @@ def q_dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(docs, k=2)
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal (arXiv:2107.06499;
+    pipeline/spans.py): cut every whitespace-token span of length >= 4
+    occurring >= 2 times anywhere in the corpus. k=4 removes ~18% of the
+    synthetic corpus's tokens while leaving 131/500 docs untouched."""
+    from duckdb_annsearch_spark.pipeline.spans import remove_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_dup_spans(docs, k=4, scope="corpus")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint sets (MOSS, SIGMOD 2003;
     pipeline/winnow.py): per-window min of k-gram hashes, map-only."""
@@ -1805,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "remove_dup_spans": q_remove_dup_spans,
         "semantic_decontaminate": q_semantic_decontaminate,
     }
 
@@ -2549,6 +2561,50 @@ def oracle_sql() -> dict[str, str]:
                 THEN round(CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) + 0.0
            END AS dup_frac
     FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    # ExactSubstr span removal, k=4 whitespace grams (original bytes,
+    # corpus scope: count(*) >= 2 so within-doc repeats count); paired
+    # unnests zip in DuckDB, slices are end-inclusive.
+    oracles["remove_dup_spans"] = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l,
+             text IS NULL AS tnull
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(l) - 2, 1)),
+                              i -> array_to_string(l[i : i + 3], ' '))) AS gram,
+        unnest(range(0, greatest(len(l) - 3, 0))) AS gpos
+      FROM tk WHERE len(l) >= 4
+    ), gh AS (
+      SELECT doc_id, gpos,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM g
+    ), dup AS (
+      SELECT h FROM gh GROUP BY h HAVING count(*) >= 2
+    ), starts AS (
+      SELECT gh.doc_id, gh.gpos FROM gh JOIN dup USING (h)
+    ), tokpos AS (
+      SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS pos
+      FROM tk
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM starts s
+        WHERE s.doc_id = tp.doc_id
+          AND s.gpos <= tp.pos AND tp.pos < s.gpos + 4)
+    ), a AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CASE WHEN tk.tnull THEN NULL ELSE coalesce(a.text, '') END AS text,
+           coalesce(len(tk.l), 0)::BIGINT AS n_tokens,
+           coalesce(len(tk.l), 0)::BIGINT - coalesce(a.n_kept, 0) AS n_removed
+    FROM tk LEFT JOIN a USING (doc_id)
     """
 
     # winnowing: k=3 grams, w=4 windows; l[i : i+2] is DuckDB's inclusive

@@ -138,6 +138,7 @@ def main():
         "line_dedup",
         "dup_ngram_stats",
         "winnow_pairs",
+        "remove_dup_spans",
         # relational / temporal
         "pricing_summary",
         "top_orders",

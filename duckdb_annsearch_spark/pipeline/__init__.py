@@ -33,6 +33,14 @@ from duckdb_annsearch_spark.pipeline.lines import (
     line_dedup,
     line_df_counts,
 )
+from duckdb_annsearch_spark.pipeline.spans import (
+    dup_span_starts,
+    remove_dup_spans,
+)
+from duckdb_annsearch_spark.pipeline.winnow import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
 from duckdb_annsearch_spark.pipeline.dedup import (
     dup_ngram_stats,
     embedding_neardup_pairs,
@@ -65,6 +73,10 @@ __all__ = [
     "pack_chunks",
     "pack_greedy",
     "line_dedup",
+    "dup_span_starts",
+    "remove_dup_spans",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "line_df_counts",
     "dup_ngram_stats",
     "semantic_decontaminate",

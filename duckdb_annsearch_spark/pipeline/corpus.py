@@ -38,6 +38,7 @@ def prepare_corpus(
     max_dup_ngram_frac: float | None = None,
     dup_ngram_k: int = 8,
     max_avg_nll: float | None = None,
+    cut_dup_spans_k: int | None = None,
 ) -> DataFrame:
     """Filtered + deduplicated corpus, original schema plus ``lang`` and
     ``quality`` columns.  ``dedup``: 'exact' | 'near' | 'fuzzy' | 'none'
@@ -61,7 +62,14 @@ def prepare_corpus(
     drops the high-perplexity tail under a self-trained unigram LM
     (CCNet shape — pass a reference-corpus model via
     :func:`~duckdb_annsearch_spark.pipeline.lm.lm_perplexity` directly
-    for the full CCNet deployment)."""
+    for the full CCNet deployment).
+
+    ``cut_dup_spans_k`` (default off) runs ExactSubstr-style span
+    REMOVAL (:func:`~duckdb_annsearch_spark.pipeline.spans.remove_dup_spans`)
+    after boilerplate stripping: duplicated token spans of that length
+    are cut out of the text (the text is then in canonical
+    single-space-joined form), the surgical alternative to dropping
+    whole documents via ``max_dup_ngram_frac``."""
     out = df
     if scrub:
         from duckdb_annsearch_spark.pipeline.quality import scrub_pii
@@ -74,6 +82,14 @@ def prepare_corpus(
         out = (
             out.drop(text_col)
             .join(cleaned.select(id_col, text_col), id_col)
+        )
+    if cut_dup_spans_k is not None:
+        from duckdb_annsearch_spark.pipeline.spans import remove_dup_spans
+
+        cut = remove_dup_spans(out, text_col, id_col, k=cut_dup_spans_k)
+        out = (
+            out.drop(text_col)
+            .join(cut.select(id_col, text_col), id_col)
         )
     if max_dup_ngram_frac is not None:
         from duckdb_annsearch_spark.pipeline.dedup import dup_ngram_stats

@@ -1,0 +1,161 @@
+"""Duplicated-span removal — the ExactSubstr deployment shape of Lee et
+al. 2021 (arXiv:2107.06499, "Deduplicating Training Data Makes Language
+Models Better").
+
+:func:`..pipeline.dedup.dup_ngram_stats` measures how much of a document
+is duplicated; this operator performs the actual surgery: cut from every
+document each token span that also occurs elsewhere in the corpus,
+keeping the rest.  The reference implementation builds a corpus-wide
+suffix array; the distributed equivalent here uses the k-gram identity
+
+    a token span of length L >= k is duplicated
+      <=>  all of its L - k + 1 constituent k-grams are duplicated,
+
+so marking every token covered by a duplicated k-gram removes exactly
+the maximal duplicated spans of length >= k (spans shorter than ``k``
+are below the threshold by construction — ``k`` plays the role of the
+paper's 50-token minimum).  The approximation vs a true suffix array:
+two *different* partners each sharing an overlapping gram with a doc
+merge into one removed region — acceptable (strictly more conservative
+removal) and vanishingly rare at k >= 8.
+
+Plan shape (the thing that matters at 100 TB): the gram machinery never
+carries text.  Grams explode map-only and ship only a 60-bit hash +
+position (16 bytes/row) into one partial-aggregating groupBy; duplicated
+start positions come back as one data-sized ``(doc, starts_array)``
+table (non-empty only for documents that actually contain duplicated
+spans); the final cut is a per-row array expression ``filter(tokens,
+(t, i) -> not exists(starts, s -> s <= i < s + k))``.  The corpus text
+touches at most ONE exchange — the final join on the id — and when the
+starts table broadcasts (AQE; typical, since only dup-bearing docs have
+a row) even that degrades to a local read.  Compare the naive plan —
+explode all tokens, anti-join covered positions, re-aggregate per doc —
+which shuffles the full corpus token stream twice regardless.
+
+Tokens are whitespace pieces with ORIGINAL bytes (chunk_documents
+convention); the cleaned text re-joins kept tokens with single spaces —
+a canonical form, applied uniformly so downstream operators see one
+normalization regardless of whether anything was removed.  With
+``normalize=True`` gram *matching* is case-folded while output bytes
+stay original.
+
+Every occurrence of a duplicated span is removed (the semantics of the
+released deduplicate-text-datasets tool); "keep one copy" would require
+a corpus-global arbitrary winner per span and is deliberately not
+offered — run :func:`..pipeline.dedup.exact_dedup` first if whole-doc
+copies should survive once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_annsearch_spark.pipeline.text import token_hash
+
+__all__ = ["remove_dup_spans", "dup_span_starts"]
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens, original bytes, boundary-empty-safe."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def _ws_grams(toks: Column, k: int) -> Column:
+    """Positional k-grams over a token array (zip_with shift trick —
+    O(k) array ops per row, one gram per start position)."""
+    n = F.size(toks)
+    grams = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
+    return F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_span_starts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    scope: str = "corpus",
+    normalize: bool = False,
+) -> DataFrame:
+    """``(id_col, starts)`` — 0-based token positions at which a
+    duplicated ``k``-gram begins, one ascending-sorted array per document
+    that has any.  The inspection / thresholding companion of
+    :func:`remove_dup_spans` (and its entire shuffle footprint).
+
+    ``scope='corpus'`` marks a gram duplicated when it occurs >= 2 times
+    anywhere (within-doc repeats count — the paper's semantics);
+    ``'cross_doc'`` requires >= 2 distinct documents (the
+    ``dup_ngram_stats`` convention).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if scope not in ("corpus", "cross_doc"):
+        raise ValueError(f"scope must be 'corpus' or 'cross_doc', got {scope!r}")
+    gram = F.col("_gram")
+    if normalize:
+        gram = F.lower(gram)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(_ws_grams(_ws_tokens(F.col(text_col)), k)).alias(
+            "_gpos", "_gram"
+        ),
+    ).select(F.col(id_col), F.col("_gpos"), token_hash(gram).alias("_gh"))
+    agg = (
+        F.count("*")
+        if scope == "corpus"
+        else F.count_distinct(F.col(id_col))
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(agg.alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("_gh")
+    )
+    return (
+        grams.join(dup, "_gh")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_gpos")).alias("starts"))
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    scope: str = "corpus",
+    normalize: bool = False,
+) -> DataFrame:
+    """Cut every duplicated token span of length >= ``k`` out of every
+    document.  Emits ``(id_col, <text_col>, n_tokens, n_removed)``:
+
+    - ``text_col`` — kept tokens re-joined with single spaces (canonical
+      form; NULL text stays NULL, a fully-duplicated document comes back
+      as the empty string — dropped-to-empty, not lost);
+    - ``n_tokens`` — original whitespace-token count;
+    - ``n_removed`` — tokens cut.
+
+    The per-token coverage test is ``exists(starts, s -> s <= i < s+k)``
+    — O(|tokens| x |dup starts|) per row, bounded by single-document
+    size (the bound the input row itself already sets), in exchange for
+    never shuffling corpus text (see module docstring).
+    """
+    starts_df = dup_span_starts(df, text_col, id_col, k, scope, normalize)
+    toks = _ws_tokens(F.col(text_col))
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(starts, lambda s: (s <= i) & (i < s + F.lit(k))),
+    )
+    n_tok = F.coalesce(F.size(toks), F.lit(0)).cast("long")
+    return df.join(starts_df, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), F.concat_ws(" ", kept)).alias(text_col),
+        n_tok.alias("n_tokens"),
+        (n_tok - F.coalesce(F.size(kept), F.lit(0))).cast("long").alias("n_removed"),
+    )
