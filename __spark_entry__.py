@@ -1572,6 +1572,25 @@ def q_dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(docs, k=2)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-shaped hashed linear scoring (pipeline/classify.py,
+    arXiv:1607.01759 serving path). Weights are a deterministic synthetic
+    model over 1024 features, dyadic rationals (multiples of 1/1024) so
+    per-doc double sums are EXACT and partition-order independent."""
+    from duckdb_annsearch_spark.pipeline.classify import score_hashed_linear
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = spark.range(1024).select(
+        F.col("id").alias("feature"),
+        (
+            ((F.col("id") * 31 + 7) % 1000 - 500).cast("double") / F.lit(1024.0)
+        ).alias("weight"),
+    )
+    return score_hashed_linear(
+        docs, weights, n_features=1024, bias=0.125, ngram_ns=(1, 2)
+    )
+
+
 def q_remove_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span removal (arXiv:2107.06499;
     pipeline/spans.py): cut every whitespace-token span of length >= 4
@@ -1817,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "remove_dup_spans": q_remove_dup_spans,
+        "quality_classifier": q_quality_classifier,
         "semantic_decontaminate": q_semantic_decontaminate,
     }
 
@@ -2561,6 +2581,40 @@ def oracle_sql() -> dict[str, str]:
                 THEN round(CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) + 0.0
            END AS dup_frac
     FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    # fastText-shaped hashed linear scoring: unigram + bigram md5
+    # features mod 1024, mean-pooled, sigmoid(bias + mean weight).
+    # Weights are multiples of 1/1024 (dyadic) so the sum is exact.
+    oracles["quality_classifier"] = f"""
+    WITH w AS (
+      SELECT range AS feature,
+             CAST((range * 31 + 7) % 1000 - 500 AS DOUBLE) / 1024.0 AS weight
+      FROM range(1024)
+    ), tk AS (
+      SELECT doc_id, {_SQL_TOKS.format(t="text")} AS l FROM documents
+    ), f1 AS (
+      SELECT doc_id, unnest(l) AS g FROM tk
+    ), f2 AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(l), 1)),
+               i -> array_to_string(l[i : i + 1], ' '))) AS g
+      FROM tk WHERE len(l) >= 2
+    ), feats AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS feature
+      FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+    ), per AS (
+      SELECT feats.doc_id, count(*)::BIGINT AS n_feats,
+             sum(coalesce(w.weight, 0.0)) AS ws
+      FROM feats LEFT JOIN w USING (feature) GROUP BY feats.doc_id
+    ), sc AS (
+      SELECT doc_id, n_feats,
+             round(1.0 / (1.0 + exp(-(0.125 + ws / n_feats))), 6) AS score
+      FROM per
+    )
+    SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.score,
+           CASE WHEN s.score IS NOT NULL THEN s.score >= 0.5 END AS keep
+    FROM documents d LEFT JOIN sc s USING (doc_id)
     """
 
     # ExactSubstr span removal, k=4 whitespace grams (original bytes,

@@ -139,6 +139,7 @@ def main():
         "dup_ngram_stats",
         "winnow_pairs",
         "remove_dup_spans",
+        "quality_classifier",
         # relational / temporal
         "pricing_summary",
         "top_orders",

@@ -33,6 +33,11 @@ from duckdb_annsearch_spark.pipeline.lines import (
     line_dedup,
     line_df_counts,
 )
+from duckdb_annsearch_spark.pipeline.classify import (
+    hashed_features,
+    score_hashed_linear,
+    train_quality_classifier,
+)
 from duckdb_annsearch_spark.pipeline.spans import (
     dup_span_starts,
     remove_dup_spans,
@@ -75,6 +80,9 @@ __all__ = [
     "line_dedup",
     "dup_span_starts",
     "remove_dup_spans",
+    "hashed_features",
+    "score_hashed_linear",
+    "train_quality_classifier",
     "winnow_fingerprints",
     "winnow_pairs",
     "line_df_counts",
