@@ -1572,6 +1572,16 @@ def q_dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(docs, k=2)
 
 
+def q_temperature_weights(spark, sf_dir):
+    """mT5-style temperature mixture weights (pipeline/sample.py,
+    arXiv:2010.11934 §3.1): per-language token shares at alpha=0.5 and a
+    20k-token budget allocation with trainer-facing epochs."""
+    from duckdb_annsearch_spark.pipeline.sample import temperature_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_weights(docs, total_budget=20000, alpha=0.5)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-shaped hashed linear scoring (pipeline/classify.py,
     arXiv:1607.01759 serving path). Weights are a deterministic synthetic
@@ -1837,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "remove_dup_spans": q_remove_dup_spans,
         "quality_classifier": q_quality_classifier,
+        "temperature_weights": q_temperature_weights,
         "semantic_decontaminate": q_semantic_decontaminate,
     }
 
@@ -2581,6 +2592,30 @@ def oracle_sql() -> dict[str, str]:
                 THEN round(CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) + 0.0
            END AS dup_frac
     FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    # temperature mixture weights: n_tokens^0.5 shares over languages,
+    # 20k-token budget; floats rounded to 6, budget = floor(x + 0.5).
+    oracles["temperature_weights"] = r"""
+    WITH s AS (
+      SELECT lang, count(*)::BIGINT AS n_docs,
+        sum(len(regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+'
+        )))::BIGINT AS n_tokens
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+      round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS p_raw,
+      round(pow(CAST(n_tokens AS DOUBLE), 0.5)
+            / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6) AS p_temp,
+      CAST(floor(20000 * pow(CAST(n_tokens AS DOUBLE), 0.5)
+            / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () + 0.5) AS BIGINT)
+        AS budget,
+      round(CASE WHEN n_tokens > 0 THEN
+        floor(20000 * pow(CAST(n_tokens AS DOUBLE), 0.5)
+              / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () + 0.5)
+        / n_tokens END, 6) AS epochs
+    FROM s
     """
 
     # fastText-shaped hashed linear scoring: unigram + bigram md5

@@ -15,6 +15,8 @@ from duckdb_annsearch_spark.pipeline.sample import (
     hash_sample,
     quota_sample,
     stratified_sample,
+    temperature_mix,
+    temperature_weights,
     token_budget_mix,
 )
 from duckdb_annsearch_spark.pipeline.lm import (
@@ -73,6 +75,8 @@ __all__ = [
     "stratified_sample",
     "quota_sample",
     "token_budget_mix",
+    "temperature_mix",
+    "temperature_weights",
     "lm_perplexity",
     "train_ngram_counts",
     "pack_chunks",

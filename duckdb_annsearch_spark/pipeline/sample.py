@@ -280,3 +280,104 @@ def token_budget_mix(
         pre.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= budget_col)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    total_budget: int,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    group_col: str = "lang",
+    counter=bpe_token_count,
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-sampling rule
+    of mBERT/XLM-R/mT5, e.g. arXiv:2010.11934 §3.1): allocate a
+    ``total_budget`` of tokens across strata proportionally to
+    ``n_i^alpha`` — ``alpha=1`` reproduces the natural distribution,
+    ``alpha -> 0`` flattens toward uniform, the mT5 default is 0.3.
+
+    One aggregation job emitting a STRATA-SIZED report (languages /
+    source domains — tens to thousands of rows): ``(group_col, n_docs,
+    n_tokens, p_raw, p_temp, budget, epochs)`` where ``p_temp =
+    n_tokens^alpha / sum_j n_tokens_j^alpha``, ``budget`` is the
+    allocated token count, and ``epochs = budget / n_tokens`` tells the
+    trainer how often the stratum repeats (> 1 — the paper's upsampling
+    of low-resource strata — means the corpus must be epoch-repeated or
+    the shortfall redistributed; this operator reports, the caller
+    decides).  Rows with a NULL stratum are excluded (route them
+    first).  ``p_raw``/``p_temp``/``epochs`` are rounded to 6.
+
+    Cost: the per-stratum aggregate is the only corpus-sized work (one
+    partial-aggregating groupBy); the normalization window runs over the
+    strata report itself.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    n_tok = F.coalesce(counter(F.col(text_col)).cast("long"), F.lit(0))
+    stats = (
+        df.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col), n_tok.alias("_t"))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    # the window below runs over the strata-sized report, not the corpus
+    everything = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    p_temp = powed / F.sum(powed).over(everything)
+    budget = F.floor(F.lit(int(total_budget)) * p_temp + F.lit(0.5)).cast("long")
+    return stats.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        budget.alias("budget"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, budget / F.col("n_tokens")), 6
+        ).alias("epochs"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    total_budget: int,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    presample_above: int = 100_000,
+    safety: float = 4.0,
+    counter=bpe_token_count,
+) -> DataFrame:
+    """Compose the temperature mixture in one call: compute
+    :func:`temperature_weights` budgets, then select documents through
+    :func:`token_budget_mix` (hash-prefix membership, presampled windows
+    — all the determinism and scale properties of that operator).  A
+    stratum whose budget exceeds its size is taken whole; the epochs
+    column of :func:`temperature_weights` is how the trainer learns to
+    repeat it — selection cannot duplicate rows.
+
+    The strata report is collected to the driver to parameterize the
+    selection — strata are few by construction (module docstring).
+    """
+    budgets = {
+        r[0]: int(r["budget"])
+        for r in temperature_weights(
+            df, total_budget, alpha, text_col, group_col, counter
+        ).collect()
+    }
+    return token_budget_mix(
+        df,
+        budgets,
+        text_col=text_col,
+        group_col=group_col,
+        key_col=key_col,
+        seed=seed,
+        presample_above=presample_above,
+        safety=safety,
+        counter=counter,
+    )

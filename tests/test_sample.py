@@ -252,3 +252,90 @@ def test_sampling_plans_are_python_free(docs):
     assert "Exchange" not in plan and "Python" not in plan
     qplan = quota_sample(docs, 5, group_col="lang")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in qplan
+
+
+class TestTemperature:
+    def _df(self, spark):
+        rows = []
+        i = 0
+        for lang, n in [("en", 40), ("de", 10), ("fr", 5)]:
+            for _ in range(n):
+                rows.append((i, lang, "tok " * 10))
+                i += 1
+        rows.append((i, None, "null lang row"))
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def test_weights_math(self, spark):
+        from duckdb_annsearch_spark.pipeline.sample import temperature_weights
+
+        df = self._df(spark)
+        out = {r["lang"]: r for r in temperature_weights(
+            df, total_budget=300, alpha=0.5, counter=lambda c: F.lit(10)
+        ).collect()}
+        assert set(out) == {"en", "de", "fr"}  # NULL stratum excluded
+        import math
+
+        toks = {"en": 400, "de": 100, "fr": 50}
+        z = sum(math.sqrt(v) for v in toks.values())
+        for g, t in toks.items():
+            assert out[g]["n_tokens"] == t
+            assert out[g]["p_raw"] == pytest.approx(t / 550, abs=1e-6)
+            assert out[g]["p_temp"] == pytest.approx(math.sqrt(t) / z, abs=1e-6)
+            assert out[g]["budget"] == int(300 * math.sqrt(t) / z + 0.5)
+        # alpha=0.5 flattens: fr's share rises above natural, en's falls
+        assert out["fr"]["p_temp"] > out["fr"]["p_raw"]
+        assert out["en"]["p_temp"] < out["en"]["p_raw"]
+
+    def test_alpha_one_is_natural(self, spark):
+        from duckdb_annsearch_spark.pipeline.sample import temperature_weights
+
+        out = temperature_weights(
+            self._df(spark), 100, alpha=1.0, counter=lambda c: F.lit(10)
+        ).collect()
+        for r in out:
+            assert r["p_temp"] == pytest.approx(r["p_raw"], abs=1e-6)
+
+    def test_mix_respects_budgets_and_determinism(self, spark):
+        from duckdb_annsearch_spark.pipeline.sample import (
+            temperature_mix,
+            temperature_weights,
+        )
+
+        df = self._df(spark)
+        cnt = lambda c: F.lit(10)  # noqa: E731
+        w = {r["lang"]: r for r in temperature_weights(
+            df, 300, alpha=0.5, counter=cnt
+        ).collect()}
+        out = temperature_mix(df, 300, alpha=0.5, counter=cnt)
+        got = out.groupBy("lang").count().collect()
+        for r in got:
+            # each stratum fills its budget (10 tokens/doc) or is whole
+            expect = min(w[r["lang"]]["budget"] // 10, {"en": 40, "de": 10, "fr": 5}[r["lang"]])
+            assert r["count"] == expect, r
+        # determinism: same seed -> identical membership
+        a = {r["doc_id"] for r in out.collect()}
+        b = {r["doc_id"] for r in temperature_mix(df, 300, alpha=0.5, counter=cnt).collect()}
+        assert a == b
+
+    def test_upsample_stratum_taken_whole(self, spark):
+        from duckdb_annsearch_spark.pipeline.sample import (
+            temperature_mix,
+            temperature_weights,
+        )
+
+        df = self._df(spark)
+        cnt = lambda c: F.lit(10)  # noqa: E731
+        w = {r["lang"]: r for r in temperature_weights(
+            df, 2000, alpha=0.1, counter=cnt
+        ).collect()}
+        assert w["fr"]["epochs"] > 1  # low-resource stratum upsampled
+        out = temperature_mix(df, 2000, alpha=0.1, counter=cnt)
+        assert out.where(F.col("lang") == "fr").count() == 5  # whole, no dup
+
+    def test_validation(self, spark):
+        from duckdb_annsearch_spark.pipeline.sample import temperature_weights
+
+        with pytest.raises(ValueError):
+            temperature_weights(self._df(spark), -1)
+        with pytest.raises(ValueError):
+            temperature_weights(self._df(spark), 10, alpha=-0.1)
