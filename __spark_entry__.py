@@ -1572,6 +1572,21 @@ def q_dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(docs, k=2)
 
 
+def q_neardup_stream_batch(spark, sf_dir):
+    """One increment of the streaming MinHash-LSH near-dedup protocol
+    (streaming/dedup.py::near_dedup_increment) with empty history — the
+    in-batch bucket-minimum rule in isolation: a doc survives iff no
+    smaller-id doc shares any LSH band bucket (sentinel buckets of
+    shingle-less docs bypass)."""
+    import tempfile
+
+    from duckdb_annsearch_spark.streaming.dedup import near_dedup_increment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    empty_seen = tempfile.mkdtemp(prefix="neardup_seen_empty_")
+    return near_dedup_increment(docs, empty_seen, 0, num_hashes=16, bands=4)
+
+
 def q_temperature_weights(spark, sf_dir):
     """mT5-style temperature mixture weights (pipeline/sample.py,
     arXiv:2010.11934 §3.1): per-language token shares at alpha=0.5 and a
@@ -1848,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,
         "quality_classifier": q_quality_classifier,
         "temperature_weights": q_temperature_weights,
+        "neardup_stream_batch": q_neardup_stream_batch,
         "semantic_decontaminate": q_semantic_decontaminate,
     }
 
@@ -2092,6 +2108,29 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    # streaming near-dedup increment with empty history == in-batch
+    # bucket-min: drop any doc sharing a non-sentinel band bucket with a
+    # smaller id (same sig/band machinery as lsh_pairs)
+    _sent4 = ",".join([str(HASH_MOD)] * 4)
+    oracles["neardup_stream_batch"] = f"""
+    WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    sh AS (SELECT doc_id, {sh_d} AS shs FROM tok),
+    hh AS (SELECT doc_id, list_transform(shs, s -> {h_d}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, [{sig_list}] AS sig FROM hh),
+    bands AS (
+      SELECT doc_id, band, bh FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {', '.join(f'({i}, {e})' for i, e in enumerate(band_exprs))}) AS t(band, bh))
+      WHERE bh <> '{_sent4}'
+    ),
+    dropped AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+    )
+    SELECT d.* FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
     """
 
     # fuzzy-dedup pipeline: LSH candidates -> exact-jaccard verify ->

@@ -140,6 +140,7 @@ def main():
         "winnow_pairs",
         "remove_dup_spans",
         "quality_classifier",
+        "neardup_stream_batch",
         # relational / temporal
         "pricing_summary",
         "top_orders",

@@ -132,6 +132,47 @@ def _min_update(acc: Column, h: Column, a_arr: Column, b_arr: Column) -> Column:
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(doc_id, band, band_hash)`` — each document's LSH band bucket
+    keys (``bands`` rows per doc; ``band_hash`` is the comma-joined
+    signature rows of that band).  The shared banding primitive of
+    :func:`lsh_duplicate_pairs` and the streaming near-dedup sink.
+
+    Map-only per row; the signature pipeline is lazily localCheckpointed
+    (not ``.persist()`` — checkpoint blocks are reclaimed by the
+    ContextCleaner once the DataFrame is dropped) so multi-consumer plans
+    (self-joins, bucket-min aggregates) run it once."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhash")[i].cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_duplicate_pairs(
     df: DataFrame,
     text_col: str,
@@ -154,33 +195,7 @@ def lsh_duplicate_pairs(
     pre-pass automatically). Near-identical (but not identical) members
     still pair through their unaffected bands. Default None keeps every
     bucket (the oracle-checked mode)."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    # both sides of the self-join read this tiny (n_docs x bands) relation;
-    # without a barrier the whole signature pipeline runs twice. Lazy
-    # localCheckpoint (not .persist()): checkpoint blocks are reclaimed by
-    # the ContextCleaner once the DataFrame is dropped, while .persist()
-    # pins a CacheManager entry for the life of the session.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint(
-        eager=False
-    )
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("minhash")[i].cast("string")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = band_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
     if max_bucket is not None:
         keep = (
             banded.groupBy("band", "band_hash")

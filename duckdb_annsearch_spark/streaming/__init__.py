@@ -12,7 +12,13 @@ Structured Streaming:
   over event streams.
 """
 
-from duckdb_annsearch_spark.streaming.dedup import dedup_exact_stream
+from duckdb_annsearch_spark.streaming.dedup import (
+    compact_seen,
+    dedup_exact_stream,
+    dedup_near_stream,
+    near_dedup_increment,
+    register_seen_buckets,
+)
 from duckdb_annsearch_spark.streaming.ingest import streaming_insert
 from duckdb_annsearch_spark.streaming.events import (
     running_user_totals,
@@ -29,5 +35,9 @@ __all__ = [
     "sessionize_stream",
     "running_user_totals",
     "dedup_exact_stream",
+    "dedup_near_stream",
+    "near_dedup_increment",
+    "register_seen_buckets",
+    "compact_seen",
     "streaming_insert",
 ]

@@ -6,7 +6,21 @@ Streaming's stateful ``dropDuplicates`` gives exactly the right semantics:
 the first document with a given content hash passes, later copies are
 dropped, and the seen-hash state store is bounded by the watermark (copies
 arriving later than the watermark delay may pass again — the standard
-trade-off for bounded state)."""
+trade-off for bounded state).
+
+NEAR-duplicates (the MinHash-LSH kind) cannot ride ``dropDuplicates``:
+a doc's fate depends on ``bands`` independent bucket keys at once,
+which no single-key state operator expresses, and a second stateful
+aggregate behind ``applyInPandasWithState`` is not a supported chain.
+:func:`dedup_near_stream` therefore runs the production shape — a
+``foreachBatch`` incremental protocol against a persistent band-bucket
+store: per micro-batch, drop docs colliding with any historical
+survivor bucket, resolve in-batch collisions by bucket-minimum, sink
+survivors, register their buckets.  Replay-idempotent by layout (each
+batch's buckets live in their own hive partition, excluded from the
+history the same batch reads), unbounded lookback (a crawl from last
+year still dedups this year's copy — deliberately NOT
+watermark-bounded)."""
 
 from __future__ import annotations
 
@@ -34,3 +48,195 @@ def dedup_exact_stream(
     else:
         out = hashed.dropDuplicates(["__content_hash"])
     return out.drop("__content_hash")
+
+
+def _real_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Band buckets minus the all-sentinel bucket: a document with no
+    shingles (NULL/empty/too-short text) signs every row with the 2^31-1
+    sentinel, so ALL degenerate docs would share one bucket and collapse
+    to a single survivor.  They carry no LSH evidence — they bypass
+    near-dedup entirely (kept, never registered); route them through
+    :func:`dedup_exact_stream` if byte-identical empties should dedup."""
+    from duckdb_annsearch_spark.pipeline.dedup import HASH_MOD, band_buckets
+
+    sentinel = ",".join([str(HASH_MOD)] * (num_hashes // bands))
+    return band_buckets(df, text_col, id_col, num_hashes, bands, shingle_k).where(
+        F.col("band_hash") != sentinel
+    )
+
+
+def near_dedup_increment(
+    batch_df: DataFrame,
+    seen_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One incremental MinHash-LSH near-dedup step: documents of
+    ``batch_df`` that are near-duplicates of NOTHING — neither of any
+    earlier batch's survivor (a band bucket registered in ``seen_dir``)
+    nor of an earlier-ordered survivor in this batch.
+
+    The in-batch rule is bucket-minimum: among history-clean docs, a doc
+    survives iff it is the smallest ``id_col`` in every band bucket it
+    occupies.  A chain A~B~C where only B bridges can drop C although
+    its sole partner B was itself dropped — strictly conservative
+    over-removal, the standard greedy trade (run the batch
+    ``dedup_fuzzy`` pipeline instead when transitive precision matters
+    more than per-batch latency).
+
+    ``seen_dir`` holds one hive partition per batch
+    (``batch=<id>/``) of survivor ``(band, band_hash)`` keys; this
+    function READS it excluding ``batch_id`` — so replaying a
+    half-finished batch is idempotent by construction, no marker
+    protocol needed — and does not write it (the caller registers
+    survivors after sinking them; see :func:`register_seen_buckets`).
+
+    Scale: the per-batch work is one bucket explode (``bands`` rows per
+    doc) + two joins against the seen store.  The store grows with the
+    corpus; at real scale compact it periodically with
+    :func:`compact_seen` so the join reads few well-sized files (or swap
+    the store for a key-value/Delta table — the protocol only needs
+    "set of (band, band_hash)")."""
+    import os
+
+    spark = batch_df.sparkSession
+    buckets = _real_buckets(
+        batch_df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    if os.path.isdir(seen_dir) and any(
+        e.startswith("batch=") for e in os.listdir(seen_dir)
+    ):
+        seen = (
+            spark.read.option("basePath", seen_dir)
+            .parquet(seen_dir)
+            .where(F.col("batch") != batch_id)
+            .select("band", "band_hash")
+        )
+        hit = (
+            buckets.join(seen, ["band", "band_hash"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = buckets.join(hit, "doc_id", "left_anti")
+    else:
+        hit = None
+        clean = buckets
+    bucket_min = clean.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("_min_id")
+    )
+    losers = (
+        clean.join(bucket_min, ["band", "band_hash"])
+        .where(F.col("doc_id") > F.col("_min_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = losers if hit is None else hit.union(losers).distinct()
+    return batch_df.join(
+        dropped.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
+def register_seen_buckets(
+    survivors_df: DataFrame,
+    seen_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Write the band buckets of a batch's survivors to
+    ``seen_dir/batch=<id>`` (overwrite — replay-idempotent).  Only
+    survivors register: dropped duplicates are represented by the
+    canonical doc they collided with."""
+    _real_buckets(
+        survivors_df, text_col, id_col, num_hashes, bands, shingle_k
+    ).select("band", "band_hash").distinct().write.mode("overwrite").parquet(
+        f"{seen_dir}/batch={batch_id}"
+    )
+
+
+def compact_seen(spark, seen_dir: str, partitions: int = 64) -> None:
+    """Rewrite the seen store as one ``batch=-1`` partition of
+    ``partitions`` files (distinct over all registered buckets).  Run
+    between batches — not concurrently with an active stream."""
+    import shutil
+    import tempfile
+
+    seen = (
+        spark.read.option("basePath", seen_dir)
+        .parquet(seen_dir)
+        .select("band", "band_hash")
+        .distinct()
+        .repartition(partitions, "band", "band_hash")
+    )
+    tmp = tempfile.mkdtemp(prefix="seen_compact_")
+    seen.write.mode("overwrite").parquet(f"{tmp}/batch=-1")
+    shutil.rmtree(seen_dir, ignore_errors=True)
+    shutil.move(tmp, seen_dir)
+
+
+def dedup_near_stream(
+    docs: DataFrame,
+    seen_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+):
+    """Continuous MinHash-LSH near-dedup: every micro-batch keeps only
+    documents that near-duplicate nothing seen before (across batches —
+    unbounded lookback via the ``seen_dir`` bucket store, NOT
+    watermark-bounded like :func:`dedup_exact_stream`) and nothing
+    earlier within the batch.  Survivors land in
+    ``sink_dir/batch=<id>``; their buckets register in ``seen_dir``.
+
+    Write order per batch: survivors (overwrite), then buckets
+    (overwrite), both keyed by batch id — a replay at ANY crash point
+    recomputes the identical survivor set (the increment excludes the
+    current batch's own buckets from history), so the sink is
+    exactly-once up to overwrite.  Returns the StreamingQuery."""
+    if not docs.isStreaming:
+        raise ValueError("dedup_near_stream expects a streaming DataFrame")
+    spark = docs.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = near_dedup_increment(
+            batch_df, seen_dir, batch_id, text_col, id_col,
+            num_hashes, bands, shingle_k,
+        )
+        path = f"{sink_dir}/batch={batch_id}"
+        survivors.write.mode("overwrite").parquet(path)
+        stable = spark.read.parquet(path)
+        register_seen_buckets(
+            stable, seen_dir, batch_id, text_col, id_col,
+            num_hashes, bands, shingle_k,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
