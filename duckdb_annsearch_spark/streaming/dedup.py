@@ -107,7 +107,10 @@ def near_dedup_increment(
     corpus; at real scale compact it periodically with
     :func:`compact_seen` so the join reads few well-sized files (or swap
     the store for a key-value/Delta table — the protocol only needs
-    "set of (band, band_hash)")."""
+    "set of (band, band_hash)").  The empty-store probe uses a driver
+    ``os.listdir`` — ``seen_dir`` must be a driver-visible filesystem
+    (local/NFS); on object stores replace that probe and the hive layout
+    with a Delta table, same protocol."""
     import os
 
     spark = batch_df.sparkSession
