@@ -135,6 +135,31 @@ def main() -> None:
     stage("lm_perplexity", lambda: lm_perplexity(docs))
     stage("pack_chunks", lambda: pack_chunks(docs, budget=2048))
 
+    from duckdb_annsearch_spark.pipeline.classify import score_hashed_linear
+    from duckdb_annsearch_spark.pipeline.sample import temperature_weights
+    from duckdb_annsearch_spark.pipeline.spans import remove_dup_spans
+    from duckdb_annsearch_spark.pipeline.winnow import winnow_fingerprints
+
+    stage("winnow_fingerprints", lambda: winnow_fingerprints(docs, k=5, w=4))
+    stage("remove_dup_spans", lambda: remove_dup_spans(docs, k=8))
+    _weights = spark.range(1 << 18).select(
+        F.col("id").alias("feature"),
+        (((F.col("id") * 31 + 7) % 1000 - 500).cast("double") / 1024.0).alias(
+            "weight"
+        ),
+    )
+    stage(
+        "classifier_score",
+        lambda: score_hashed_linear(docs, _weights, n_features=1 << 18),
+    )
+    # synthetic 5-way stratum stands in for language
+    stage(
+        "temperature_weights",
+        lambda: temperature_weights(
+            docs.withColumn("lang", (F.col("doc_id") % 5).cast("string")), 10**9
+        ),
+    )
+
     print(
         json.dumps(
             {
