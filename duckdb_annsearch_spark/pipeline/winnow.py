@@ -126,8 +126,14 @@ def winnow_pairs(
     line-level dedup is the right tool for that text, not pair
     explosion).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).where(
-        F.col("n_fingerprints") > 0
+    # barrier: the df-cap aggregate and BOTH self-join sides read the
+    # fingerprint relation — without it the map-only fingerprint pipeline
+    # runs three times (lazy localCheckpoint, ContextCleaner-reclaimed,
+    # same reasoning as band_buckets)
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .where(F.col("n_fingerprints") > 0)
+        .localCheckpoint(eager=False)
     )
     posts = fps.select(
         F.col(id_col), F.col("n_fingerprints"), F.explode("fingerprints").alias("_fp")
