@@ -110,9 +110,19 @@ def score_hashed_linear(
             hashed_features(F.col(text_col), n_features, ngram_ns)
         ).alias("feature"),
     )
-    w = weights.select(
-        F.col("feature").cast("long").alias("feature"),
-        F.col("weight").cast("double").alias("_w"),
+    # pre-aggregate the weight table: a duplicate feature row would
+    # otherwise multiply matching rows through the join, inflating BOTH
+    # the weight sum and n_feats (the mean's denominator counts joined
+    # rows).  Summing duplicates is the linear-model reading of a
+    # malformed dump, the aggregate is over the data-sized weight table
+    # only, and for a well-formed table it collapses in the map side.
+    w = (
+        weights.select(
+            F.col("feature").cast("long").alias("feature"),
+            F.col("weight").cast("double").alias("_w"),
+        )
+        .groupBy("feature")
+        .agg(F.sum("_w").alias("_w"))
     )
     per_doc = (
         feats.join(w, "feature", "left")

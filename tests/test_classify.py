@@ -139,3 +139,21 @@ class TestTrainServe:
             hashed_features(F.col("text"), 128).alias("f")
         ).collect()[0]["f"]
         assert sorted(got) == sorted(_feats("alpha beta gamma", 128))
+
+    def test_duplicate_weight_rows_well_defined(self, spark):
+        """A weights dump with duplicate feature rows must not inflate
+        n_feats through join multiplicity; duplicates sum."""
+        from duckdb_annsearch_spark.pipeline.classify import score_hashed_linear
+
+        docs = _docs(spark, [(0, "alpha beta")])
+        wdup = spark.createDataFrame(
+            [(f, 0.5) for f in range(64)] + [(f, 0.25) for f in range(64)],
+            "feature long, weight double",
+        )
+        wsum = spark.createDataFrame(
+            [(f, 0.75) for f in range(64)], "feature long, weight double"
+        )
+        a = score_hashed_linear(docs, wdup, n_features=64).collect()[0]
+        b = score_hashed_linear(docs, wsum, n_features=64).collect()[0]
+        assert a["n_feats"] == b["n_feats"] == 3  # 2 unigrams + 1 bigram
+        assert a["score"] == b["score"]
