@@ -104,7 +104,14 @@ def main() -> None:
     # would silently reintroduce the pruned-plan measurement bug
     from bench import force_execution
 
+    # optional argv[3]: comma-list restricting which stages run (e.g.
+    # "winnow_fingerprints,remove_dup_spans" to extend an existing table
+    # without re-paying the full sweep)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
     def stage(name, fn):
+        if only is not None and name not in only:
+            return
         t = time.time()
         rows = force_execution(fn())
         wall = round(time.time() - t, 1)
