@@ -1784,6 +1784,71 @@ def q_events_range_agg(spark, sf_dir):
     )
 
 
+def q_dedup_against(spark, sf_dir):
+    """CROSS-corpus fuzzy dedup (pipeline/dedup.py::dedup_against): treat
+    doc_id % 3 == 0 as the existing corpus and the rest as the new crawl;
+    drop new docs that share a MinHash-LSH band with a reference doc AND
+    verify at exact shingle-Jaccard >= 0.8.  The oracle replays the
+    identical signature/band/verify pipeline in SQL."""
+    from duckdb_annsearch_spark.pipeline.dedup import dedup_against
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    out = dedup_against(
+        new, ref, mode="fuzzy", threshold=0.8,
+        num_hashes=NUM_MINHASH, bands=LSH_BANDS,
+    )
+    return out.select("doc_id")
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher/MassiveText document-rule audit (pipeline/filters.py,
+    arXiv:2112.11446 Table A1): per-doc rule statistics + the keep
+    decision, every stat a pure JVM expression the DuckDB oracle
+    reproduces bit-for-bit.  min_words is lowered to 20 for the synthetic
+    ~40-100-word docs (the paper's 50 would fail most rows on length
+    alone and hide the other rules from the hash)."""
+    from duckdb_annsearch_spark.pipeline.filters import gopher_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_filter(
+        docs, keep_stats=True, min_words=20, min_required_words=1
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_required_words",
+        "keep",
+    )
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 line/document cleaning (pipeline/filters.py, arXiv:1910.10683
+    §2.2).  The synthetic corpus has no newlines or punctuation, so each
+    doc is first augmented deterministically — ' value ' becomes a
+    sentence break and every 7th doc gains a 'lorem ipsum' tail — with
+    the identical construction on both engines; the hash then covers the
+    line surgery (clean_text), the sentence proxy, and the keep rule."""
+    from duckdb_annsearch_spark.pipeline.filters import c4_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.replace(F.col("text"), F.lit(" value "), F.lit(".\n")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum.")).otherwise(
+            F.lit(".")
+        ),
+    )
+    prepared = docs.select("doc_id", aug.alias("text"))
+    return c4_filter(prepared, keep_stats=True).select(
+        "doc_id", "clean_text", "n_lines_kept", "n_sentences", "keep"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_l2": q_topk_l2,
@@ -1865,6 +1930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "neardup_stream_batch": q_neardup_stream_batch,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -2108,6 +2176,41 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    # cross-corpus fuzzy dedup: new (doc_id % 3 != 0) vs ref (% 3 == 0) —
+    # band-join candidates, exact shingle-Jaccard >= 0.8 verify, anti-join
+    # (empty-shingle docs never verify: they produce no `shared` rows)
+    oracles["dedup_against"] = f"""
+    WITH tok AS (SELECT doc_id, {toks_d} AS tk FROM documents),
+    sh AS (SELECT doc_id, {sh_d} AS shs FROM tok),
+    hh AS (SELECT doc_id, list_transform(shs, s -> {h_d}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, [{sig_list}] AS sig FROM hh),
+    bands AS (
+      SELECT doc_id, band, bh FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {', '.join(f'({i}, {e})' for i, e in enumerate(band_exprs))}) AS t(band, bh))
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+    shared AS (
+      SELECT c.da, c.db, count(*) AS cnt
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.da
+      JOIN ex b ON b.doc_id = c.db AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT DISTINCT da FROM shared
+      JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE round(cnt::DOUBLE / greatest(sa.n + sb.n - cnt, 1), 6) >= 0.8
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 3 != 0 AND d.doc_id NOT IN (SELECT da FROM dup)
     """
 
     # streaming near-dedup increment with empty history == in-batch
@@ -2952,6 +3055,103 @@ def oracle_sql() -> dict[str, str]:
     FROM p LEFT JOIN c
       ON p.user_id = c.user_id AND c.us BETWEEN p.us - 600000000 AND p.us
     GROUP BY p.event_id, p.user_id
+    """
+
+    # Gopher document rules (pipeline/filters.py): words = non-empty \s+
+    # splits, lines = \n splits rtrimmed, symbol count = non-overlapping
+    # replace deltas — each stat the same expression shape as the Spark
+    # side, keep = the threshold conjunction (min_words=20,
+    # min_required_words=1, all other thresholds paper defaults).
+    _req_sql = " + ".join(
+        f"list_contains(lw, '{w}')::INT"
+        for w in (
+            "the", "be", "to", "of", "and", "that", "have", "with"
+        )
+    )
+    oracles["gopher_filter"] = f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, t,
+        list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS w,
+        list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS lw,
+        list_transform(string_split(t, chr(10)), l -> rtrim(l)) AS ln
+      FROM base
+    ), s AS (
+      SELECT doc_id,
+        len(w)::BIGINT AS n_words,
+        round(CASE WHEN len(w) > 0 THEN
+          coalesce(list_sum(list_transform(w, x -> len(x))), 0)::DOUBLE / len(w)
+          ELSE 0.0 END, 6) AS mean_word_len,
+        round(CASE WHEN len(w) > 0 THEN
+          ((len(t) - len(replace(t, '#', '')))
+           + (len(t) - len(replace(t, '...', ''))) / 3)::DOUBLE / len(w)
+          ELSE 0.0 END, 6) AS symbol_word_ratio,
+        round(CASE WHEN len(ln) > 0 THEN
+          len(list_filter(ln, l -> starts_with(l, '- ')
+                                   OR starts_with(l, '* ')))::DOUBLE / len(ln)
+          ELSE 0.0 END, 6) AS bullet_line_frac,
+        round(CASE WHEN len(ln) > 0 THEN
+          len(list_filter(ln, l -> ends_with(l, '...')))::DOUBLE / len(ln)
+          ELSE 0.0 END, 6) AS ellipsis_line_frac,
+        round(CASE WHEN len(w) > 0 THEN
+          len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w)
+          ELSE 0.0 END, 6) AS alpha_word_frac,
+        ({_req_sql})::INT AS n_required_words
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           n_required_words,
+           (n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_required_words >= 1) AS keep
+    FROM s
+    """
+
+    # C4 line/document rules over the same deterministic augmentation as
+    # q_c4_filter: ' value ' -> sentence break, every 7th doc a lorem
+    # ipsum tail; line keep = terminal punct + >= 5 words; doc keep =
+    # >= 3 sentences and no bad substring.
+    oracles["c4_filter"] = """
+    WITH aug AS (
+      SELECT doc_id,
+             replace(text, ' value ', '.' || chr(10))
+             || (CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum.' ELSE '.' END)
+             AS t
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+        array_to_string(
+          list_filter(
+            list_transform(string_split(coalesce(t, ''), chr(10)),
+                           l -> rtrim(l)),
+            l -> (ends_with(l, '.') OR ends_with(l, '!')
+                  OR ends_with(l, '?') OR ends_with(l, '"'))
+                 AND len(list_filter(string_split_regex(l, '\\s+'),
+                                     x -> x <> '')) >= 5
+          ), chr(10)) AS clean_text
+      FROM aug
+    )
+    SELECT doc_id, clean_text,
+      (CASE WHEN clean_text = '' THEN 0
+            ELSE len(string_split(clean_text, chr(10))) END)::BIGINT
+        AS n_lines_kept,
+      ((len(clean_text) - len(replace(clean_text, '.', '')))
+       + (len(clean_text) - len(replace(clean_text, '!', '')))
+       + (len(clean_text) - len(replace(clean_text, '?', ''))))::BIGINT
+        AS n_sentences,
+      (((len(clean_text) - len(replace(clean_text, '.', '')))
+        + (len(clean_text) - len(replace(clean_text, '!', '')))
+        + (len(clean_text) - len(replace(clean_text, '?', '')))) >= 3
+       AND NOT (contains(lower(clean_text), 'lorem ipsum')
+                OR contains(lower(clean_text), '{')
+                OR contains(lower(clean_text), 'javascript'))) AS keep
+    FROM cleaned
     """
 
     return oracles

@@ -39,6 +39,9 @@ def prepare_corpus(
     dup_ngram_k: int = 8,
     max_avg_nll: float | None = None,
     cut_dup_spans_k: int | None = None,
+    c4_rules: bool = False,
+    gopher_rules: bool = False,
+    gopher_thresholds: dict | None = None,
 ) -> DataFrame:
     """Filtered + deduplicated corpus, original schema plus ``lang`` and
     ``quality`` columns.  ``dedup``: 'exact' | 'near' | 'fuzzy' | 'none'
@@ -69,8 +72,24 @@ def prepare_corpus(
     after boilerplate stripping: duplicated token spans of that length
     are cut out of the text (the text is then in canonical
     single-space-joined form), the surgical alternative to dropping
-    whole documents via ``max_dup_ngram_frac``."""
+    whole documents via ``max_dup_ngram_frac``.
+
+    ``c4_rules``/``gopher_rules`` (default off) prepend the published
+    rule-based filters (pipeline/filters.py): C4 line surgery rewrites
+    ``text_col`` FIRST so every later stage judges the cleaned content;
+    the Gopher document rules then drop failing rows
+    (``gopher_thresholds`` overrides the paper defaults)."""
     out = df
+    if c4_rules:
+        # C4 line surgery first: it rewrites text_col, so every later
+        # stage (scores, dedup keys, LM) judges the cleaned content
+        from duckdb_annsearch_spark.pipeline.filters import c4_filter
+
+        out = c4_filter(out, text_col)
+    if gopher_rules:
+        from duckdb_annsearch_spark.pipeline.filters import gopher_filter
+
+        out = gopher_filter(out, text_col, **(gopher_thresholds or {}))
     if scrub:
         from duckdb_annsearch_spark.pipeline.quality import scrub_pii
 

@@ -755,6 +755,105 @@ def dedup_fuzzy(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "fuzzy",
+    threshold: float = 0.8,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """CROSS-corpus deduplication: drop from ``df`` every document already
+    present in ``ref`` (the 'dedupe the new crawl against the existing
+    corpus' stage — ``ref`` itself is never modified, and duplicates
+    *within* ``df`` are deliberately left alone; run :func:`dedup_fuzzy`
+    for that).  Both inputs need ``text_col`` and ``id_col``.
+
+    ``mode='exact'``: byte-identical texts — one distinct-project of the
+    reference corpus's md5 keys + a left-anti join; NULL texts are never
+    duplicates (per-row key, SQL NULL semantics).
+
+    ``mode='fuzzy'``: MinHash-LSH candidates (a df↔ref band-bucket
+    equi-join — never all-pairs) verified by exact shingle-Jaccard >=
+    ``threshold``.  Byte-identical docs collide in every band, so unlike
+    the self-join family no exact pre-pass is needed: identical pairs are
+    candidates and verify at jaccard 1.0.  ``max_bucket`` caps degenerate
+    REFERENCE buckets (boilerplate content shared by thousands of ref
+    docs) — a df doc matching such a bucket almost surely verifies
+    against SOME member, so capping the join stays safe at corpus scale;
+    shingle-less docs (< shingle_k words) carry sentinel signatures and
+    are excluded on both sides, matching the batch family's 'empty docs
+    are never duplicates' contract.
+
+    Scale shape: two map-only signature passes + one equi-join keyed on
+    (band, band_hash) + one verify join over candidates + one left-anti
+    join back — every stage bounded by bucket sizes, nothing driver-side.
+    """
+    if mode == "exact":
+        ref_keys = (
+            ref.where(F.col(text_col).isNotNull())
+            .select(F.md5(F.col(text_col)).alias("__k"))
+            .distinct()
+        )
+        return df.join(
+            ref_keys,
+            _content_key(text_col, id_col) == F.col("__k"),
+            "left_anti",
+        )
+    if mode != "fuzzy":
+        raise ValueError(f"unknown dedup_against mode {mode!r}")
+
+    nonempty = F.size(word_shingles(F.col(text_col), shingle_k)) > 0
+    left = band_buckets(
+        df.where(nonempty), text_col, id_col, num_hashes, bands, shingle_k
+    )
+    right = band_buckets(
+        ref.where(nonempty), text_col, id_col, num_hashes, bands, shingle_k
+    ).withColumnRenamed("doc_id", "ref_id")
+    if max_bucket is not None:
+        keep = (
+            right.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__sz"))
+            .where(F.col("__sz") <= int(max_bucket))
+            .select("band", "band_hash")
+        )
+        right = right.join(keep, ["band", "band_hash"])
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .select("doc_id", "ref_id")
+        .distinct()
+    )
+    # exact cross-corpus Jaccard verify: shingles of each side joined on
+    # the candidate pair (cost O(|cand| * shingles/doc))
+    sh_l = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("__sa"),
+    )
+    sh_r = ref.select(
+        F.col(id_col).alias("ref_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("__sb"),
+    )
+    dup_ids = (
+        cand.join(sh_l, "doc_id")
+        .join(sh_r, "ref_id")
+        .withColumn("__i", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("__u", F.size(F.array_union("__sa", "__sb")))
+        .where(
+            F.round(F.col("__i") / F.greatest(F.col("__u"), F.lit(1)), 6)
+            >= threshold
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return df.join(
+        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
