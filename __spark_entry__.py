@@ -1784,6 +1784,45 @@ def q_events_range_agg(spark, sf_dir):
     )
 
 
+def q_url_curation(spark, sf_dir):
+    """URL normalization + registered-domain extraction
+    (pipeline/urls.py).  The corpus has no URL column, so each doc gets a
+    deterministic raw URL from (source, doc_id) — messy case, default
+    ports, userinfo, tracking params, fragments, a co.uk public-suffix
+    case, and a non-URL third — built identically on both engines; the
+    oracle then replays the full normalization contract in SQL."""
+    from duckdb_annsearch_spark.pipeline.urls import (
+        normalize_url,
+        url_registered_domain,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://u:p@WWW."), F.col("source"),
+                F.lit(".Example.COM:443/Docs/"), sid,
+                F.lit("?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".co.uk:80/p/"), sid
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), sid))
+    )
+    u = docs.select("doc_id", raw.alias("u"))
+    return u.select(
+        "doc_id",
+        normalize_url(F.col("u")).alias("norm_url"),
+        url_registered_domain(F.col("u")).alias("domain"),
+    )
+
+
 def q_dedup_against(spark, sf_dir):
     """CROSS-corpus fuzzy dedup (pipeline/dedup.py::dedup_against): treat
     doc_id % 3 == 0 as the existing corpus and the rest as the new crawl;
@@ -1933,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "dedup_against": q_dedup_against,
+        "url_curation": q_url_curation,
     }
 
 
@@ -2176,6 +2216,73 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    # URL normalization contract replayed in SQL over the same derived
+    # raw URLs (pipeline/urls.py docstring: lowercase scheme/host, drop
+    # userinfo + fragment + default ports + tracking params, sort params,
+    # empty path -> '/'); registered domain = eTLD+1 with the module's
+    # two-level-suffix subset
+    from duckdb_annsearch_spark.pipeline.urls import TWO_LEVEL_SUFFIXES
+
+    _sfx = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    oracles["url_curation"] = f"""
+    WITH raw AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 3 = 0 THEN 'HTTPS://u:p@WWW.' || source
+               || '.Example.COM:443/Docs/' || doc_id
+               || '?utm_source=x&b=2&a=1#frag'
+          WHEN doc_id % 3 = 1 THEN 'http://' || source || '.co.uk:80/p/'
+               || doc_id
+          ELSE 'not a url ' || doc_id
+        END AS u
+      FROM documents
+    ), p AS (
+      SELECT doc_id, u,
+        regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://') AS is_url,
+        lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$', 1) AS rest
+      FROM raw
+    ), a AS (
+      SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS auth FROM p
+    ), r AS (
+      SELECT *, regexp_extract(auth, '([^@]*)$', 1) AS hostport,
+             substr(rest, len(auth) + 1) AS pqf
+      FROM a
+    ), s AS (
+      SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(pqf, '^([^?#]*)', 1) AS path,
+             regexp_extract(pqf, '\\?([^#]*)', 1) AS qs
+      FROM r
+    ), t AS (
+      SELECT *,
+        coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+          x -> x <> '' AND NOT (
+            starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
+            OR regexp_extract(x, '^([^=]*)', 1)
+               IN ('gclid', 'fbclid', 'msclkid')))), '&'), '') AS nq,
+        string_split(host, '.') AS hl
+      FROM s
+    )
+    SELECT doc_id,
+      CASE WHEN is_url THEN scheme || '://' || host
+        || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END)
+        || (CASE WHEN path = '' THEN '/' ELSE path END)
+        || (CASE WHEN nq = '' THEN '' ELSE '?' || nq END)
+      END AS norm_url,
+      CASE WHEN is_url THEN
+        CASE WHEN len(hl) <= 1 THEN host
+             WHEN len(hl) >= 3
+                  AND (hl[-2] || '.' || hl[-1]) IN ({_sfx})
+             THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+             ELSE hl[-2] || '.' || hl[-1]
+        END
+      END AS domain
+    FROM t
     """
 
     # cross-corpus fuzzy dedup: new (doc_id % 3 != 0) vs ref (% 3 == 0) —
