@@ -1784,6 +1784,25 @@ def q_events_range_agg(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Top-100 vocabulary with coverage curve (pipeline/vocab.py):
+    TakeOrderedAndProject selection, N-row cumsum window, scalar total
+    broadcast back; rank ties break by word asc on both engines."""
+    from duckdb_annsearch_spark.pipeline.vocab import top_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_vocab(docs, top_n=100)
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Adjacent-token pair counts >= 5 (pipeline/vocab.py — the BPE merge
+    candidate table): one zip_with explode + partial-aggregating groupBy."""
+    from duckdb_annsearch_spark.pipeline.vocab import bigram_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_counts(docs).where(F.col("count") >= 5)
+
+
 def q_url_curation(spark, sf_dir):
     """URL normalization + registered-domain extraction
     (pipeline/urls.py).  The corpus has no URL column, so each doc gets a
@@ -1973,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "dedup_against": q_dedup_against,
         "url_curation": q_url_curation,
+        "vocab_topk": q_vocab_topk,
+        "bigram_counts": q_bigram_counts,
     }
 
 
@@ -2216,6 +2237,39 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    # top-100 vocabulary + coverage curve: count/word-asc total order on
+    # both engines; cum_frac over the top prefix equals the full-table
+    # prefix (identical ordering)
+    oracles["vocab_topk"] = f"""
+    WITH tok AS (SELECT {toks} AS tk FROM documents),
+    ex AS (SELECT unnest(tk) AS w FROM tok),
+    c AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+    tot AS (SELECT sum(cnt) AS t FROM c),
+    top AS (
+      SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rk
+      FROM c ORDER BY cnt DESC, w ASC LIMIT 100
+    )
+    SELECT w AS word, cnt AS count, CAST(rk AS INT) AS rank,
+      CAST(round(sum(cnt) OVER (ORDER BY cnt DESC, w ASC
+                                ROWS UNBOUNDED PRECEDING)::DOUBLE / t, 6)
+           + 0.0 AS DOUBLE) AS cum_frac
+    FROM top, tot
+    """
+
+    # adjacent-token bigram counts >= 5 (positions i, i+1 of the shared
+    # tokenizer splits)
+    oracles["bigram_counts"] = f"""
+    WITH tok AS (SELECT {toks} AS tk FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(
+        range(1, greatest(len(tk) - 1, 0) + 1),
+        i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+      FROM tok
+    )
+    SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS count
+    FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
     """
 
     # URL normalization contract replayed in SQL over the same derived
