@@ -656,14 +656,24 @@ class IvfFlatIndex(BaseIndex):
                     qids = cell_queries.get(int(c))
                     if not qids:
                         continue
-                    if dq:
-                        x = kernels.decode_codes(grp[vcol], dq)
-                        rc = dq.get("residual_centroids")
-                        if rc is not None:
-                            x = x + rc[int(c)]
+                    rc = dq.get("residual_centroids") if dq else None
+                    if kernels.supports_adc(dq, metric) and len(
+                        qids
+                    ) <= kernels.ADC_MAX_NQ:
+                        # PQ cells score straight off the codes; the
+                        # residual centroid folds into the query side
+                        d = kernels.adc_distances(
+                            qarr[qids], grp[vcol], dq, metric,
+                            centroid=None if rc is None else rc[int(c)],
+                        )
                     else:
-                        x = kernels.stack_vectors(grp[vcol], dim)
-                    d = kernels.pairwise_distances(qarr[qids], x, metric)
+                        if dq:
+                            x = kernels.decode_codes(grp[vcol], dq)
+                            if rc is not None:
+                                x = x + rc[int(c)]
+                        else:
+                            x = kernels.stack_vectors(grp[vcol], dim)
+                        d = kernels.pairwise_distances(qarr[qids], x, metric)
                     rid = grp["row_id"].to_numpy()
                     outs = []
                     for row, qi in enumerate(qids):

@@ -28,12 +28,17 @@ def iter_vector_batches(
     dequantize: dict | None = None,
     cluster_ids: list[int] | None = None,
     batch_rows: int = DEFAULT_BATCH_ROWS,
+    raw_codes: bool = False,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yield ``(row_ids int64[n], X float32[n, dim])`` batches from a parquet
     artifact directory.  ``cluster_ids`` prunes hive-partitioned IVF cells —
     the pyarrow twin of Spark partition pruning.  SQ8 artifacts pass
     ``dequantize={'mins', 'scales'}`` and read only the codes column
-    (column pruning keeps quantized scans at 1/4 the bytes)."""
+    (column pruning keeps quantized scans at 1/4 the bytes).
+
+    ``raw_codes=True`` (ADC callers) yields the stacked ``(n, m)`` uint8
+    code matrix instead of the decoded block — the caller scores it with
+    ``kernels.adc_distances`` and the f32 reconstruction never exists."""
     import pyarrow.dataset as ds
 
     part = "hive" if cluster_ids is not None else None
@@ -47,6 +52,11 @@ def iter_vector_batches(
             continue
         rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
         col = batch.column(vector_col)
+        if raw_codes:
+            yield rid, np.stack(
+                [np.frombuffer(b.as_py(), dtype=np.uint8) for b in col]
+            )
+            continue
         x = kernels.materialize_block(
             dequantize,
             lambda: _fixed_matrix(col, dim),
@@ -115,13 +125,24 @@ def probe_path_df(
             valid = []
         if valid:
             qarr = kernels.transform_queries(np.stack([q for _, q in valid]), dequantize)
+            use_adc = (
+                kernels.supports_adc(dequantize, metric)
+                and len(valid) <= kernels.ADC_MAX_NQ
+            )
             top = RunningTopK(len(valid), k)
-            for rid, x in iter_vector_batches(path, dim, vector_col, dequantize):
+            for rid, x in iter_vector_batches(
+                path, dim, vector_col, dequantize, raw_codes=use_adc
+            ):
                 if dele is not None:
                     keep = ~np.isin(rid, dele)
                     rid, x = rid[keep], x[keep]
                 if rid.size:
-                    top.update_batch(kernels.pairwise_distances(qarr, x, metric), rid)
+                    d = (
+                        kernels.adc_distances(qarr, x, dequantize, metric)
+                        if use_adc
+                        else kernels.pairwise_distances(qarr, x, metric)
+                    )
+                    top.update_batch(d, rid)
             outs = []
             for qi, (orig_idx, _) in enumerate(valid):
                 r, d = top.result(qi)
