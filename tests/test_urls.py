@@ -108,6 +108,30 @@ class TestNormalize:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
 
+    def test_staged_matches_column_form(self, spark):
+        # the DataFrame operators parse through _stage_parts — it must
+        # agree byte-for-byte with the composable Column normalize_url
+        from duckdb_annsearch_spark.pipeline.urls import with_normalized_url
+
+        urls = [
+            "HTTPS://u:p@WWW.Example.COM:443/A/b?utm_source=x&b=2&a=1#f",
+            "http://example.co.uk:80/",
+            "https://example.com",
+            "ftp://Files.Example.org:21/pub",
+            "not a url",
+            None,
+            "",
+            "https://h/?gclid=1",
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+        )
+        both = with_normalized_url(df, "url").withColumn(
+            "col_form", normalize_url(F.col("url"))
+        )
+        for r in both.collect():
+            assert r["norm_url"] == r["col_form"], r["url"]
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, url string")

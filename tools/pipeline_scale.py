@@ -167,6 +167,45 @@ def main() -> None:
         ),
     )
 
+    from duckdb_annsearch_spark.pipeline.dedup import dedup_against
+    from duckdb_annsearch_spark.pipeline.filters import c4_filter, gopher_filter
+    from duckdb_annsearch_spark.pipeline.urls import cap_per_domain, normalize_url
+    from duckdb_annsearch_spark.pipeline.vocab import top_vocab
+
+    stage(
+        "gopher_filter",
+        lambda: gopher_filter(docs, keep_stats=True, min_required_words=0),
+    )
+    stage("c4_filter", lambda: c4_filter(docs, keep_stats=True))
+    # cross-corpus: dedup the odd half against the even half
+    stage(
+        "dedup_against",
+        lambda: dedup_against(
+            docs.where("doc_id % 2 = 1"),
+            docs.where("doc_id % 2 = 0"),
+            max_bucket=200,
+        ),
+    )
+    # synthetic URLs: ~n/50 distinct REGISTERED domains (siteN.com — a
+    # shared suffix would collapse them all into one eTLD+1), ~50
+    # rows/domain with tracking-param and port noise
+    from duckdb_annsearch_spark.pipeline.urls import with_normalized_url
+
+    _urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW.site"),
+            (F.col("doc_id") % (n // 50 + 1)).cast("string"),
+            F.lit(".com:443/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?utm_source=x&q="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    stage("url_normalize", lambda: with_normalized_url(_urls, "url"))
+    stage("cap_per_domain", lambda: cap_per_domain(_urls, "url", cap=20))
+    stage("top_vocab", lambda: top_vocab(docs, top_n=1000))
+
     print(
         json.dumps(
             {
