@@ -577,6 +577,13 @@ def _sq8_engine_for(spark, sf_dir):
             "info_lsh", "embeddings", "embedding", engine="faiss",
             description="LSH512",
         ),
+        # PCA pretransform over an IVF coarse partitioning (the common
+        # high-dim FAISS composite — new r5); reduced f32 codes per cell,
+        # W^T reconstruction at probe, full-probe + rerank serving
+        lambda: eng.create_index(
+            "info_pcaivf", "embeddings", "embedding", engine="faiss",
+            description="PCA32,IVF8,Flat", nprobe=8,
+        ),
         # product quantization via the FAISS factory-composite surface
         # (src/faiss_index.cpp:39-60); 8 bytes/vector vs 256 raw
         # 16 subspaces of 4 dims: 16 bytes/vector vs 256 raw, and fine
@@ -712,6 +719,26 @@ def q_pca_rerank(spark, sf_dir):
     eng = _sq8_engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "info_pca", q, k=10, oversample=20)
+    d = _sqdist64("embedding", q)
+    return (
+        hits.select("vec_id", d.alias("_dx"))
+        .orderBy(F.col("_dx").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _dec(F.col("_dx")).alias("_distance"))
+    )
+
+
+def q_pca_ivf_rerank(spark, sf_dir):
+    """PCA pretransform composed with IVF coarse cells
+    ("PCA32,IVF8,Flat" factory — new r5): cells store the reduced f32
+    coordinates, the probe reconstructs via W^T through the shared
+    decode path, full probe (nprobe=nlist) + 20x over-fetch + exact f64
+    re-rank certifies the composite against brute force."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search(
+        "embeddings", "info_pcaivf", q, k=10, oversample=20, nprobe=8
+    )
     d = _sqdist64("embedding", q)
     return (
         hits.select("vec_id", d.alias("_dx"))
@@ -1930,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq4_rerank": q_sq4_rerank,
         "fp16_rerank": q_fp16_rerank,
         "pca_rerank": q_pca_rerank,
+        "pca_ivf_rerank": q_pca_ivf_rerank,
         "lsh_rerank": q_lsh_rerank,
         "pq_rerank": q_pq_rerank,
         "ivfpq_rerank": q_ivfpq_rerank,
@@ -2091,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["sq4_rerank"] = _brute_topk_sql(sq)
     oracles["fp16_rerank"] = _brute_topk_sql(sq)
     oracles["pca_rerank"] = _brute_topk_sql(sq)
+    oracles["pca_ivf_rerank"] = _brute_topk_sql(sq)
     oracles["lsh_rerank"] = _brute_topk_sql(sq)
     oracles["pq_rerank"] = _brute_topk_sql(sq)
     oracles["ivfpq_rerank"] = _brute_topk_sql(sq)
@@ -2119,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
       ('info_lsh',   'faiss',   'embeddings', 'embedding', true),
       ('info_opq',   'faiss',   'embeddings', 'embedding', true),
       ('info_pca',   'faiss',   'embeddings', 'embedding', true),
+      ('info_pcaivf', 'faiss',  'embeddings', 'embedding', true),
       ('info_pq',    'faiss',   'embeddings', 'embedding', true),
       ('info_sq4',   'faiss',   'embeddings', 'embedding', true),
       ('info_sq8',   'faiss',   'embeddings', 'embedding', true)

@@ -122,6 +122,16 @@ def _parse_faiss_factory_base(d: str, desc: str) -> tuple[str, dict]:
     m = re.fullmatch(r"IVF(\d+),Flat", d, re.IGNORECASE)
     if m:
         return "IVFFlat", {"ivf_nlist": int(m.group(1))}
+    m = re.fullmatch(r"PCA(\d+),IVF(\d+),Flat", d, re.IGNORECASE)
+    if m:
+        # PCA pretransform over an IVF coarse partitioning (the common
+        # high-dim FAISS recipe); PCA over IVFPQ stays loudly rejected —
+        # composing two lossy code transforms is a different artifact
+        return "IVFFlat", {
+            "ivf_nlist": int(m.group(2)),
+            "quantization": "pca",
+            "pca_dim": int(m.group(1)),
+        }
     m = re.fullmatch(r"IVF(\d+),SQ(4|6|8|fp16)", d, re.IGNORECASE)
     if m:
         t = m.group(2).lower()
@@ -278,11 +288,18 @@ class AnnEngine:
                     f"unknown quantization {quant!r} "
                     "(sq4 | sq6 | sq8 | fp16 | pq | pca | lsh)"
                 )
-            if quant == "pca" and itype != "flat":
-                raise ValueError(
-                    "the PCA pretransform is supported on Flat indexes "
-                    "(factory 'PCA<dout>[,Flat]'); deeper chains are not"
-                )
+            if quant == "pca":
+                if itype not in ("flat", "ivfflat"):
+                    raise ValueError(
+                        "the PCA pretransform is supported on Flat and IVF "
+                        "indexes (factory 'PCA<dout>[,Flat]' / "
+                        "'PCA<dout>,IVF<nlist>,Flat'); deeper chains are not"
+                    )
+                if "pca_dim" not in params:
+                    raise ValueError(
+                        "quantization='pca' needs pca_dim=<output dim> "
+                        "(the factory form 'PCA<dout>' carries it)"
+                    )
             if quant == "lsh":
                 if itype != "flat":
                     raise ValueError(

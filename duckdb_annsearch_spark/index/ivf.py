@@ -545,6 +545,23 @@ class IvfFlatIndex(BaseIndex):
                 meta.extra["sq8_scales"] = scales
             meta.quantized = True
             meta.extra["quantization"] = quant
+        pca_mats = None
+        if meta.params.get("quantization") == "pca":
+            # "PCA<dout>,IVF<nlist>,Flat": the same pretransform the flat
+            # path ships (index/pca.py) under an IVF coarse partitioning —
+            # cells store reduced f32 codes, the probe reconstructs via
+            # W^T through the shared decode_codes, coarse assignment and
+            # serving both stay original-space
+            from duckdb_annsearch_spark.index import pca, pq
+
+            dout = int(meta.params["pca_dim"])
+            assigned = assigned.localCheckpoint(eager=False)  # pin labels
+            mean, w = pca.train_pca(pq.stride_sample(assigned, meta.dim), dout)
+            assigned = pca.add_pca_codes(assigned, meta.dim, mean, w)
+            pca_mats = (mean, w)
+            meta.quantized = True
+            meta.extra["quantization"] = "pca"
+            meta.extra["pca_dim"] = dout
         books = rotation = None
         if meta.params.get("quantization") == "pq":
             from duckdb_annsearch_spark.index import pq
@@ -587,6 +604,10 @@ class IvfFlatIndex(BaseIndex):
             pq.write_codebooks(catalog.data_path(meta.name), books)
             if rotation is not None:
                 pq.write_rotation(catalog.data_path(meta.name), rotation)
+        if pca_mats is not None:
+            from duckdb_annsearch_spark.index import pca
+
+            pca.write_pca(catalog.data_path(meta.name), *pca_mats)
         _write_centroids(catalog.data_path(meta.name), centroids)
         meta.extra["nlist"] = int(centroids.shape[0])
         idx = cls(catalog, meta)

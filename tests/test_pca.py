@@ -112,12 +112,40 @@ def test_pca_rejections(engine):
     engine.register_table(
         "pcar", make_vectors_df(engine.spark, rows, dim=4), row_id="id"
     )
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # pca needs pca_dim
         engine.create_index(
             "r1", "pcar", engine="faiss", index_type="IVFFlat",
             ivf_nlist=2, quantization="pca",
         )
-    with pytest.raises(ValueError):
-        engine.create_index("r2", "pcar", engine="faiss", description="PCA2,IVF2,Flat")
+    with pytest.raises(ValueError):  # PCA over IVFPQ: two lossy transforms
+        engine.create_index("r2", "pcar", engine="faiss", description="PCA2,IVF2,PQ2")
     with pytest.raises(ValueError):  # dout > dim caught at train time
         engine.create_index("r3", "pcar", engine="faiss", description="PCA9")
+
+
+def test_pca_ivf_composite(engine):
+    """"PCA<dout>,IVF<nlist>,Flat" (new r5): reduced f32 codes inside IVF
+    cells, W^T reconstruction at probe, full-probe + rerank == exact."""
+    rows = _rand_rows(31, 300, 16)
+    engine.register_table(
+        "pcai", make_vectors_df(engine.spark, rows, dim=16), row_id="id"
+    )
+    engine.create_index(
+        "pi", "pcai", engine="faiss", description="PCA8,IVF4,Flat", nprobe=4
+    )
+    meta = engine.catalog.load("pi")
+    assert meta.quantized is True
+    assert meta.extra["quantization"] == "pca" and meta.extra["pca_dim"] == 8
+    art = engine.get_index("pi").artifact()
+    assert len(art.select("codes").first()["codes"]) == 4 * 8
+    q = rows[42][1]
+    got = [
+        r["id"]
+        for r in engine.ann_search(
+            "pcai", "pi", q, k=10, oversample=10, rerank=True, nprobe=4
+        ).collect()
+    ]
+    assert got == _exact_topk(rows, q, 10)
+    # partial probe narrows the candidate set but still returns k rows
+    part = engine.ann_search("pcai", "pi", q, k=10, nprobe=1).collect()
+    assert len(part) == 10
