@@ -1869,6 +1869,38 @@ def q_url_curation(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """Normalized-URL dedup (pipeline/urls.py::dedup_by_url): re-crawls
+    of one page — same URL modulo case/ports/tracking-params/fragments —
+    collapse to the lowest doc_id.  Derived URLs give each (source,
+    doc_id%5) page three surface variants; non-URL rows (every 11th doc)
+    each survive."""
+    from duckdb_annsearch_spark.pipeline.urls import dedup_by_url
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page = (F.col("doc_id") % 5).cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit("plain text "), sid))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://"), F.col("source"),
+                     F.lit(".com:443/page/"), page, F.lit("#top")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".com/page/"), page, F.lit("?utm_source=tw")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".COM/page/"),
+                     page),
+        )
+    )
+    u = docs.select("doc_id", raw.alias("url"))
+    return dedup_by_url(u, "url", "doc_id").select("doc_id")
+
+
 def q_dedup_against(spark, sf_dir):
     """CROSS-corpus fuzzy dedup (pipeline/dedup.py::dedup_against): treat
     doc_id % 3 == 0 as the existing corpus and the rest as the new crawl;
@@ -2020,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "dedup_against": q_dedup_against,
         "url_curation": q_url_curation,
+        "url_dedup": q_url_dedup,
         "vocab_topk": q_vocab_topk,
         "bigram_counts": q_bigram_counts,
     }
@@ -2310,18 +2343,15 @@ def oracle_sql() -> dict[str, str]:
     from duckdb_annsearch_spark.pipeline.urls import TWO_LEVEL_SUFFIXES
 
     _sfx = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
-    oracles["url_curation"] = f"""
+
+    def _sql_url_norm(raw_case: str) -> str:
+        """CTE chain ``raw -> ... -> t`` computing the normalization
+        contract over ``raw_case`` (a SQL expression producing the raw
+        URL per documents row); ``t`` carries doc_id, is_url, scheme,
+        host, port, path, nq, hl."""
+        return f"""
     WITH raw AS (
-      SELECT doc_id,
-        CASE
-          WHEN doc_id % 3 = 0 THEN 'HTTPS://u:p@WWW.' || source
-               || '.Example.COM:443/Docs/' || doc_id
-               || '?utm_source=x&b=2&a=1#frag'
-          WHEN doc_id % 3 = 1 THEN 'http://' || source || '.co.uk:80/p/'
-               || doc_id
-          ELSE 'not a url ' || doc_id
-        END AS u
-      FROM documents
+      SELECT doc_id, {raw_case} AS u FROM documents
     ), p AS (
       SELECT doc_id, u,
         regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://') AS is_url,
@@ -2367,6 +2397,35 @@ def oracle_sql() -> dict[str, str]:
         END
       END AS domain
     FROM t
+    """
+
+    oracles["url_curation"] = _sql_url_norm("""
+        CASE
+          WHEN doc_id % 3 = 0 THEN 'HTTPS://u:p@WWW.' || source
+               || '.Example.COM:443/Docs/' || doc_id
+               || '?utm_source=x&b=2&a=1#frag'
+          WHEN doc_id % 3 = 1 THEN 'http://' || source || '.co.uk:80/p/'
+               || doc_id
+          ELSE 'not a url ' || doc_id
+        END""")
+
+    # normalized-URL dedup: lowest doc_id per normalized form; non-URL
+    # rows keep per-row keys (all survive) — the q_url_dedup construction
+    oracles["url_dedup"] = f"""
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY coalesce(norm_url, '__nonurl__' || doc_id)
+        ORDER BY doc_id ASC) AS rn
+      FROM ({_sql_url_norm('''
+        CASE
+          WHEN doc_id % 11 = 0 THEN 'plain text ' || doc_id
+          WHEN doc_id % 3 = 0 THEN 'HTTPS://' || source || '.com:443/page/'
+               || (doc_id % 5) || '#top'
+          WHEN doc_id % 3 = 1 THEN 'https://' || source || '.com/page/'
+               || (doc_id % 5) || '?utm_source=tw'
+          ELSE 'https://' || source || '.COM/page/' || (doc_id % 5)
+        END''')}) n
+    ) WHERE rn = 1
     """
 
     # cross-corpus fuzzy dedup: new (doc_id % 3 != 0) vs ref (% 3 == 0) —
