@@ -141,6 +141,15 @@ def main():
         "remove_dup_spans",
         "quality_classifier",
         "neardup_stream_batch",
+        # round-5 third-session operators
+        "gopher_filter",
+        "c4_filter",
+        "dedup_against",
+        "url_curation",
+        "url_dedup",
+        "vocab_topk",
+        "bigram_counts",
+        "pca_ivf_rerank",
         # relational / temporal
         "pricing_summary",
         "top_orders",

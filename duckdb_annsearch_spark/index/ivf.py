@@ -668,6 +668,10 @@ class IvfFlatIndex(BaseIndex):
         dim, metric, k_ = self.meta.dim, self.meta.metric, k
         dq = self._dequant_args()
         vcol = "codes" if dq else "vector"
+        # capture the ADC gate driver-side: executors import their own
+        # kernels copy from the shipped zip, so a runtime change to
+        # kernels.ADC_MAX_NQ (tests, A/B tools) must be bound here
+        adc_max = kernels.ADC_MAX_NQ if kernels.supports_adc(dq, metric) else -1
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -678,9 +682,7 @@ class IvfFlatIndex(BaseIndex):
                     if not qids:
                         continue
                     rc = dq.get("residual_centroids") if dq else None
-                    if kernels.supports_adc(dq, metric) and len(
-                        qids
-                    ) <= kernels.ADC_MAX_NQ:
+                    if len(qids) <= adc_max:
                         # PQ cells score straight off the codes; the
                         # residual centroid folds into the query side
                         d = kernels.adc_distances(

@@ -107,6 +107,12 @@ def probe_path_df(
     from duckdb_annsearch_spark.index import kernels
 
     dele = deleted if deleted is not None and deleted.size else None
+    # ADC gate bound driver-side (executors import their own kernels copy)
+    adc_max = (
+        kernels.ADC_MAX_NQ
+        if kernels.supports_adc(dequantize, metric)
+        else -1
+    )
 
     def probe(batches):
         # concatenate the task's Arrow batches FIRST: the artifact is
@@ -125,10 +131,7 @@ def probe_path_df(
             valid = []
         if valid:
             qarr = kernels.transform_queries(np.stack([q for _, q in valid]), dequantize)
-            use_adc = (
-                kernels.supports_adc(dequantize, metric)
-                and len(valid) <= kernels.ADC_MAX_NQ
-            )
+            use_adc = len(valid) <= adc_max
             top = RunningTopK(len(valid), k)
             for rid, x in iter_vector_batches(
                 path, dim, vector_col, dequantize, raw_codes=use_adc
