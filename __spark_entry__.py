@@ -3345,7 +3345,9 @@ def oracle_sql() -> dict[str, str]:
           len(list_filter(ln, l -> ends_with(l, '...')))::DOUBLE / len(ln)
           ELSE 0.0 END, 6) AS ellipsis_line_frac,
         round(CASE WHEN len(w) > 0 THEN
-          len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w)
+          len(list_filter(w, x -> translate(x,
+            'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '')
+            <> x))::DOUBLE / len(w)
           ELSE 0.0 END, 6) AS alpha_word_frac,
         ({_req_sql})::INT AS n_required_words
       FROM w

@@ -349,9 +349,14 @@ def adc_distances(
         lut = -np.einsum("nsd,skd->nsk", qs, books)
     lut = lut.astype(np.float32, copy=False)
     out = np.empty((nq, n), dtype=np.float32)
-    sub = np.arange(m)[None, :]
+    cols = [np.ascontiguousarray(c_mat[:, s]) for s in range(m)]
     for i in range(nq):
-        out[i] = lut[i, sub, c_mat].sum(axis=1, dtype=np.float32)
+        # m 1-D gathers accumulated in place: ~2x faster than the 2-D
+        # fancy-index form (no (n, m) temp, no reduction pass)
+        acc = lut[i, 0][cols[0]].astype(np.float32, copy=True)
+        for s in range(1, m):
+            acc += lut[i, s][cols[s]]
+        out[i] = acc
     if metric == "ip" and centroid is not None:
         out -= (q @ np.asarray(centroid, dtype=np.float32))[:, None]
     if metric == "l2":

@@ -70,8 +70,11 @@ def main() -> None:
             print(f"# {tag}: {walls[-1]:.2f}s", file=sys.stderr)
         return walls, ids
 
-    # warm (worker startup, artifact cache)
-    eng.ann_search("vecs", "ivfpq", queries[0], k=10, nprobe=nlist).collect()
+    # warm THOROUGHLY (worker startup + OS page cache over the full
+    # artifact): the first cold queries measured 2x the steady state and
+    # biased whichever route ran first
+    for _ in range(3):
+        eng.ann_search("vecs", "ivfpq", queries[0], k=10, nprobe=nlist).collect()
 
     adc_walls, adc_ids = probe_all("adc")
     saved = kernels.ADC_MAX_NQ
@@ -80,7 +83,10 @@ def main() -> None:
         gemm_walls, gemm_ids = probe_all("gemm")
     finally:
         kernels.ADC_MAX_NQ = saved
-    assert adc_ids == gemm_ids, "route results diverged"
+    # second ADC pass on the now-identically-warm state guards against
+    # drift across the run
+    adc2_walls, adc2_ids = probe_all("adc2")
+    assert adc_ids == gemm_ids == adc2_ids, "route results diverged"
 
     print(
         json.dumps(
@@ -89,6 +95,7 @@ def main() -> None:
                 "build_wall_sec": build_wall,
                 "adc_s_per_query": round(sum(adc_walls) / len(adc_walls), 2),
                 "gemm_s_per_query": round(sum(gemm_walls) / len(gemm_walls), 2),
+                "adc2_s_per_query": round(sum(adc2_walls) / len(adc2_walls), 2),
                 "identical_results": True,
             }
         )
