@@ -1869,6 +1869,20 @@ def q_url_curation(spark, sf_dir):
     )
 
 
+def q_curation_funnel(spark, sf_dir):
+    """One-pass curation funnel (pipeline/report.py): every doc
+    attributed to the FIRST stage that drops it (language -> quality ->
+    exact-dup, prepare_corpus order) via one chained CASE + a
+    survivors-join, aggregated once — per-stage doc/token counts without
+    one corpus pass per stage."""
+    from duckdb_annsearch_spark.pipeline.report import corpus_funnel
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_funnel(
+        docs, langs=("en",), min_quality=0.3, dedup="exact"
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """Normalized-URL dedup (pipeline/urls.py::dedup_by_url): re-crawls
     of one page — same URL modulo case/ports/tracking-params/fragments —
@@ -2053,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "url_curation": q_url_curation,
         "url_dedup": q_url_dedup,
+        "curation_funnel": q_curation_funnel,
         "vocab_topk": q_vocab_topk,
         "bigram_counts": q_bigram_counts,
     }
@@ -2788,6 +2803,73 @@ def oracle_sql() -> dict[str, str]:
       SELECT *, row_number() OVER (PARTITION BY coalesce(md5(text), '__null__' || doc_id) ORDER BY doc_id ASC) AS rn
       FROM kept
     ) WHERE rn = 1
+    """
+
+    # one-pass curation funnel: same lang/quality/dedup machinery as the
+    # prepare_corpus oracle, re-expressed as first-failing-stage
+    # attribution + a per-stage aggregate (kept docs are the
+    # prepare_corpus survivors by construction)
+    oracles["curation_funnel"] = f"""
+    WITH tok AS (SELECT doc_id, text, {toks_d} AS tk FROM documents),
+    lng AS (SELECT doc_id,
+      {marker_count('en')} AS en, {marker_count('es')} AS es,
+      {marker_count('de')} AS de, {marker_count('fr')} AS fr FROM tok),
+    lang AS (SELECT doc_id, CASE
+      WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+      WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+      WHEN es >= de AND es >= fr THEN 'es'
+      WHEN de >= fr THEN 'de'
+      ELSE 'fr' END AS lang FROM lng),
+    m AS (
+      SELECT doc_id, tk,
+             length(text)::DOUBLE AS n_chars,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS n_digits,
+             len(tk)::DOUBLE AS n_tokens,
+             len(list_filter(tk, t -> list_contains([{stop}], t)))::DOUBLE AS n_stop
+      FROM tok
+    ),
+    q AS (SELECT doc_id, CAST(round(
+        0.4 * least(n_tokens / 100.0, 1.0)
+      + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 3.0, 1.0)
+      + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END * 5.0, 1.0))
+      + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0 END * 5.0, 1.0))
+      , 6) + 0.0 AS DOUBLE) AS quality FROM m),
+    surv AS (
+      SELECT doc_id FROM (
+        SELECT d.doc_id, row_number() OVER (
+          PARTITION BY coalesce(md5(d.text), '__null__' || d.doc_id)
+          ORDER BY d.doc_id ASC) AS rn
+        FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+        WHERE l.lang = 'en' AND q.quality >= 0.3
+      ) WHERE rn = 1
+    ),
+    staged AS (
+      SELECT d.doc_id,
+        len(regexp_extract_all(lower(d.text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))::BIGINT
+          AS bpe,
+        CASE
+          WHEN l.lang <> 'en' THEN 'lang'
+          WHEN q.quality < 0.3 THEN 'quality'
+          WHEN s.doc_id IS NULL THEN 'exact_dup'
+          ELSE 'kept'
+        END AS stage
+      FROM documents d
+      JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+      LEFT JOIN surv s USING (doc_id)
+    ),
+    rep AS (
+      SELECT stage, count(*) AS n_docs, sum(bpe)::BIGINT AS n_tokens
+      FROM staged GROUP BY stage
+    )
+    SELECT stage,
+      CAST(CASE stage WHEN 'lang' THEN 0 WHEN 'quality' THEN 1
+           WHEN 'exact_dup' THEN 2 ELSE 3 END AS INT) AS stage_order,
+      n_docs, n_tokens,
+      CAST(round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) + 0.0 AS DOUBLE)
+        AS pct_docs
+    FROM rep
     """
 
     from duckdb_annsearch_spark.pipeline.quality import (
