@@ -2383,7 +2383,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
              regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
              regexp_extract(pqf, '^([^?#]*)', 1) AS path,
-             regexp_extract(pqf, '\\?([^#]*)', 1) AS qs
+             regexp_extract(pqf, '^[^?#]*\\?([^#]*)', 1) AS qs
       FROM r
     ), t AS (
       SELECT *,
@@ -3468,6 +3468,7 @@ def oracle_sql() -> dict[str, str]:
                   OR ends_with(l, '?') OR ends_with(l, '"'))
                  AND len(list_filter(string_split_regex(l, '\\s+'),
                                      x -> x <> '')) >= 5
+                 AND NOT contains(lower(l), 'javascript')
           ), chr(10)) AS clean_text
       FROM aug
     )
@@ -3483,8 +3484,7 @@ def oracle_sql() -> dict[str, str]:
         + (len(clean_text) - len(replace(clean_text, '!', '')))
         + (len(clean_text) - len(replace(clean_text, '?', '')))) >= 3
        AND NOT (contains(lower(clean_text), 'lorem ipsum')
-                OR contains(lower(clean_text), '{')
-                OR contains(lower(clean_text), 'javascript'))) AS keep
+                OR contains(lower(clean_text), '{'))) AS keep
     FROM cleaned
     """
 

@@ -777,17 +777,20 @@ def dedup_against(
     reference corpus's md5 keys + a left-anti join; NULL texts are never
     duplicates (per-row key, SQL NULL semantics).
 
-    ``mode='fuzzy'``: MinHash-LSH candidates (a df↔ref band-bucket
-    equi-join — never all-pairs) verified by exact shingle-Jaccard >=
-    ``threshold``.  Byte-identical docs collide in every band, so unlike
-    the self-join family no exact pre-pass is needed: identical pairs are
-    candidates and verify at jaccard 1.0.  ``max_bucket`` caps degenerate
-    REFERENCE buckets (boilerplate content shared by thousands of ref
-    docs) — a df doc matching such a bucket almost surely verifies
-    against SOME member, so capping the join stays safe at corpus scale;
-    shingle-less docs (< shingle_k words) carry sentinel signatures and
-    are excluded on both sides, matching the batch family's 'empty docs
-    are never duplicates' contract.
+    ``mode='fuzzy'``: an exact md5 pre-pass first (byte-identical docs
+    are dropped outright — one distinct-project + anti-join, and the
+    reason ``max_bucket`` is safe, see below), then MinHash-LSH
+    candidates (a df↔ref band-bucket equi-join — never all-pairs)
+    verified by exact shingle-Jaccard >= ``threshold``.  ``max_bucket``
+    caps degenerate REFERENCE buckets (boilerplate content shared by
+    thousands of ref docs): byte-identical matches to such content are
+    already gone via the pre-pass — without it a doc identical to
+    over-cap boilerplate would lose EVERY band to the cap and escape —
+    so the cap can only miss *near*-(not exact-)duplicates of
+    heavily-duplicated reference content, the standard recall trade of
+    bucket capping.  Shingle-less docs (< shingle_k words) carry
+    sentinel signatures and are excluded on both sides, matching the
+    batch family's 'empty docs are never duplicates' contract.
 
     Scale shape: two map-only signature passes + one equi-join keyed on
     (band, band_hash) + one verify join over candidates + one left-anti
@@ -806,6 +809,9 @@ def dedup_against(
         )
     if mode != "fuzzy":
         raise ValueError(f"unknown dedup_against mode {mode!r}")
+
+    # exact pre-pass (see docstring: what makes max_bucket safe)
+    df = dedup_against(df, ref, text_col, id_col, mode="exact")
 
     nonempty = F.size(word_shingles(F.col(text_col), shingle_k)) > 0
     left = band_buckets(

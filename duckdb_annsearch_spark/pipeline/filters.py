@@ -173,7 +173,12 @@ def gopher_filter(
 # ---------------------------------------------------------------------------
 
 C4_TERMINAL_PUNCT = (".", "!", "?", '"')
-C4_BAD_SUBSTRINGS = ("lorem ipsum", "{", "javascript")
+# page-level drops (the paper removes the whole page for these)
+C4_BAD_SUBSTRINGS = ("lorem ipsum", "{")
+# line-level drop (the paper removes only the offending line — a whole-page
+# drop here would discard materially more of a web crawl, where
+# 'javascript' is a common incidental word)
+C4_BAD_LINE_WORD = "javascript"
 
 
 def _c4_line_keep(line: Column, min_words_per_line: int) -> Column:
@@ -181,16 +186,18 @@ def _c4_line_keep(line: Column, min_words_per_line: int) -> Column:
     for p in C4_TERMINAL_PUNCT:
         ends_ok = ends_ok | line.endswith(p)
     n_words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
-    return ends_ok & (n_words >= min_words_per_line)
+    return (
+        ends_ok
+        & (n_words >= min_words_per_line)
+        & ~F.lower(line).contains(C4_BAD_LINE_WORD)
+    )
 
 
 def c4_clean_text(text: Column, min_words_per_line: int = 5) -> Column:
-    """The C4 LINE rules: keep only lines that end in terminal punctuation
-    and carry at least ``min_words_per_line`` words; surviving lines are
-    re-joined with ``\\n``.  (The paper's per-line 'javascript' drop is a
-    document rule here — see :func:`c4_stats` — because the corpus-level
-    effect is identical and the document form keeps the clean text a pure
-    function of the line rules.)"""
+    """The C4 LINE rules: keep only lines that end in terminal
+    punctuation, carry at least ``min_words_per_line`` words, and do not
+    contain the word 'javascript' (the paper's per-line drop); surviving
+    lines are re-joined with ``\\n``."""
     kept = F.filter(
         line_list(text), lambda l: _c4_line_keep(l, min_words_per_line)
     )

@@ -47,6 +47,10 @@ def funnel(
     names = [n for n, _ in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
+    if KEPT in names:
+        raise ValueError(
+            f"stage name {KEPT!r} is reserved for the survivors row"
+        )
     out = df
     keeps: list[tuple[str, Column]] = []
     for i, (name, keep) in enumerate(stages):
@@ -102,9 +106,13 @@ def corpus_funnel(
 ) -> DataFrame:
     """The standard curation stages as a one-pass funnel, attribution
     matching :func:`~duckdb_annsearch_spark.pipeline.corpus.prepare_corpus`
-    order (language → quality → rule filters → dedup).  The dedup stage
-    is computed among documents surviving the per-row stages — the same
-    loser set a sequential pipeline would produce."""
+    order — C4 line surgery FIRST (it rewrites the text, so every later
+    stage judges the cleaned content), then the Gopher rules, then
+    language and quality, then dedup.  The dedup stage is computed among
+    documents surviving the per-row stages, over the SAME (cleaned when
+    ``c4=True``) text a sequential pipeline would key on, so the loser
+    set matches.  ``n_tokens`` always counts the ORIGINAL text (the
+    funnel reports what each stage removes from the input corpus)."""
     from duckdb_annsearch_spark.pipeline.text import (
         detect_language,
         quality_score,
@@ -112,10 +120,14 @@ def corpus_funnel(
 
     t = F.col(text_col)
     row_stages: list[tuple[str, Column | DataFrame]] = []
-    if langs is not None:
-        row_stages.append(("lang", detect_language(t).isin(list(langs))))
-    if min_quality is not None:
-        row_stages.append(("quality", quality_score(t) >= float(min_quality)))
+    if c4:
+        from duckdb_annsearch_spark.pipeline.filters import c4_stats
+
+        st = c4_stats(t)
+        work = st["clean_text"]
+        row_stages.append(("c4", st["keep"]))
+    else:
+        work = t
     if gopher:
         from duckdb_annsearch_spark.pipeline.filters import (
             gopher_keep,
@@ -123,12 +135,17 @@ def corpus_funnel(
         )
 
         row_stages.append(
-            ("gopher", gopher_keep(gopher_stats(t), **(gopher_thresholds or {})))
+            (
+                "gopher",
+                gopher_keep(gopher_stats(work), **(gopher_thresholds or {})),
+            )
         )
-    if c4:
-        from duckdb_annsearch_spark.pipeline.filters import c4_stats
-
-        row_stages.append(("c4", c4_stats(t)["keep"]))
+    if langs is not None:
+        row_stages.append(("lang", detect_language(work).isin(list(langs))))
+    if min_quality is not None:
+        row_stages.append(
+            ("quality", quality_score(work) >= float(min_quality))
+        )
     stages = list(row_stages)
     if dedup == "exact":
         from duckdb_annsearch_spark.pipeline.dedup import dedup_exact
@@ -136,6 +153,11 @@ def corpus_funnel(
         pre = df
         for _, keep in row_stages:
             pre = pre.where(F.coalesce(keep, F.lit(False)))
+        if c4:
+            # dedup keys must see the text the sequential pipeline would
+            # carry at this point: the C4-cleaned form (the predicates
+            # above were already applied against the original rows)
+            pre = pre.withColumn(text_col, work)
         stages.append(
             ("exact_dup", dedup_exact(pre, text_col, id_col).select(id_col))
         )

@@ -98,10 +98,16 @@ def url_path(url: Column) -> Column:
     )
 
 
+# anchored: the query starts at the FIRST '?' and only if it precedes any
+# '#' — an unanchored \? would match a '?' inside the fragment and invent
+# a query for 'page#frag?x' shapes
+_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+
 def url_query(url: Column) -> Column:
     """Raw query string without the '?' ('' when absent); NULL non-URLs."""
     return _nullify_non_url(
-        url, F.regexp_extract(_path_query_fragment(url), r"\?([^#]*)", 1)
+        url, F.regexp_extract(_path_query_fragment(url), _QUERY_RE, 1)
     )
 
 
@@ -238,7 +244,7 @@ def _stage_parts(df: DataFrame, url_col: str) -> DataFrame:
             _P + "path", F.regexp_extract(F.col(_P + "pqf"), r"^([^?#]*)", 1)
         )
         .withColumn(
-            _P + "qs", F.regexp_extract(F.col(_P + "pqf"), r"\?([^#]*)", 1)
+            _P + "qs", F.regexp_extract(F.col(_P + "pqf"), _QUERY_RE, 1)
         )
     )
 
@@ -278,11 +284,16 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     """URL-level exact dedup: keep the lowest-id row per normalized URL
     (re-crawls of one page collapse regardless of tracking params, ports,
     fragments, or param order).  Rows whose ``url_col`` is NULL or not a
-    URL each survive on a per-row key — never each other's duplicates.
+    URL each survive on a per-row key — never each other's duplicates —
+    and rows with a NULL ``id_col`` bypass the window entirely (all
+    survive: without an id there is no deterministic per-row key, and a
+    NULL-propagated fallback would collapse them into one partition).
     One hash-partitioned window, the dedup_exact shape."""
     from pyspark.sql import Window
 
-    staged = _stage_parts(df, url_col).withColumn(
+    keyed = df.where(F.col(id_col).isNotNull())
+    no_id = df.where(F.col(id_col).isNull())
+    staged = _stage_parts(keyed, url_col).withColumn(
         "__key",
         F.coalesce(
             _staged_norm(),
@@ -290,11 +301,12 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
-    return _drop_parts(
+    out = _drop_parts(
         staged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__key")
     )
+    return out.unionByName(no_id)
 
 
 def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
@@ -355,10 +367,12 @@ def cap_per_domain(
     tagged = _drop_parts(
         _stage_parts(df, url_col).withColumn("__domain", _staged_domain())
     )
-    urls = tagged.where(
-        F.col("__domain").isNotNull() & F.col(id_col).isNotNull()
-    )
-    rest = tagged.where(F.col("__domain").isNull()).drop("__domain")
+    # NULL-id rows pass through with the non-URL rows: they cannot take a
+    # deterministic hash rank, and silently dropping them would violate
+    # the only-the-cap-removes-rows contract
+    cappable = F.col("__domain").isNotNull() & F.col(id_col).isNotNull()
+    urls = tagged.where(cappable)
+    rest = tagged.where(~F.coalesce(cappable, F.lit(False))).drop("__domain")
     if cap == 0:
         return rest
     counts = urls.groupBy("__domain").agg(F.count("*").alias("__cnt"))

@@ -68,7 +68,10 @@ def top_vocab(
     N-row heaps, never a global sort.  The cumsum window then runs over
     the N selected rows only (bounded, documented single partition); the
     token total is one scalar aggregate broadcast-joined back."""
-    counts = word_counts(df, text_col)
+    # the counts table feeds both the scalar total and the top-N select —
+    # pin it so the tokenize/explode/groupBy runs once (localCheckpoint,
+    # not persist: blocks are reclaimed when the DataFrame is dropped)
+    counts = word_counts(df, text_col).localCheckpoint(eager=False)
     total = counts.agg(F.sum("count").alias("__total"))
     top = counts.orderBy(F.col("count").desc(), F.col("word").asc()).limit(
         int(top_n)
@@ -104,13 +107,16 @@ def vocab_coverage(
     data-sized table (broadcast when small — Catalyst decides); tokens
     are counted per word first so the join is vocab-sized x
     distinct-words, not corpus-sized."""
-    counts = word_counts(df, text_col)
+    # three consumers (semi-join, total, in-vocab sum) — pin one run
+    counts = word_counts(df, text_col).localCheckpoint(eager=False)
     marked = counts.join(
         vocab.select(F.col(word_col).alias("word")).distinct(),
         "word",
         "left_semi",
     )
-    tot = counts.agg(F.sum("count").alias("n_tokens"))
+    tot = counts.agg(
+        F.coalesce(F.sum("count"), F.lit(0)).alias("n_tokens")
+    )
     inv = marked.agg(F.coalesce(F.sum("count"), F.lit(0)).alias("n_in_vocab"))
     return (
         tot.crossJoin(inv)

@@ -53,11 +53,14 @@ class TestFuzzy:
         out = dedup_against(new, ref, mode="fuzzy", threshold=1.0)
         assert _ids(out) == [1]
 
-    def test_empty_and_null_docs_survive(self, spark):
-        new = _df(spark, [(1, ""), (2, None), (3, "a b")])  # all shingle-less
+    def test_shingleless_docs(self, spark):
+        # byte-identical shingle-less docs ARE duplicates (the exact
+        # pre-pass catches them — minhash alone could not); NULL text and
+        # non-identical short docs survive
+        new = _df(spark, [(1, ""), (2, None), (3, "a b"), (4, "a c")])
         ref = _df(spark, [(100, ""), (101, "a b")])
         out = dedup_against(new, ref, mode="fuzzy", threshold=0.5)
-        assert _ids(out) == [1, 2, 3]
+        assert _ids(out) == [2, 4]
 
     def test_schema_preserved(self, spark):
         new = _df(spark, [(1, OTHER)]).withColumn("extra", F.lit(7))
@@ -67,14 +70,17 @@ class TestFuzzy:
         assert out.count() == 1
 
     def test_max_bucket_caps_reference_buckets(self, spark):
-        # 30 identical ref docs form a degenerate bucket; cap drops the
-        # bucket, so the matching new doc survives (the documented trade)
-        new = _df(spark, [(1, BASE)])
+        # 30 identical ref docs form a degenerate over-cap bucket.
+        # A byte-identical new doc is dropped REGARDLESS of the cap (the
+        # exact pre-pass — without it the cap would let it escape); a
+        # NEAR-dup of the same boilerplate loses its candidates to the
+        # cap and survives — the documented recall trade of capping.
+        new = _df(spark, [(1, BASE), (2, NEAR)])
         ref = _df(spark, [(100 + i, BASE) for i in range(30)])
-        kept = dedup_against(new, ref, mode="fuzzy", max_bucket=5)
-        assert _ids(kept) == [1]
-        dropped = dedup_against(new, ref, mode="fuzzy")
-        assert _ids(dropped) == []
+        capped = dedup_against(new, ref, mode="fuzzy", max_bucket=5)
+        assert _ids(capped) == [2]
+        uncapped = dedup_against(new, ref, mode="fuzzy", threshold=0.5)
+        assert _ids(uncapped) == []
 
     def test_ref_ids_disjoint_not_required(self, spark):
         # same id space on both sides must not confuse the anti-join

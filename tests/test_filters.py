@@ -148,7 +148,12 @@ class TestC4:
             (4, base + "\nEnable javascript to view this page content."),
         ]
         out = c4_filter(_docs(spark, rows))
-        assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
+        # lorem ipsum and '{' drop the PAGE; 'javascript' drops only the
+        # LINE (paper semantics) — doc 4 survives minus that line
+        kept = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert sorted(kept) == [1, 4]
+        assert "javascript" not in kept[4]
+        assert kept[4] == base
 
     def test_text_column_replaced(self, spark):
         text = "Keep this full sentence with many words.\ndrop me"
