@@ -1968,8 +1968,15 @@ def q_c4_filter(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.filters import c4_filter
 
     docs = _read(spark, sf_dir, "documents")
+    # coalesce BEFORE augmenting: sf0.1 carries NULL texts, and the two
+    # engines would otherwise diverge (Spark's c4_stats NULL-guards its
+    # input; SQL would NULL-propagate through the whole construction)
     aug = F.concat(
-        F.replace(F.col("text"), F.lit(" value "), F.lit(".\n")),
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" value "),
+            F.lit(".\n"),
+        ),
         F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum.")).otherwise(
             F.lit(".")
         ),
@@ -3454,13 +3461,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["c4_filter"] = """
     WITH aug AS (
       SELECT doc_id,
-             replace(text, ' value ', '.' || chr(10))
+             replace(coalesce(text, ''), ' value ', '.' || chr(10))
              || (CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum.' ELSE '.' END)
              AS t
       FROM documents
     ), cleaned AS (
       SELECT doc_id,
-        array_to_string(
+        coalesce(array_to_string(
           list_filter(
             list_transform(string_split(coalesce(t, ''), chr(10)),
                            l -> rtrim(l)),
@@ -3469,7 +3476,7 @@ def oracle_sql() -> dict[str, str]:
                  AND len(list_filter(string_split_regex(l, '\\s+'),
                                      x -> x <> '')) >= 5
                  AND NOT contains(lower(l), 'javascript')
-          ), chr(10)) AS clean_text
+          ), chr(10)), '') AS clean_text
       FROM aug
     )
     SELECT doc_id, clean_text,
