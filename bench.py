@@ -162,10 +162,10 @@ def main():
     t_start = time.time()
     # warm the engine (Flat/IVF/graph/FTS index builds) as its own entry so
     # search timings measure search, not DDL.  Round-5 note: index_build
-    # grew r4 -> r5 (43.6s -> ~79s) because the warm family grew 13 -> 18
-    # indexes — the full factory surface now builds SQ4/SQfp16/PCA32/LSH256
-    # plus a SECOND sharded graph (OPQ) so their bench queries measure
-    # search only; per-index build cost is flat.
+    # grew r4 -> r5 (43.6s -> ~74s) because the warm family grew 13 -> 19
+    # indexes — the full factory surface now builds SQ4/SQfp16/PCA32/LSH256/
+    # PCA32+IVF8 plus a SECOND sharded graph (OPQ) so their bench queries
+    # measure search only; per-index build cost is flat.
     t0 = time.time()
     try:
         # the two warm engines are fully independent (separate AnnEngine

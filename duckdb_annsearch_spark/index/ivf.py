@@ -668,12 +668,21 @@ class IvfFlatIndex(BaseIndex):
         dim, metric, k_ = self.meta.dim, self.meta.metric, k
         dq = self._dequant_args()
         vcol = "codes" if dq else "vector"
-        # capture the ADC gate driver-side: executors import their own
-        # kernels copy from the shipped zip, so a runtime change to
-        # kernels.ADC_MAX_NQ (tests, A/B tools) must be bound here
-        adc_max = kernels.ADC_MAX_NQ if kernels.supports_adc(dq, metric) else -1
+        # ADC route decided driver-side for the WHOLE batch (executors
+        # import their own kernels copy, so the gate must be bound here;
+        # and per-cell routing would let one query's merged top-k mix two
+        # f32 scoring paths, making results depend on which other queries
+        # share the batch): all cells score via ADC or none do
+        use_adc = (
+            kernels.supports_adc(dq, metric)
+            and len(queries) <= kernels.ADC_MAX_NQ
+        )
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per-cell LUTs cached for the task's lifetime: the (query
+            # subset, centroid) pair is fixed per cell, so the table is
+            # built once per cell instead of once per (cell, Arrow batch)
+            adc_tabs: dict[int, tuple] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -682,12 +691,18 @@ class IvfFlatIndex(BaseIndex):
                     if not qids:
                         continue
                     rc = dq.get("residual_centroids") if dq else None
-                    if len(qids) <= adc_max:
+                    if use_adc:
                         # PQ cells score straight off the codes; the
                         # residual centroid folds into the query side
+                        tabs = adc_tabs.get(int(c))
+                        if tabs is None:
+                            tabs = kernels.adc_tables(
+                                qarr[qids], dq, metric,
+                                centroid=None if rc is None else rc[int(c)],
+                            )
+                            adc_tabs[int(c)] = tabs
                         d = kernels.adc_distances(
-                            qarr[qids], grp[vcol], dq, metric,
-                            centroid=None if rc is None else rc[int(c)],
+                            qarr[qids], grp[vcol], dq, metric, tables=tabs
                         )
                     else:
                         if dq:

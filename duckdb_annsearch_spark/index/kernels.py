@@ -236,10 +236,7 @@ def decode_codes(bufs, dq: dict) -> np.ndarray:
     fp16 (``{'fp16': True}`` — raw float16 widened), and PQ
     (``{'codebooks': (m,256,dsub)}`` — per-subspace centroid gather).  Every
     probe path then runs the same GEMM on the reconstruction."""
-    if isinstance(bufs, np.ndarray):
-        codes = bufs
-    else:
-        codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in bufs])
+    codes = _stack_codes(bufs)
     if "codebooks" in dq:
         from duckdb_annsearch_spark.index.pq import decode_pq
 
@@ -300,39 +297,40 @@ def supports_adc(dq: dict | None, metric: str) -> bool:
     )
 
 
-def adc_distances(
+def _stack_codes(codes) -> np.ndarray:
+    """(n, m) uint8 code matrix from byte buffers (already-stacked arrays
+    pass through) — the ONE buffer-parsing site for ADC/decode callers."""
+    if isinstance(codes, np.ndarray):
+        return codes
+    return np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes])
+
+
+def adc_tables(
     qarr: np.ndarray,
-    codes,
     dq: dict,
     metric: str,
     centroid: np.ndarray | None = None,
-) -> np.ndarray:
-    """(nq, n) asymmetric-distance PQ scoring (the FAISS ADC recipe,
-    e.g. faiss IndexPQ search): per-query lookup tables
-    ``lut[s, c] = d(q_s, codebook[s][c])`` then a gather-sum over the raw
-    ``(n, m)`` uint8 codes — the ``(n, dim)`` float32 reconstruction is
-    never materialized (16x less memory traffic at m=16, dim=64) and the
-    per-candidate cost is m table adds instead of dim FMA.
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """``(lut (nq, m, ksub) f32, ip_const (nq,) or None)`` — the per-query
+    ADC lookup tables.  Depends only on (queries, descriptor, metric,
+    centroid): callers scoring MANY blocks against one query set build
+    this once and pass it to :func:`adc_distances` via ``tables=``
+    (rebuilding per ~8k-row Arrow batch roughly doubles per-batch ADC
+    cost).  Small by construction: nq<=ADC_MAX_NQ x m x 256 floats.
 
     Exact identities keep every descriptor in the family correct:
 
     - OPQ rotation R (decode is ``y @ R.T``): ``||q - yR^T|| = ||qR - y||``
       for orthogonal R, so the query rotates instead of the codes.
     - residual coding to a cell centroid c (decode adds c back):
-      L2 folds it as ``q - c``; IP adds the scalar ``-(q . c)`` after.
-
-    Matches ``pairwise_distances`` semantics: squared L2 clamped at 0,
-    IP negated.  f32 throughout (same accumulation class as the GEMM
-    path; code-distance candidates are re-ranked exactly anyway)."""
+      L2 folds it as ``q - c``; IP contributes the scalar ``-(q . c)``
+      returned as ``ip_const``."""
     books = np.asarray(dq["codebooks"], dtype=np.float32)
     m, ksub, dsub = books.shape
-    if isinstance(codes, np.ndarray):
-        c_mat = codes
-    else:
-        c_mat = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes])
     q = np.ascontiguousarray(qarr, dtype=np.float32)
-    nq, n = q.shape[0], c_mat.shape[0]
+    nq = q.shape[0]
     rot = dq.get("rotation")
+    const = None
     if metric == "l2":
         qeff = q - centroid if centroid is not None else q
         if rot is not None:
@@ -347,7 +345,39 @@ def adc_distances(
         qeff = q @ np.asarray(rot, dtype=np.float32) if rot is not None else q
         qs = qeff.reshape(nq, m, dsub)
         lut = -np.einsum("nsd,skd->nsk", qs, books)
-    lut = lut.astype(np.float32, copy=False)
+        if centroid is not None:
+            const = (q @ np.asarray(centroid, dtype=np.float32)).astype(
+                np.float32
+            )
+    return lut.astype(np.float32, copy=False), const
+
+
+def adc_distances(
+    qarr: np.ndarray,
+    codes,
+    dq: dict,
+    metric: str,
+    centroid: np.ndarray | None = None,
+    tables: tuple[np.ndarray, np.ndarray | None] | None = None,
+) -> np.ndarray:
+    """(nq, n) asymmetric-distance PQ scoring (the FAISS ADC recipe,
+    e.g. faiss IndexPQ search): per-query lookup tables
+    ``lut[s, c] = d(q_s, codebook[s][c])`` then a gather-sum over the raw
+    ``(n, m)`` uint8 codes — the ``(n, dim)`` float32 reconstruction is
+    never materialized (16x less memory traffic at m=16, dim=64) and the
+    per-candidate cost is m table adds instead of dim FMA.  Pass a
+    precomputed :func:`adc_tables` result via ``tables=`` when scoring
+    multiple blocks.
+
+    Matches ``pairwise_distances`` semantics: squared L2 clamped at 0,
+    IP negated.  f32 throughout (same accumulation class as the GEMM
+    path; code-distance candidates are re-ranked exactly anyway)."""
+    lut, const = (
+        tables if tables is not None else adc_tables(qarr, dq, metric, centroid)
+    )
+    c_mat = _stack_codes(codes)
+    nq, n = lut.shape[0], c_mat.shape[0]
+    m = lut.shape[1]
     out = np.empty((nq, n), dtype=np.float32)
     cols = [np.ascontiguousarray(c_mat[:, s]) for s in range(m)]
     for i in range(nq):
@@ -357,8 +387,8 @@ def adc_distances(
         for s in range(1, m):
             acc += lut[i, s][cols[s]]
         out[i] = acc
-    if metric == "ip" and centroid is not None:
-        out -= (q @ np.asarray(centroid, dtype=np.float32))[:, None]
+    if const is not None:
+        out -= const[:, None]
     if metric == "l2":
         np.maximum(out, 0.0, out=out)
     return out
@@ -425,13 +455,18 @@ def probe_partitions(
     dq = dequantize  # {'mins': [...], 'scales': [...]} for SQ8 artifacts
 
     use_adc = supports_adc(dq, metric) and qarr.shape[0] <= ADC_MAX_NQ
+    # LUT built ONCE driver-side (it depends only on the fixed query set +
+    # descriptor) and shipped in the closure — tiny (nq x m x 256 f32)
+    adc_tabs = adc_tables(qarr, dq, metric) if use_adc else None
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if use_adc:
-                d = adc_distances(qarr, pdf[vector_col], dq, metric)
+                d = adc_distances(
+                    qarr, pdf[vector_col], dq, metric, tables=adc_tabs
+                )
             else:
                 x = materialize_block(
                     dq,

@@ -28,17 +28,12 @@ def iter_vector_batches(
     dequantize: dict | None = None,
     cluster_ids: list[int] | None = None,
     batch_rows: int = DEFAULT_BATCH_ROWS,
-    raw_codes: bool = False,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yield ``(row_ids int64[n], X float32[n, dim])`` batches from a parquet
     artifact directory.  ``cluster_ids`` prunes hive-partitioned IVF cells —
     the pyarrow twin of Spark partition pruning.  SQ8 artifacts pass
     ``dequantize={'mins', 'scales'}`` and read only the codes column
-    (column pruning keeps quantized scans at 1/4 the bytes).
-
-    ``raw_codes=True`` (ADC callers) yields the stacked ``(n, m)`` uint8
-    code matrix instead of the decoded block — the caller scores it with
-    ``kernels.adc_distances`` and the f32 reconstruction never exists."""
+    (column pruning keeps quantized scans at 1/4 the bytes)."""
     import pyarrow.dataset as ds
 
     part = "hive" if cluster_ids is not None else None
@@ -52,11 +47,6 @@ def iter_vector_batches(
             continue
         rid = batch.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
         col = batch.column(vector_col)
-        if raw_codes:
-            yield rid, np.stack(
-                [np.frombuffer(b.as_py(), dtype=np.uint8) for b in col]
-            )
-            continue
         x = kernels.materialize_block(
             dequantize,
             lambda: _fixed_matrix(col, dim),
@@ -107,12 +97,10 @@ def probe_path_df(
     from duckdb_annsearch_spark.index import kernels
 
     dele = deleted if deleted is not None and deleted.size else None
-    # ADC gate bound driver-side (executors import their own kernels copy)
-    adc_max = (
-        kernels.ADC_MAX_NQ
-        if kernels.supports_adc(dequantize, metric)
-        else -1
-    )
+    # no ADC route here deliberately: this surface probes raw-vector delta
+    # tails (base.py passes _delta_dequant_args — never a codebook
+    # descriptor), and the query-distributed main probes carry LARGE
+    # per-task query slices where decode+GEMM is the right regime anyway
 
     def probe(batches):
         # concatenate the task's Arrow batches FIRST: the artifact is
@@ -131,21 +119,13 @@ def probe_path_df(
             valid = []
         if valid:
             qarr = kernels.transform_queries(np.stack([q for _, q in valid]), dequantize)
-            use_adc = len(valid) <= adc_max
             top = RunningTopK(len(valid), k)
-            for rid, x in iter_vector_batches(
-                path, dim, vector_col, dequantize, raw_codes=use_adc
-            ):
+            for rid, x in iter_vector_batches(path, dim, vector_col, dequantize):
                 if dele is not None:
                     keep = ~np.isin(rid, dele)
                     rid, x = rid[keep], x[keep]
                 if rid.size:
-                    d = (
-                        kernels.adc_distances(qarr, x, dequantize, metric)
-                        if use_adc
-                        else kernels.pairwise_distances(qarr, x, metric)
-                    )
-                    top.update_batch(d, rid)
+                    top.update_batch(kernels.pairwise_distances(qarr, x, metric), rid)
             outs = []
             for qi, (orig_idx, _) in enumerate(valid):
                 r, d = top.result(qi)

@@ -57,6 +57,20 @@ def test_l2_clamped_nonnegative():
     assert got[0, 0] == pytest.approx(0.0, abs=1e-3)
 
 
+def test_precomputed_tables_identical():
+    # the multi-block path builds tables once and passes them in — must
+    # be bit-identical to the direct call, incl. the IP residual const
+    q, codes, dq = _setup(seed=7, rotate=True)
+    centroid = np.random.default_rng(5).standard_normal(32).astype(np.float32)
+    for metric in ("l2", "ip"):
+        tabs = kernels.adc_tables(q, dq, metric, centroid=centroid)
+        via_tabs = kernels.adc_distances(
+            q, codes, dq, metric, tables=tabs
+        )
+        direct = kernels.adc_distances(q, codes, dq, metric, centroid=centroid)
+        np.testing.assert_array_equal(via_tabs, direct)
+
+
 def test_accepts_buffer_list():
     q, codes, dq = _setup(seed=3)
     bufs = [c.tobytes() for c in codes]

@@ -206,6 +206,18 @@ def main() -> None:
     stage("cap_per_domain", lambda: cap_per_domain(_urls, "url", cap=20))
     stage("top_vocab", lambda: top_vocab(docs, top_n=1000))
 
+    from duckdb_annsearch_spark.pipeline.report import corpus_funnel
+
+    stage(
+        "curation_funnel",
+        lambda: corpus_funnel(
+            docs, langs=None, min_quality=0.3,
+            gopher=True,
+            gopher_thresholds={"min_words": 20, "min_required_words": 0},
+            dedup="exact",
+        ),
+    )
+
     print(
         json.dumps(
             {
