@@ -381,7 +381,14 @@ def cap_per_domain(
         F.lit(float(HASH_SPACE)),
         F.lit(float(safety * cap)) * F.lit(float(HASH_SPACE)) / F.col("__cnt"),
     )
-    pre = urls.join(counts, "__domain").where(h < thr)
+    # pin the presample: it feeds the verify aggregate AND the rank
+    # window, and each would otherwise re-run the URL parse + count join
+    # over the whole corpus.  The pinned frame is presample-sized
+    # (O(domains x safety x cap) rows — the small side by construction),
+    # and localCheckpoint blocks are reclaimed when the frame is dropped.
+    pre = urls.join(counts, "__domain").where(h < thr).localCheckpoint(
+        eager=False
+    )
     if verify:
         # left join from the FULL count table: a domain whose presample
         # retained zero rows is absent from `pre` and must still flag

@@ -171,6 +171,27 @@ def register_seen_buckets(
     )
 
 
+def seed_seen_from_corpus(
+    ref_df: DataFrame,
+    seen_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Pre-register a STATIC reference corpus's band buckets as the
+    ``batch=-1`` partition, making :func:`dedup_near_stream` the
+    streaming twin of ``pipeline.dedup.dedup_against``: every incoming
+    micro-batch is near-deduplicated against the existing corpus from
+    the first trigger (and against the stream's own history as usual).
+    Run once before starting the stream; ``compact_seen`` preserves the
+    seeded buckets (it folds everything into the same ``batch=-1``)."""
+    register_seen_buckets(
+        ref_df, seen_dir, -1, text_col, id_col, num_hashes, bands, shingle_k
+    )
+
+
 def compact_seen(spark, seen_dir: str, partitions: int = 64) -> None:
     """Rewrite the seen store as one ``batch=-1`` partition of
     ``partitions`` files (distinct over all registered buckets).  Run

@@ -73,6 +73,23 @@ class TestIncrement:
         )
         assert sorted(r["doc_id"] for r in replay.collect()) == [1]
 
+    def test_seed_from_static_corpus(self, spark, tmp_path):
+        # the streaming twin of dedup_against: a pre-registered reference
+        # corpus dedups the very first micro-batch
+        from duckdb_annsearch_spark.streaming.dedup import (
+            seed_seen_from_corpus,
+        )
+
+        seen = tmp_path / "seen"
+        seed_seen_from_corpus(_df(spark, [(100, BASE)]), str(seen))
+        out = _step(spark, [(1, NEAR), (2, OTHER)], seen, 0)
+        assert out == [2]
+        # seeded buckets survive compaction
+        from duckdb_annsearch_spark.streaming.dedup import compact_seen
+
+        compact_seen(spark, str(seen))
+        assert _step(spark, [(3, NEAR)], seen, 1) == []
+
     def test_compact_seen(self, spark, tmp_path):
         seen = tmp_path / "seen"
         _step(spark, [(1, BASE)], seen, 0)
