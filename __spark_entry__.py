@@ -1821,6 +1821,17 @@ def q_vocab_topk(spark, sf_dir):
     return top_vocab(docs, top_n=100)
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """OOV-rate report (pipeline/vocab.py::vocab_coverage) against the
+    corpus's own top-20 vocabulary: one-row (n_tokens, n_in_vocab,
+    oov_rate) — the coverage audit a tokenizer-vocab decision needs."""
+    from duckdb_annsearch_spark.pipeline.vocab import top_vocab, vocab_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    vocab = top_vocab(docs, top_n=20).select("word")
+    return vocab_coverage(docs, vocab)
+
+
 def q_bigram_counts(spark, sf_dir):
     """Adjacent-token pair counts >= 5 (pipeline/vocab.py — the BPE merge
     candidate table): one zip_with explode + partial-aggregating groupBy."""
@@ -2076,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "curation_funnel": q_curation_funnel,
         "vocab_topk": q_vocab_topk,
+        "vocab_coverage": q_vocab_coverage,
         "bigram_counts": q_bigram_counts,
     }
 
@@ -2341,6 +2353,22 @@ def oracle_sql() -> dict[str, str]:
                                 ROWS UNBOUNDED PRECEDING)::DOUBLE / t, 6)
            + 0.0 AS DOUBLE) AS cum_frac
     FROM top, tot
+    """
+
+    # OOV coverage against the corpus's own top-20 vocabulary
+    oracles["vocab_coverage"] = f"""
+    WITH tok AS (SELECT {toks} AS tk FROM documents),
+    ex AS (SELECT unnest(tk) AS w FROM tok),
+    c AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+    top AS (SELECT w FROM c ORDER BY cnt DESC, w ASC LIMIT 20),
+    tot AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n_tokens FROM c),
+    inv AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n_in_vocab
+            FROM c WHERE w IN (SELECT w FROM top))
+    SELECT tot.n_tokens, inv.n_in_vocab,
+      CAST(round(CASE WHEN tot.n_tokens > 0
+        THEN 1.0 - inv.n_in_vocab::DOUBLE / tot.n_tokens ELSE 0.0 END, 6)
+        + 0.0 AS DOUBLE) AS oov_rate
+    FROM tot, inv
     """
 
     # adjacent-token bigram counts >= 5 (positions i, i+1 of the shared
