@@ -375,7 +375,14 @@ def cap_per_domain(
     rest = tagged.where(~F.coalesce(cappable, F.lit(False))).drop("__domain")
     if cap == 0:
         return rest
-    counts = urls.groupBy("__domain").agg(F.count("*").alias("__cnt"))
+    # pin the count table too: it is O(domains) rows but its LINEAGE is
+    # the full-corpus parse + groupBy, and both the presample join and
+    # the verify branch consume it
+    counts = (
+        urls.groupBy("__domain")
+        .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
     h = sample_hash(F.col(id_col), seed)
     thr = F.least(
         F.lit(float(HASH_SPACE)),

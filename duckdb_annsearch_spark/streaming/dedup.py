@@ -114,6 +114,7 @@ def near_dedup_increment(
     import os
 
     spark = batch_df.sparkSession
+    _check_store_params(seen_dir, num_hashes, bands, shingle_k)
     buckets = _real_buckets(
         batch_df, text_col, id_col, num_hashes, bands, shingle_k
     )
@@ -164,11 +165,45 @@ def register_seen_buckets(
     ``seen_dir/batch=<id>`` (overwrite — replay-idempotent).  Only
     survivors register: dropped duplicates are represented by the
     canonical doc they collided with."""
+    _check_store_params(seen_dir, num_hashes, bands, shingle_k)
     _real_buckets(
         survivors_df, text_col, id_col, num_hashes, bands, shingle_k
     ).select("band", "band_hash").distinct().write.mode("overwrite").parquet(
         f"{seen_dir}/batch={batch_id}"
     )
+
+
+def _check_store_params(
+    seen_dir: str, num_hashes: int, bands: int, shingle_k: int
+) -> None:
+    """Pin the store's LSH config in a ``_params.json`` sidecar on first
+    touch and REFUSE mismatched later calls: every reader/writer of one
+    store must band identically or the (band, band_hash) equi-join
+    silently never collides — duplicates of everything previously seen
+    would pass as survivors with zero errors."""
+    import json
+    import os
+
+    params = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_k": int(shingle_k),
+    }
+    os.makedirs(seen_dir, exist_ok=True)
+    fn = os.path.join(seen_dir, "_params.json")
+    if os.path.exists(fn):
+        with open(fn) as f:
+            existing = json.load(f)
+        if existing != params:
+            raise ValueError(
+                f"seen store {seen_dir} was built with {existing}; "
+                f"this call uses {params} — mismatched banding never "
+                "collides (pass the store's parameters, or use a new "
+                "store)"
+            )
+        return
+    with open(fn, "w") as f:
+        json.dump(params, f)
 
 
 def seed_seen_from_corpus(
@@ -180,16 +215,36 @@ def seed_seen_from_corpus(
     bands: int = 16,
     shingle_k: int = 3,
 ) -> None:
-    """Pre-register a STATIC reference corpus's band buckets as the
+    """Pre-register a STATIC reference corpus's band buckets into the
     ``batch=-1`` partition, making :func:`dedup_near_stream` the
     streaming twin of ``pipeline.dedup.dedup_against``: every incoming
     micro-batch is near-deduplicated against the existing corpus from
     the first trigger (and against the stream's own history as usual).
-    Run once before starting the stream; ``compact_seen`` preserves the
-    seeded buckets (it folds everything into the same ``batch=-1``)."""
-    register_seen_buckets(
-        ref_df, seen_dir, -1, text_col, id_col, num_hashes, bands, shingle_k
-    )
+
+    MERGES with any existing ``batch=-1`` content (a second reference
+    corpus, or history folded there by ``compact_seen``) — a plain
+    overwrite would silently erase the prior seed/compacted history and
+    re-admit duplicates of everything in it.  Like ``compact_seen``, run
+    between batches, not concurrently with an active stream."""
+    import os
+    import shutil
+    import tempfile
+
+    _check_store_params(seen_dir, num_hashes, bands, shingle_k)
+    spark = ref_df.sparkSession
+    new = _real_buckets(
+        ref_df, text_col, id_col, num_hashes, bands, shingle_k
+    ).select("band", "band_hash")
+    part = os.path.join(seen_dir, "batch=-1")
+    if os.path.isdir(part):
+        merged = new.union(spark.read.parquet(part)).distinct()
+        tmp = tempfile.mkdtemp(prefix="seen_seed_")
+        merged.write.mode("overwrite").parquet(f"{tmp}/batch=-1")
+        shutil.rmtree(part)
+        shutil.move(f"{tmp}/batch=-1", part)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        new.distinct().write.mode("overwrite").parquet(part)
 
 
 def compact_seen(spark, seen_dir: str, partitions: int = 64) -> None:
@@ -208,6 +263,11 @@ def compact_seen(spark, seen_dir: str, partitions: int = 64) -> None:
     )
     tmp = tempfile.mkdtemp(prefix="seen_compact_")
     seen.write.mode("overwrite").parquet(f"{tmp}/batch=-1")
+    import os
+
+    params = os.path.join(seen_dir, "_params.json")
+    if os.path.exists(params):  # carry the LSH-config pin across the swap
+        shutil.copy(params, os.path.join(tmp, "_params.json"))
     shutil.rmtree(seen_dir, ignore_errors=True)
     shutil.move(tmp, seen_dir)
 

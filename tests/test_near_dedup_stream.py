@@ -90,12 +90,36 @@ class TestIncrement:
         compact_seen(spark, str(seen))
         assert _step(spark, [(3, NEAR)], seen, 1) == []
 
+    def test_seed_merge_and_param_guard(self, spark, tmp_path):
+        from duckdb_annsearch_spark.streaming.dedup import (
+            seed_seen_from_corpus,
+        )
+        import pytest
+
+        seen = tmp_path / "seen"
+        seed_seen_from_corpus(_df(spark, [(100, BASE)]), str(seen))
+        seed_seen_from_corpus(_df(spark, [(200, OTHER)]), str(seen))
+        # both corpora dedup the stream: merge, not overwrite
+        assert _step(spark, [(1, NEAR)], seen, 0) == []
+        assert _step(spark, [(2, OTHER + " x")], seen, 1) == []
+        # mismatched banding refuses loudly instead of silently never
+        # colliding
+        with pytest.raises(ValueError, match="mismatch|built with"):
+            seed_seen_from_corpus(
+                _df(spark, [(300, BASE)]), str(seen), bands=32, num_hashes=64
+            )
+        with pytest.raises(ValueError, match="mismatch|built with"):
+            near_dedup_increment(
+                _df(spark, [(9, BASE)]), str(seen), 5, bands=8, num_hashes=64
+            )
+
     def test_compact_seen(self, spark, tmp_path):
         seen = tmp_path / "seen"
         _step(spark, [(1, BASE)], seen, 0)
         _step(spark, [(2, OTHER)], seen, 1)
         compact_seen(spark, str(seen), partitions=2)
-        assert os.listdir(str(seen)) == ["batch=-1"]
+        # one folded partition + the LSH-config pin, which must survive
+        assert sorted(os.listdir(str(seen))) == ["_params.json", "batch=-1"]
         # behavior unchanged after compaction
         out = near_dedup_increment(_df(spark, [(3, NEAR)]), str(seen), 2)
         assert out.count() == 0
