@@ -82,11 +82,12 @@ class FlatIndex(BaseIndex):
         if quant == "pq":
             from duckdb_annsearch_spark.index import pq
 
-            m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"))
             # the training sample collects twice (stats + encode read the
             # artifact separately) — pin one label assignment first
             art = art.localCheckpoint(eager=False)
-            sample = pq.stride_sample(art, meta.dim)
+            n_rows = art.count()
+            m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"), n=n_rows)
+            sample = pq.stride_sample(art, meta.dim, n=n_rows)
             if meta.params.get("opq"):
                 rotation, books = pq.train_opq(sample, m)
                 meta.extra["opq"] = True

@@ -566,15 +566,16 @@ class IvfFlatIndex(BaseIndex):
         if meta.params.get("quantization") == "pq":
             from duckdb_annsearch_spark.index import pq
 
-            m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"))
             # pin the assignment ONCE: residual_sample's count + sample
             # collect and the artifact write below would otherwise each
             # re-execute the full cluster-assign GEMM over every row
             assigned = assigned.localCheckpoint(eager=False)
+            n_rows = assigned.count()
+            m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"), n=n_rows)
             # FAISS IVFPQ semantics: codebooks are trained on, and codes
             # encode, the residual to the assigned coarse centroid — the
             # codes only have to cover the within-cell distribution
-            res_sample = pq.residual_sample(assigned, meta.dim, centroids)
+            res_sample = pq.residual_sample(assigned, meta.dim, centroids, n=n_rows)
             if meta.params.get("opq"):
                 # "OPQm,IVFn,PQm": the learned rotation composes with
                 # residual coding as codes = encode(R @ (x - c)); decode

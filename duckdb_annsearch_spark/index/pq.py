@@ -35,9 +35,41 @@ PQ_TRAIN_SAMPLE = 25_000
 CODEBOOK_FILE = "_pq_codebooks.npy"  # "_"-prefix: ignored by Spark + pyarrow
 
 
-def pq_m_for(dim: int, m: int | None) -> int:
-    """Validated subspace count: dim must split evenly into m blocks."""
-    m = DEFAULT_PQ_M if m is None else int(m)
+# Auto-scaling rule for the default code width, measured on uniform 64-d
+# vectors (ROADMAP.md "Scale demonstration"): pq_m=16 holds the reference's
+# >=0.7 recall@10 floor (test/sql/diskann_streaming.test:44-49) through 10M
+# rows but collapses to 0.5 min at 20M — ADC subspace granularity, not
+# candidate starvation (the oversample sweep at 20M is flat in oversample);
+# pq_m=32 at the identical shard config restores 0.985 mean / 0.9 min with
+# probe wall unchanged.  Distance concentration tightens as N grows, so the
+# per-subspace quantization noise must shrink to keep neighbor ordering
+# resolvable: each (row-count floor -> dim divisor) tier doubles bytes/vector.
+PQ_AUTO_TIERS = ((10_000_000, 2), (2_000_000, 4), (0, 8))
+
+
+def pq_m_auto(dim: int, n: int) -> int:
+    """Scale-aware default subspace count: dim//2 at >=10M rows, dim//4 at
+    >=2M, max(8, dim//8) below — snapped down to the largest divisor of dim
+    (codes must split the vector into equal blocks), never below 1."""
+    target = DEFAULT_PQ_M
+    for floor, div in PQ_AUTO_TIERS:
+        if n >= floor:
+            target = max(DEFAULT_PQ_M, dim // div)
+            break
+    for m in range(min(target, dim), 0, -1):
+        if dim % m == 0:
+            return m
+    return 1
+
+
+def pq_m_for(dim: int, m: int | None, n: int | None = None) -> int:
+    """Validated subspace count: dim must split evenly into m blocks.
+    When the caller does not pin ``pq_m``, the default scales with the
+    indexed row count ``n`` (see ``pq_m_auto``); an explicit ``pq_m`` is
+    validated strictly and never adjusted."""
+    if m is None:
+        return pq_m_auto(dim, 0 if n is None else int(n))
+    m = int(m)
     if m <= 0 or dim % m != 0:
         raise ValueError(
             f"pq_m={m} must be a positive divisor of the vector dimension {dim}"
@@ -45,11 +77,18 @@ def pq_m_for(dim: int, m: int | None) -> int:
     return m
 
 
-def stride_sample(artifact: DataFrame, dim: int, sample_size: int = PQ_TRAIN_SAMPLE) -> np.ndarray:
+def stride_sample(
+    artifact: DataFrame,
+    dim: int,
+    sample_size: int = PQ_TRAIN_SAMPLE,
+    n: int | None = None,
+) -> np.ndarray:
     """(n, dim) float32 training sample, deterministic: every ``stride``-th
     label (the reference's stride sampling, ``src/faiss_index.cpp:237-247``).
-    Bounded driver memory: at most ``sample_size`` rows collect."""
-    n = artifact.count()
+    Bounded driver memory: at most ``sample_size`` rows collect.  Pass ``n``
+    when the caller already counted the artifact (skips a recount job)."""
+    if n is None:
+        n = artifact.count()
     # ceil keeps the filter itself to <= sample_size matches; the ordered
     # limit is a belt-and-braces cap that stays deterministic if labels
     # are sparse (post-delete vacuums renumber, but defend anyway)
@@ -69,11 +108,13 @@ def residual_sample(
     dim: int,
     centroids: np.ndarray,
     sample_size: int = PQ_TRAIN_SAMPLE,
+    n: int | None = None,
 ) -> np.ndarray:
     """(n, dim) float32 training sample of RESIDUALS ``x - centroid[cell]``
     — FAISS IVFPQ trains its codebooks on coarse residuals, not raw
     vectors (the residual distribution is what the codes must cover)."""
-    n = assigned.count()
+    if n is None:
+        n = assigned.count()
     stride = max(1, -(-n // max(1, sample_size)))
     rows = (
         assigned.where((assigned.label % stride) == 0)

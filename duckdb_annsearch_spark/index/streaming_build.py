@@ -80,6 +80,7 @@ def sharded_build(
     spark = catalog.spark
 
     art = with_labels(df, row_id_col, vector_col)
+    n_total: int | None = None  # counted once, shared by PQ sizing + kmeans sampling
     sq8_mins = sq8_scales = None
     pq_books = pq_rot = None
     quant = str(p.get("quantization", "")).lower()
@@ -103,21 +104,23 @@ def sharded_build(
             train_pq,
         )
 
-        pq_m = pq_m_for(meta.dim, p.get("pq_m"))
+        n_total = art.count()
+        pq_m = pq_m_for(meta.dim, p.get("pq_m"), n=n_total)
         if p.get("opq"):
             # OPQ on the sharded path: one index-global rotation learned
             # with the codebooks; shards encode x @ R, every decode applies
             # R^T — cross-shard comparability holds exactly as for plain PQ
-            pq_rot, pq_books = train_opq(stride_sample(art, meta.dim), pq_m)
+            pq_rot, pq_books = train_opq(stride_sample(art, meta.dim, n=n_total), pq_m)
         else:
-            pq_books = train_pq(stride_sample(art, meta.dim), pq_m)
+            pq_books = train_pq(stride_sample(art, meta.dim, n=n_total), pq_m)
     centroids = None
     if by == "kmeans":
         # SPANN-style clustered shards: rows go to their nearest centroid's
         # shard; search can then prune to the nprobe_shards closest shards
         from duckdb_annsearch_spark.index.ivf import _train_kmeans
 
-        n_total = art.count()
+        if n_total is None:
+            n_total = art.count()
         cap = max(shards * 256, 10_000)
         sample_df = art
         if n_total > cap:

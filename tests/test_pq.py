@@ -369,3 +369,31 @@ def test_rflat_refine_factory(engine):
     # non-Flat refiners keep rejecting
     with pytest.raises(ValueError, match="unsupported FAISS factory"):
         engine.create_index("bad_rf", "rf", engine="faiss", description="PQ4,Refine(SQ8)")
+
+
+def test_pq_m_auto_scales_with_row_count():
+    """The scale-aware default code width (ROADMAP 20M certification):
+    pq_m=16 at 64-d passes the >=0.7 recall floor through 10M rows but
+    fails it at 20M; dim//2 restores 0.985/0.9 measured at 10M.  The auto
+    rule must widen codes at the measured thresholds, snap to a divisor of
+    dim, and never override an explicit pq_m."""
+    from duckdb_annsearch_spark.index.pq import pq_m_auto, pq_m_for
+
+    # measured tiers at dim=64
+    assert pq_m_auto(64, 0) == 8
+    assert pq_m_auto(64, 1_999_999) == 8
+    assert pq_m_auto(64, 2_000_000) == 16
+    assert pq_m_auto(64, 9_999_999) == 16
+    assert pq_m_auto(64, 10_000_000) == 32
+    assert pq_m_auto(64, 200_000_000) == 32
+    # snaps DOWN to a divisor of dim (dim=48: target 24 divides; dim=50:
+    # target 25 divides; dim=12 small-n target 8 -> largest divisor 6)
+    assert pq_m_auto(48, 10_000_000) == 24
+    assert pq_m_auto(12, 0) == 6
+    assert pq_m_auto(4, 0) == 4  # never exceeds dim
+    # pq_m_for: explicit m is strict, default routes through the auto rule
+    assert pq_m_for(64, None, n=20_000_000) == 32
+    assert pq_m_for(64, None) == 8
+    assert pq_m_for(64, 16, n=20_000_000) == 16  # explicit wins
+    with pytest.raises(ValueError, match="divisor"):
+        pq_m_for(64, 7)

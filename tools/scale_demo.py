@@ -125,11 +125,16 @@ def main() -> None:
     if sq8:
         params = {"quantization": "sq8"}
     elif pq:
-        params = {"quantization": "pq", "pq_m": pq_m or max(8, dim // 4)}
+        # no --pq-m: the engine's scale-aware default (pq.pq_m_auto) picks
+        # the code width from N x dim — the knob the 20M sweep certified
+        params = {"quantization": "pq"}
+        if pq_m is not None:
+            params["pq_m"] = pq_m
     eng.streaming_build(
         "big_graph", "vectors", "embedding", shards=shards, shard_by="kmeans", **params
     )
     build_wall = round(time.time() - t0, 1)
+    effective_pq_m = eng.get_index("big_graph").meta.extra.get("pq_m") if pq else None
 
     # ground truth: exact brute force, driver-side numpy (this is the
     # oracle, not the operator; N*dim*4 bytes — flatten+reshape, NOT
@@ -185,7 +190,7 @@ def main() -> None:
                 "shards": shards,
                 "sq8": sq8,
                 "pq": pq,
-                "pq_m": (pq_m or max(8, dim // 4)) if pq else None,
+                "pq_m": effective_pq_m,
                 "build_wall_sec": build_wall,
                 "recall_at_10": round(float(np.mean(recalls)), 3),
                 "min_recall_at_10": round(float(np.min(recalls)), 3),
