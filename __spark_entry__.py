@@ -3494,7 +3494,7 @@ def oracle_sql() -> dict[str, str]:
              AS t
       FROM documents
     ), cleaned AS (
-      SELECT doc_id,
+      SELECT doc_id, t,
         coalesce(array_to_string(
           list_filter(
             list_transform(string_split(coalesce(t, ''), chr(10)),
@@ -3518,8 +3518,8 @@ def oracle_sql() -> dict[str, str]:
       (((len(clean_text) - len(replace(clean_text, '.', '')))
         + (len(clean_text) - len(replace(clean_text, '!', '')))
         + (len(clean_text) - len(replace(clean_text, '?', '')))) >= 3
-       AND NOT (contains(lower(clean_text), 'lorem ipsum')
-                OR contains(lower(clean_text), '{'))) AS keep
+       AND NOT (contains(lower(t), 'lorem ipsum')
+                OR contains(lower(t), '{'))) AS keep
     FROM cleaned
     """
 

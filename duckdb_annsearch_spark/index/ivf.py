@@ -551,7 +551,15 @@ class IvfFlatIndex(BaseIndex):
             # path ships (index/pca.py) under an IVF coarse partitioning —
             # cells store reduced f32 codes, the probe reconstructs via
             # W^T through the shared decode_codes, coarse assignment and
-            # serving both stay original-space
+            # serving both stay original-space.
+            # DELIBERATE divergence from faiss::index_factory (which wraps
+            # the IVF in the PCA pretransform, so coarse centroids train
+            # and probe in the REDUCED space): keeping coarse assignment
+            # original-space shares the assignment GEMM and cell layout
+            # with every other IVF variant and is never less accurate, but
+            # at partial nprobe the SELECTED cells (hence results) can
+            # differ from FAISS for the same factory string.  Documented
+            # in SURVEY.md next to the factory row.
             from duckdb_annsearch_spark.index import pca, pq
 
             dout = int(meta.params["pca_dim"])

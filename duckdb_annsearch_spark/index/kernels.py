@@ -370,8 +370,13 @@ def adc_distances(
     multiple blocks.
 
     Matches ``pairwise_distances`` semantics: squared L2 clamped at 0,
-    IP negated.  f32 throughout (same accumulation class as the GEMM
-    path; code-distance candidates are re-ranked exactly anyway)."""
+    IP negated.  The gather-sum accumulates in f64 then rounds once to
+    f32: probe sites route ADC vs decode+GEMM by batch size
+    (``ADC_MAX_NQ``), and f32 accumulation here would rank near-tie
+    candidates differently depending on how many queries share a batch —
+    order-independent f64 sums pin ADC results across batch compositions
+    (code distances are re-ranked exactly anyway; this is a determinism
+    guarantee, not an accuracy one)."""
     lut, const = (
         tables if tables is not None else adc_tables(qarr, dq, metric, centroid)
     )
@@ -383,10 +388,10 @@ def adc_distances(
     for i in range(nq):
         # m 1-D gathers accumulated in place: ~2x faster than the 2-D
         # fancy-index form (no (n, m) temp, no reduction pass)
-        acc = lut[i, 0][cols[0]].astype(np.float32, copy=True)
+        acc = lut[i, 0][cols[0]].astype(np.float64, copy=False)
         for s in range(1, m):
             acc += lut[i, s][cols[s]]
-        out[i] = acc
+        out[i] = acc.astype(np.float32)
     if const is not None:
         out -= const[:, None]
     if metric == "l2":

@@ -215,13 +215,18 @@ def c4_stats(
       sentence proxy — C4 counts sentences by splitting on punctuation)
     - ``keep``         >= min_sentences sentences AND none of
       C4_BAD_SUBSTRINGS present (case-insensitive)
+
+    The bad-substring check runs on the ORIGINAL page text, not the
+    line-cleaned text: C4 (1910.10683 §2.2) drops pages on raw content, so
+    a page whose only offending lines the line rules removed (e.g. a code
+    line ``function() {`` with no terminal punctuation) must still drop.
     """
     clean = c4_clean_text(text, min_words_per_line)
     n_sent = sum(
         (_occurrences(clean, p) for p in (".", "!", "?")),
         start=F.lit(0).cast("long"),
     )
-    low = F.lower(clean)
+    low = F.lower(text)
     bad = F.lit(False)
     for s in C4_BAD_SUBSTRINGS:
         bad = bad | low.contains(s)
@@ -253,7 +258,10 @@ def c4_filter(
         for name, col in stats.items():
             out = out.withColumn(name, col)
         return out
+    # filter BEFORE replacing: keep references the RAW page text, and
+    # withColumn-then-where would re-resolve that reference against the
+    # already-cleaned column (page-level drops are raw-content semantics)
     return (
-        df.withColumn(text_col, stats["clean_text"])
-        .where(stats["keep"])
+        df.where(stats["keep"])
+        .withColumn(text_col, stats["clean_text"])
     )

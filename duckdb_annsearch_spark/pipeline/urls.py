@@ -384,9 +384,17 @@ def cap_per_domain(
         .localCheckpoint(eager=False)
     )
     h = sample_hash(F.col(id_col), seed)
+    # threshold in INTEGER space: a double threshold capped at
+    # float(HASH_SPACE) rounds hashes within ~128 of 2^60 up to 2^60 and
+    # excludes them even for under-cap domains (a ~2^-53/row loud verify
+    # failure, not silent loss — but keep the prefix filter exact).  ceil
+    # keeps the retention probability >= safety*cap/cnt after rounding.
     thr = F.least(
-        F.lit(float(HASH_SPACE)),
-        F.lit(float(safety * cap)) * F.lit(float(HASH_SPACE)) / F.col("__cnt"),
+        F.lit(int(HASH_SPACE)).cast("long"),
+        F.ceil(
+            F.lit(float(safety * cap)) * F.lit(float(HASH_SPACE))
+            / F.col("__cnt")
+        ).cast("long"),
     )
     # pin the presample: it feeds the verify aggregate AND the rank
     # window, and each would otherwise re-run the URL parse + count join

@@ -193,7 +193,14 @@ def _check_store_params(
     fn = os.path.join(seen_dir, "_params.json")
     if os.path.exists(fn):
         with open(fn) as f:
-            existing = json.load(f)
+            try:
+                existing = json.load(f)
+            except json.JSONDecodeError as e:
+                raise ValueError(
+                    f"seen store sidecar {fn} is corrupt (truncated write "
+                    "or concurrent writer); delete it and re-pin by "
+                    "calling again with the store's parameters"
+                ) from e
         if existing != params:
             raise ValueError(
                 f"seen store {seen_dir} was built with {existing}; "
@@ -202,8 +209,12 @@ def _check_store_params(
                 "store)"
             )
         return
-    with open(fn, "w") as f:
+    # atomic publish: a crash mid-write must never leave a truncated
+    # sidecar that poisons every later call
+    tmp = fn + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(params, f)
+    os.replace(tmp, fn)
 
 
 def seed_seen_from_corpus(

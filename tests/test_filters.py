@@ -155,6 +155,19 @@ class TestC4:
         assert "javascript" not in kept[4]
         assert kept[4] == base
 
+    def test_bad_substring_on_raw_page_survives_line_cleaning(self, spark):
+        # C4 (1910.10683 §2.2) drops pages on RAW content: a page whose
+        # only offending line the line rules remove (a code line with no
+        # terminal punctuation) must still drop
+        base = (
+            "One proper sentence sits right here today.\n"
+            "Two proper sentences sit right here today.\n"
+            "Three proper sentences sit right here today."
+        )
+        rows = [(1, base), (2, base + "\nfunction() {")]
+        out = c4_filter(_docs(spark, rows))
+        assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
+
     def test_text_column_replaced(self, spark):
         text = "Keep this full sentence with many words.\ndrop me"
         row = c4_filter(
