@@ -71,6 +71,28 @@ def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
 
 _ENGINE_CACHE: dict[tuple[int, str], object] = {}
 
+# per-index build walls from the last engine warm-up (bench.py reports these
+# so a build regression in ONE family is visible instead of drowning in one
+# opaque index_build total).  Builds run concurrently, so each wall includes
+# scheduler contention with its siblings — comparable round-over-round since
+# the build set and pool shape are pinned here.
+BUILD_TIMINGS: dict[str, float] = {}
+
+
+def _timed_builds(builds: list[tuple[str, object]], pool: int) -> None:
+    """Run named build thunks concurrently, recording each wall clock."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        BUILD_TIMINGS[name] = round(time.time() - t0, 3)
+
+    with ThreadPoolExecutor(pool) as ex:
+        for f in [ex.submit(run, n, b) for n, b in builds]:
+            f.result()
+
 
 def _engine_for(spark: SparkSession, sf_dir: str):
     """AnnEngine with Flat/IVF/graph/FTS indexes built once per process+sf."""
@@ -87,42 +109,38 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         "doc_id", "text", "embedding"
     )
     eng.register_table("chunks", chunks, row_id="doc_id")
-    # build the four indexes concurrently — Spark schedules jobs from
+    # build the indexes concurrently — Spark schedules jobs from
     # separate driver threads in parallel, and the builds touch disjoint
     # catalog directories
-    from concurrent.futures import ThreadPoolExecutor
-
     builds = [
-        lambda: eng.create_index(
+        ("emb_flat", lambda: eng.create_index(
             "emb_flat", "embeddings", "embedding", engine="faiss", index_type="Flat"
-        ),
+        )),
         # IP-metric twin so the optimizer's topk rewrite fires for inner
         # product too (cost gates are metric-aware — ann_optimizer.cpp:237-258)
-        lambda: eng.create_index(
+        ("emb_flat_ip", lambda: eng.create_index(
             "emb_flat_ip", "embeddings", "embedding", engine="faiss",
             index_type="Flat", metric="ip",
-        ),
-        lambda: eng.create_index(
+        )),
+        ("emb_ivf", lambda: eng.create_index(
             "emb_ivf", "embeddings", "embedding", engine="faiss",
             index_type="IVFFlat", ivf_nlist=8, nprobe=8,
-        ),
+        )),
         # the large-nlist scale path: two-level distributed training +
         # cell-size cap (splits kick in at sf0.1's row count)
-        lambda: eng.create_index(
+        ("emb_ivf_hier", lambda: eng.create_index(
             "emb_ivf_hier", "embeddings", "embedding", engine="faiss",
             index_type="IVFFlat", ivf_nlist=16, train_mode="hierarchical",
             max_cell_rows=256,
-        ),
+        )),
         # two-pass distributed build: pilot + parallel partition inserts —
         # the scale path (and faster than the driver build even at bench sizes)
-        lambda: eng.streaming_build(
+        ("emb_graph", lambda: eng.streaming_build(
             "emb_graph", "embeddings", "embedding", partition_rows=256
-        ),
-        lambda: eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text"),
+        )),
+        ("chunks_fts", lambda: eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text")),
     ]
-    with ThreadPoolExecutor(6) as ex:
-        for f in [ex.submit(b) for b in builds]:
-            f.result()
+    _timed_builds(builds, 6)
     _ENGINE_CACHE[key] = eng
     return eng
 
@@ -538,8 +556,6 @@ def _sq8_engine_for(spark, sf_dir):
     Flat, SQ8-Flat, and the sharded out-of-core SQ8 graph (per-shard u8
     codes under index-global min/scale — rust_lib/src/provider.rs:157-230,
     DANN SQ8 trailing section rust_lib/src/file_format.rs:84-120)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from duckdb_annsearch_spark.engine import AnnEngine
 
     key = (id(spark), sf_dir)
@@ -548,85 +564,83 @@ def _sq8_engine_for(spark, sf_dir):
     eng = AnnEngine(spark, workdir=tempfile.mkdtemp(prefix="ann_sq8_"))
     eng.register_table("embeddings", _read(spark, sf_dir, "embeddings"), row_id="vec_id")
     builds = [
-        lambda: eng.create_index(
+        ("info_flat", lambda: eng.create_index(
             "info_flat", "embeddings", "embedding", engine="faiss", index_type="Flat"
-        ),
-        lambda: eng.create_index(
+        )),
+        ("info_sq8", lambda: eng.create_index(
             "info_sq8", "embeddings", "embedding", engine="faiss",
             index_type="Flat", quantization="sq8",
-        ),
+        )),
         # the sub-byte / half-float ends of the scalar-quantizer family
         # (FAISS QT_4bit / QT_fp16 — factory "SQ4"/"SQfp16"): 8x and 2x
         # compression through the same shared decode path
-        lambda: eng.create_index(
+        ("info_sq4", lambda: eng.create_index(
             "info_sq4", "embeddings", "embedding", engine="faiss",
             description="SQ4",
-        ),
-        lambda: eng.create_index(
+        )),
+        ("info_fp16", lambda: eng.create_index(
             "info_fp16", "embeddings", "embedding", engine="faiss",
             description="SQfp16",
-        ),
+        )),
         # pretransform + binary-code ends of the factory surface: PCA
         # (reduced f32 coords, W^T reconstruction) and LSH (hyperplane sign
         # bits, hamming ranking via the ±1-image GEMM)
-        lambda: eng.create_index(
+        ("info_pca", lambda: eng.create_index(
             "info_pca", "embeddings", "embedding", engine="faiss",
             description="PCA32",
-        ),
-        lambda: eng.create_index(
+        )),
+        ("info_lsh", lambda: eng.create_index(
             "info_lsh", "embeddings", "embedding", engine="faiss",
             description="LSH512",
-        ),
+        )),
         # PCA pretransform over an IVF coarse partitioning (the common
         # high-dim FAISS composite — new r5); reduced f32 codes per cell,
         # W^T reconstruction at probe, full-probe + rerank serving
-        lambda: eng.create_index(
+        ("info_pcaivf", lambda: eng.create_index(
             "info_pcaivf", "embeddings", "embedding", engine="faiss",
             description="PCA32,IVF8,Flat", nprobe=8,
-        ),
+        )),
         # product quantization via the FAISS factory-composite surface
         # (src/faiss_index.cpp:39-60); 8 bytes/vector vs 256 raw
         # 16 subspaces of 4 dims: 16 bytes/vector vs 256 raw, and fine
         # enough that 10x over-fetch + exact re-rank is reliably exact at
         # these corpus sizes (measured candidate recall 10/10 at sf0.01/0.1)
-        lambda: eng.create_index(
+        ("info_pq", lambda: eng.create_index(
             "info_pq", "embeddings", "embedding", engine="faiss",
             description="PQ16",
-        ),
+        )),
         # IVFPQ: coarse cells + residual-coded PQ (FAISS semantics);
         # nprobe=nlist so candidate coverage is probe-complete and only
         # ADC granularity limits it (measured 10/10 at 10x over-fetch)
-        lambda: eng.create_index(
+        ("info_ivfpq", lambda: eng.create_index(
             "info_ivfpq", "embeddings", "embedding", engine="faiss",
             description="IVF8,PQ16", nprobe=8,
-        ),
+        )),
         # OPQ: learned orthogonal rotation before PQ (Ge et al. 2013 /
         # FAISS OPQMatrix); candidate recall 10/10 at 10x over-fetch
-        lambda: eng.create_index(
+        ("info_opq", lambda: eng.create_index(
             "info_opq", "embeddings", "embedding", engine="faiss",
             description="OPQ16,PQ16",
-        ),
-        lambda: eng.streaming_build(
+        )),
+        ("info_gsq8", lambda: eng.streaming_build(
             "info_gsq8", "embeddings", "embedding",
             shards=4, shard_by="kmeans", quantization="sq8",
-        ),
+        )),
         # sharded PQ graph (new r5): per-shard 16-byte codes under
         # index-global codebooks, PQC mmap sidecars — the 16x-compression
         # out-of-core path (m bytes/vector paged instead of 4*dim)
-        lambda: eng.streaming_build(
+        ("info_gpq", lambda: eng.streaming_build(
             "info_gpq", "embeddings", "embedding",
             shards=4, shard_by="kmeans", quantization="pq", pq_m=16,
-        ),
+        )),
         # sharded OPQ (late r5): index-global rotation composed with the
         # per-shard codes (x @ R encode, R^T decode, OPQC mmap trailer)
-        lambda: eng.streaming_build(
+        ("info_gopq", lambda: eng.streaming_build(
             "info_gopq", "embeddings", "embedding",
             shards=4, shard_by="kmeans", quantization="pq", pq_m=16, opq=True,
-        ),
+        )),
     ]
-    with ThreadPoolExecutor(12) as ex:
-        for f in [ex.submit(b) for b in builds]:
-            f.result()
+    _timed_builds(builds, 12)
     _SQ8_ENGINE_CACHE[key] = eng
     return eng
 

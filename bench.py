@@ -180,7 +180,12 @@ def main():
             fa.result()
             fb.result()
         timings["index_build"] = round(time.time() - t0, 3)
-        print(f"# index_build: {timings['index_build']}s", file=sys.stderr)
+        # per-index walls (concurrent, so they overlap — see BUILD_TIMINGS):
+        # a build regression in one family is visible instead of drowned
+        for bname, bsec in sorted(entrymod.BUILD_TIMINGS.items()):
+            timings[f"index_build.{bname}"] = bsec
+        print(f"# index_build: {timings['index_build']}s "
+              f"{entrymod.BUILD_TIMINGS}", file=sys.stderr)
     except Exception as exc:
         errors["index_build"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# index_build: ERROR {errors['index_build']}", file=sys.stderr)

@@ -81,7 +81,11 @@ def funnel(
         .groupBy("stage")
         .agg(F.count("*").alias("n_docs"), F.sum("__t").alias("n_tokens"))
     )
-    total = Window.partitionBy()  # report is stages-sized, not corpus-sized
+    # report is stages-sized, not corpus-sized; constant non-foldable key
+    # silences WindowExec's single-partition warning (single group intended)
+    from duckdb_annsearch_spark.operators.hybrid import constant_partition_key
+
+    total = Window.partitionBy(constant_partition_key("n_docs"))
     return report.select(
         "stage",
         order.cast("int").alias("stage_order"),

@@ -322,8 +322,12 @@ def temperature_weights(
         .groupBy(group_col)
         .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
     )
-    # the window below runs over the strata-sized report, not the corpus
-    everything = Window.partitionBy()
+    # the window below runs over the strata-sized report, not the corpus;
+    # the constant non-foldable key keeps WindowExec from logging its
+    # single-partition warning (the single group is the point here)
+    from duckdb_annsearch_spark.operators.hybrid import constant_partition_key
+
+    everything = Window.partitionBy(constant_partition_key("n_docs"))
     powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
     p_raw = F.col("n_tokens") / F.sum("n_tokens").over(everything)
     p_temp = powed / F.sum(powed).over(everything)

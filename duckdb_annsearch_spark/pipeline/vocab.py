@@ -76,15 +76,22 @@ def top_vocab(
     top = counts.orderBy(F.col("count").desc(), F.col("word").asc()).limit(
         int(top_n)
     )
+    # constant non-foldable partition key: these windows run over the
+    # top_n-row report (bounded by construction), and the explicit
+    # single-group spec keeps WindowExec from logging its all-data-to-one-
+    # partition warning on every bench/audit run
+    from duckdb_annsearch_spark.operators.hybrid import constant_partition_key
+
+    one = constant_partition_key("count")
     w = (
-        Window.partitionBy()
+        Window.partitionBy(one)
         .orderBy(F.col("count").desc(), F.col("word").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(
-            Window.partitionBy().orderBy(
+            Window.partitionBy(one).orderBy(
                 F.col("count").desc(), F.col("word").asc()
             )
         ))

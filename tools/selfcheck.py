@@ -68,18 +68,21 @@ def vanilla_spark():
     )
 
 
-def main():
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
-
+def run_selfcheck(sf_dir: str, only=None, spark=None) -> dict:
+    """The driver-shaped oracle compare as a callable: run each selected
+    ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB,
+    returning ``{name: (status, detail)}`` where status is one of
+    OK / ROWS_ONLY / MISMATCH / SPARK_ERROR / ORACLE_ERROR.  Used by the
+    CLI below and by ``tests/test_selfcheck_sweep.py`` so the sweep the
+    round-close ritual cites is pytest-enforced, not ritual."""
     import duckdb
 
     import __spark_entry__ as entrymod
     from duckdb_annsearch_spark.session import get_spark
 
-    spark = vanilla_spark() if vanilla else get_spark("selfcheck", 8)
+    only = set(only) if only else set()
+    if spark is None:
+        spark = get_spark("selfcheck", 8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -133,6 +136,17 @@ def main():
 
     bad = {k: v for k, v in results.items() if v[0] not in ("OK", "ROWS_ONLY")}
     print(f"\n{len(results) - len(bad)}/{len(results)} OK; failures: {sorted(bad)}")
+    return results
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    spark = vanilla_spark() if vanilla else None
+    results = run_selfcheck(sf_dir, only=only, spark=spark)
+    bad = {k: v for k, v in results.items() if v[0] not in ("OK", "ROWS_ONLY")}
     return 1 if bad else 0
 
 
