@@ -1,0 +1,149 @@
+"""Real WAV/BMP codecs in the multimodal column pipeline (pure
+stdlib+numpy — the container has no PIL/soundfile/av; heavier formats
+keep the documented deterministic fake)."""
+
+import numpy as np
+import pytest
+
+from duckdb_annsearch_spark.pipeline import multimodal as M
+
+
+def _sine_wav(freq=440.0, rate=8000, secs=0.5, amp=0.5):
+    t = np.arange(int(rate * secs)) / rate
+    return M.encode_wav(amp * np.sin(2 * np.pi * freq * t), rate), t
+
+
+class TestWav:
+    def test_decode_roundtrip_and_features(self):
+        payload, _ = _sine_wav()
+        x, rate = M.decode_wav(payload)
+        assert rate == 8000 and len(x) == 4000
+        f = M.wav_features(payload)
+        assert len(f) == M.FEATURE_DIM
+        assert f[0] == 1.0                       # audio tag
+        assert abs(f[1] - 0.5) < 1e-6            # duration seconds
+        assert abs(f[3] - 0.5 / np.sqrt(2)) < 1e-3   # sine RMS = amp/sqrt(2)
+        assert abs(f[4] - 0.5) < 1e-3            # peak = amp
+        assert abs(f[6] - 2 * 440 / 8000) < 0.01  # zero-crossing rate
+        # 440 Hz at nyquist 4000: bin 440/4000*len(spec) lands in band 0 of 8
+        assert f[8] > 0.9 and abs(float(f[8:16].sum()) - 1.0) < 1e-3
+
+    def test_decode_8bit_and_stereo(self):
+        import io
+        import wave
+
+        # 8-bit unsigned mono
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(1); w.setframerate(4000)
+            w.writeframes(bytes([128, 255, 0, 128]))
+        x, rate = M.decode_wav(buf.getvalue())
+        assert rate == 4000
+        np.testing.assert_allclose(x, [0.0, 127 / 128, -1.0, 0.0], atol=1e-6)
+        # 16-bit stereo mixes to mono
+        buf2 = io.BytesIO()
+        with wave.open(buf2, "wb") as w:
+            w.setnchannels(2); w.setsampwidth(2); w.setframerate(4000)
+            pcm = np.asarray([16384, -16384, 8192, 8192], dtype="<i2")
+            w.writeframes(pcm.tobytes())
+        x2, _ = M.decode_wav(buf2.getvalue())
+        np.testing.assert_allclose(x2, [0.0, 0.25], atol=1e-4)
+
+    def test_corrupt_wav_falls_back_to_fake(self):
+        p = b"RIFF\x00\x00\x00\x00WAVEgarbage-not-a-chunk"
+        np.testing.assert_array_equal(M.decode_features(p), M._fake_decode(p))
+
+
+class TestBmp:
+    def _img(self):
+        img = np.zeros((8, 16, 3), dtype=np.uint8)
+        img[:, :8] = [255, 0, 0]    # left half red
+        img[:, 8:] = [0, 0, 255]    # right half blue
+        return img
+
+    def test_encode_decode_roundtrip(self):
+        img = self._img()
+        out = M.decode_bmp(M.encode_bmp(img))
+        np.testing.assert_array_equal(out, img)
+
+    def test_decode_32bit_and_topdown(self):
+        import struct
+
+        # hand-build a 2x2 32-bit top-down BMP: BGRA rows, no padding
+        w, h = 2, 2
+        px = bytes(
+            [10, 20, 30, 0,  40, 50, 60, 0,   # row 0: BGR(A)
+             70, 80, 90, 0,  100, 110, 120, 0]
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(px), 0, 0, 0, 0
+        )
+        img = M.decode_bmp(hdr + px)
+        assert img.shape == (2, 2, 3)
+        np.testing.assert_array_equal(img[0, 0], [30, 20, 10])  # RGB of row 0
+        np.testing.assert_array_equal(img[1, 1], [120, 110, 100])
+
+    def test_features(self):
+        f = M.bmp_features(M.encode_bmp(self._img()))
+        assert len(f) == M.FEATURE_DIM
+        assert f[0] == 2.0                      # image tag
+        assert abs(f[1] - 0.016) < 1e-6 and abs(f[2] - 0.008) < 1e-6
+        assert abs(f[3] - 2.0) < 1e-6           # aspect
+        assert abs(f[4] - 0.5) < 1e-6           # mean R (half red)
+        assert f[5] == 0.0                      # mean G
+        assert abs(f[6] - 0.5) < 1e-6           # mean B
+        # gray histogram sums to 1 over the 8 bins
+        assert abs(float(f[8:16].sum()) - 1.0) < 1e-6
+
+    def test_resize_nearest(self):
+        img = self._img()
+        small = M.resize_nearest(img, 4, 4)
+        assert small.shape == (4, 4, 3)
+        np.testing.assert_array_equal(small[0, 0], [255, 0, 0])
+        np.testing.assert_array_equal(small[0, 3], [0, 0, 255])
+
+    def test_corrupt_bmp_falls_back_to_fake(self):
+        p = b"BM" + b"\x00" * 60
+        np.testing.assert_array_equal(M.decode_features(p), M._fake_decode(p))
+
+
+class TestSparkSurface:
+    def test_extract_features_real_and_fake(self, spark):
+        wav, _ = _sine_wav()
+        bmp = M.encode_bmp(np.full((4, 4, 3), 128, dtype=np.uint8))
+        rows = [
+            (1, "audio", wav, {}),
+            (2, "image", bmp, {}),
+            (3, "image", b"\x89PNGfake", {}),
+            (4, "image", None, None),
+        ]
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in M.extract_features(M.make_media_df(spark, rows)).collect()
+        }
+        assert len(feats) == 4
+        assert feats[1][0] == 1.0 and abs(feats[1][1] - 0.5) < 1e-6  # real WAV
+        assert feats[2][0] == 2.0                                     # real BMP
+        np.testing.assert_allclose(feats[3], M._fake_decode(b"\x89PNGfake"))
+        np.testing.assert_allclose(feats[4], M._fake_decode(b""))
+
+    def test_resize_images_real_bmp(self, spark):
+        img = np.zeros((8, 16, 3), dtype=np.uint8)
+        img[:, :8] = [255, 0, 0]
+        rows = [
+            (1, "image", M.encode_bmp(img), {"src": "t"}),
+            (2, "image", b"\x89PNGfake", {}),
+        ]
+        out = {
+            r["media_id"]: r
+            for r in M.resize_images(M.make_media_df(spark, rows), 4, 2).collect()
+        }
+        m1 = out[1]["meta"]
+        assert m1["resized"] == "4x2" and m1["orig_size"] == "16x8"
+        assert m1["codec"] == "bmp" and m1["src"] == "t"
+        resized = M.decode_bmp(bytes(out[1]["payload"]))
+        assert resized.shape == (2, 4, 3)
+        np.testing.assert_array_equal(resized[0, 0], [255, 0, 0])
+        # non-BMP passthrough: payload untouched, intent recorded
+        assert bytes(out[2]["payload"]) == b"\x89PNGfake"
+        assert out[2]["meta"]["resized"] == "4x2"
