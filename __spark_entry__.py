@@ -489,6 +489,29 @@ def q_ann_search_flat(spark, sf_dir):
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def q_ann_search_local(spark, sf_dir):
+    """S3+ single-query serving short-circuit (round 6): ann_search(
+    local=True) probes a driver-cached numpy snapshot of the artifact and
+    returns a LOCAL-RELATION DataFrame — no cluster job on collect, the
+    Spark rendering of the reference's µs in-process single-query serving
+    (README.md:134-146).  Exact brute force, so the same rank oracle as
+    the distributed flat search applies unchanged."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    # local serving answers from the artifact alone (row_id + vector);
+    # a narrow view of the base table is the supported fetch shape
+    eng.register_table(
+        "embeddings_kv",
+        _read(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        row_id="vec_id",
+    )
+    hits = eng.ann_search("embeddings_kv", "emb_flat", q, k=10, local=True)
+    w = Window.partitionBy(_const_key("_distance")).orderBy(
+        F.col("_distance").asc(), F.col("vec_id").asc()
+    )
+    return hits.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
 def q_ann_batch_flat(spark, sf_dir):
     eng = _engine_for(spark, sf_dir)
     qs = [_qvec(spark, sf_dir, i) for i in (0, 1, 2)]
@@ -2025,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_scan": q_merge_scan,
         "knn_join": q_knn_join,
         "ann_search_flat": q_ann_search_flat,
+        "ann_search_local": q_ann_search_local,
         "ann_batch_flat": q_ann_batch_flat,
         "ivf_full_probe": q_ivf_full_probe,
         "ivf_partial_probe": q_ivf_partial_probe,
@@ -2173,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
     ) WHERE rn <= 3
     """
     oracles["ann_search_flat"] = _brute_rank_sql(10)
+    oracles["ann_search_local"] = _brute_rank_sql(10)
     d_qf = _sql_sqdist("e.embedding", "f.embedding")
     oracles["ann_batch_flat"] = f"""
     WITH pairs AS (

@@ -103,6 +103,7 @@ def main():
         "vector_distances",
         "knn_join",
         "ann_search_flat",
+        "ann_search_local",
         "ann_batch_flat",
         "ivf_full_probe",
         "ivf_hier_probe",
@@ -189,6 +190,34 @@ def main():
     except Exception as exc:
         errors["index_build"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# index_build: ERROR {errors['index_build']}", file=sys.stderr)
+    # the driver-local single-query hot path (ann_search(local=True) minus
+    # the local-relation wrapper): the number comparable to the reference's
+    # in-process µs/query serving (README.md:134-146)
+    local_us = None
+    try:
+        eng = entrymod._engine_for(spark, sf_dir)
+        eng.register_table(
+            "embeddings_kv",
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            row_id="vec_id",
+        )
+        t = eng.table("embeddings_kv")
+        idx = eng.get_index("emb_flat")
+        q = entrymod._qvec(spark, sf_dir)
+        eng._local_topk_rows(t, idx, q, 10)  # warm the snapshot
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                eng._local_topk_rows(t, idx, q, 10)
+            best = min(best, (time.perf_counter() - t0) / 20)
+        local_us = round(best * 1e6, 1)
+        print(f"# local_single_query_us: {local_us}", file=sys.stderr)
+    except Exception as exc:
+        errors["local_single_query"] = f"{type(exc).__name__}: {exc}"[:300]
+
     for name in bench_queries:
         fn = qs[name]
         t0 = time.time()
@@ -211,6 +240,7 @@ def main():
                 "queries": timings,
                 "errors": errors,
                 "micro_us_per_query": micro,
+                "local_single_query_us": local_us,
                 "sf": sf,
             }
         )

@@ -45,6 +45,10 @@ OVERFETCH_BONUS = 100
 DRIVER_BUILD_MAX_ROWS = 100_000
 # auto-routed sharded builds aim for ~this many rows per shard subgraph
 SHARD_TARGET_ROWS = 50_000
+# ann_search(local=True) loads the artifact's (row_id, vector) columns into a
+# driver-cached numpy snapshot; refuse above this many bytes (n*dim*4) — at
+# that size the distributed path is the right tool
+LOCAL_SERVE_MAX_BYTES = 512 << 20
 
 _INDEX_CLASSES = {
     "flat": FlatIndex,
@@ -183,6 +187,8 @@ class AnnEngine:
         self.workdir = workdir or os.path.join(tempfile.gettempdir(), "ann_engine")
         self.catalog = Catalog(spark, os.path.join(self.workdir, "_ann_catalog"))
         self._tables: dict[str, RegisteredTable] = {}
+        # ann_search(local=True) snapshots: name -> (dir signature, ids, x)
+        self._local_snapshots: dict[str, tuple] = {}
         # Arrow-accelerated createDataFrame/toPandas: the engine works without
         # it (all driver-side frames carry plain-Python values), but host
         # sessions often omit the conf and the non-Arrow path is both slower
@@ -982,9 +988,24 @@ class AnnEngine:
         search_complexity: int | None = None,
         oversample: int | None = None,
         rerank: bool | None = None,
+        local: bool = False,
         **search_params,
     ) -> DataFrame:
         """k-NN + row fetch: all table columns + ``_distance``, ascending.
+
+        ``local=True`` is the single-query serving short-circuit: the
+        reference answers one k-NN in microseconds in-process
+        (``README.md:134-146``) while every distributed search pays
+        ~0.5-0.9 s of Spark job overhead.  The local path probes a
+        driver-cached numpy snapshot of the artifact's raw vectors
+        (EXACT brute force — the same answer the rerank recipe returns)
+        and wraps the k rows in a local-relation DataFrame: no cluster
+        job on collect.  Requirements: every visible table column must be
+        derivable from the artifact (row_id + the indexed vector column)
+        and the artifact must fit ``LOCAL_SERVE_MAX_BYTES`` — otherwise
+        this raises and the caller uses the distributed path.  Deletes
+        and appended deltas are honored (tombstones filtered, delta tail
+        unioned) with snapshot invalidation on any artifact change.
 
         Emits ``k * oversample`` results like the reference
         (``src/ann_search.cpp:118-130`` — the scan drains every fetched
@@ -1009,6 +1030,8 @@ class AnnEngine:
 
         t = self.table(table)
         idx = self.get_index(index)
+        if local:
+            return self._ann_search_local(t, idx, query, k)
         if rerank is None:
             rerank = bool(idx.meta.params.get("refine"))
         if oversample is None:
@@ -1036,6 +1059,118 @@ class AnnEngine:
         return joined.select(*t.df.columns, "_distance").orderBy(
             F.col("_distance").asc(), F.col(t.row_id).asc()
         )
+
+    # ---- driver-local single-query serving (see ann_search(local=True)) ----
+    @staticmethod
+    def _dir_sig(path: str):
+        """Freshness signature of a directory's files: (name, size, mtime_ns)
+        tuples — any write/compact/delete changes it.  None if absent."""
+        try:
+            with os.scandir(path) as it:
+                return tuple(
+                    sorted(
+                        (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                        for e in it
+                        if e.is_file()
+                    )
+                )
+        except FileNotFoundError:
+            return None
+
+    def _local_snapshot(self, idx) -> tuple[np.ndarray, np.ndarray]:
+        """Driver-cached (row_ids int64, vectors (n, dim) f32) of the index's
+        LIVE rows: artifact + delta tail - tombstones.  Invalidated whenever
+        any of the three directories (or meta.json) changes, so lifecycle
+        ops (insert/delete/vacuum/merge) are honored without hooks."""
+        import pyarrow.compute as pa_c
+        import pyarrow.parquet as pa_pq
+
+        name, dim = idx.meta.name, idx.meta.dim
+        sig = (
+            self._dir_sig(self.catalog.data_path(name)),
+            self._dir_sig(self.catalog.delta_path(name)),
+            self._dir_sig(self.catalog.tombstone_path(name)),
+        )
+        cached = self._local_snapshots.get(name)
+        if cached is not None and cached[0] == sig:
+            return cached[1], cached[2]
+        est = int(idx.meta.num_vectors) * dim * 4
+        if est > LOCAL_SERVE_MAX_BYTES:
+            raise ValueError(
+                f"index {name!r} is ~{est >> 20} MiB of vectors — above the "
+                f"{LOCAL_SERVE_MAX_BYTES >> 20} MiB local-serving cap; use "
+                "the distributed path (local=False)"
+            )
+
+        def load(path: str) -> tuple[np.ndarray, np.ndarray]:
+            tb = pa_pq.read_table(path, columns=["row_id", "vector"])
+            ids = tb.column("row_id").to_numpy()
+            emb = tb.column("vector").combine_chunks()
+            # flatten+reshape, never to_pylist (Python float objects)
+            x = (
+                pa_c.list_flatten(emb)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float32)
+                .reshape(-1, dim)
+            )
+            return np.asarray(ids, dtype=np.int64), x
+
+        ids, x = load(self.catalog.data_path(name))
+        if sig[1]:  # delta tail: unindexed appends, full precision
+            d_ids, d_x = load(self.catalog.delta_path(name))
+            ids = np.concatenate([ids, d_ids])
+            x = np.concatenate([x, d_x])
+        if sig[2]:  # tombstones
+            tomb = pa_pq.read_table(
+                self.catalog.tombstone_path(name), columns=["row_id"]
+            ).column("row_id").to_numpy()
+            keep = ~np.isin(ids, np.asarray(tomb, dtype=np.int64))
+            ids, x = ids[keep], np.ascontiguousarray(x[keep])
+        self._local_snapshots[name] = (sig, ids, x)
+        return ids, x
+
+    def _local_topk_rows(self, t, idx, query: Sequence[float], k: int) -> list[tuple]:
+        """The pure driver-side probe: exact top-k rows (table columns +
+        _distance) as plain tuples — the µs/ms-class hot path that
+        ``ann_search(local=True)`` wraps (bench times this directly)."""
+        from duckdb_annsearch_spark.index import kernels
+
+        extra = set(t.df.columns) - {t.row_id, idx.meta.column}
+        if extra:
+            raise ValueError(
+                "local serving answers from the index artifact alone "
+                f"(columns {sorted({t.row_id, idx.meta.column})}); table "
+                f"{t.name!r} also carries {sorted(extra)} — fetching them "
+                "needs the distributed row-fetch join (local=False)"
+            )
+        ids, x = self._local_snapshot(idx)
+        q = np.asarray(list(query), dtype=np.float32)[None, :]
+        if q.shape[1] != idx.meta.dim:
+            raise ValueError(
+                f"query dim {q.shape[1]} != index dim {idx.meta.dim}"
+            )
+        d = kernels.pairwise_distances(q, x, idx.meta.metric)[0]
+        sel = kernels.local_topk(d, k, ids=ids)
+        rows = []
+        for j in sel:
+            vals = []
+            for c in t.df.columns:
+                if c == t.row_id:
+                    vals.append(int(ids[j]))
+                else:  # validated to be the indexed vector column
+                    vals.append([float(v) for v in x[j]])
+            vals.append(float(d[j]))
+            rows.append(tuple(vals))
+        return rows
+
+    def _ann_search_local(self, t, idx, query: Sequence[float], k: int) -> DataFrame:
+        rows = self._local_topk_rows(t, idx, query, k)
+        schema = T.StructType(
+            [t.df.schema[c] for c in t.df.columns]
+            + [T.StructField("_distance", T.FloatType())]
+        )
+        # local relation: collect()/toPandas() convert driver-side, no job
+        return self.spark.createDataFrame(rows, schema)
 
     def _resolve_rerank(self, idx, oversample, rerank):
         """Shared default resolution for the rerank serving recipe: an

@@ -1,0 +1,95 @@
+"""ann_search(local=True): driver-local single-query serving.
+
+The reference answers one k-NN in microseconds in-process
+(README.md:134-146); every distributed search pays Spark job overhead.
+The local path probes a driver-cached numpy snapshot of the artifact and
+returns a local-relation DataFrame — same answer as the exact/rerank
+path, no cluster job."""
+
+import time
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_vectors_df
+
+
+def _rows(seed=11, n=300, dim=8):
+    rng = np.random.RandomState(seed)
+    return [(i, rng.rand(dim).astype(np.float32).tolist()) for i in range(n)]
+
+
+@pytest.fixture()
+def local_engine(engine):
+    rows = _rows()
+    engine.register_table(
+        "lv", make_vectors_df(engine.spark, rows, dim=8), row_id="id"
+    )
+    engine.create_index("lv_flat", "lv", "embedding", engine="faiss", index_type="Flat")
+    return engine, rows
+
+
+def test_local_matches_distributed(local_engine):
+    engine, rows = local_engine
+    q = rows[42][1]
+    dist = engine.ann_search("lv", "lv_flat", q, k=5).collect()
+    loc = engine.ann_search("lv", "lv_flat", q, k=5, local=True).collect()
+    assert [r["id"] for r in loc] == [r["id"] for r in dist]
+    for a, b in zip(loc, dist):
+        assert abs(a["_distance"] - b["_distance"]) < 1e-5
+        np.testing.assert_allclose(a["embedding"], b["embedding"], rtol=1e-6)
+    # schema parity: same columns, local top hit is the probe row itself
+    assert loc[0]["id"] == 42
+    assert [f.name for f in engine.ann_search(
+        "lv", "lv_flat", q, k=5, local=True
+    ).schema.fields] == ["id", "embedding", "_distance"]
+
+
+def test_local_honors_lifecycle(local_engine):
+    engine, rows = local_engine
+    q = rows[42][1]
+    # first local call warms the snapshot
+    assert engine.ann_search("lv", "lv_flat", q, k=1, local=True).first()["id"] == 42
+    # delete the top hit: the snapshot must invalidate and drop it
+    engine.delete("lv", [42])
+    got = engine.ann_search("lv", "lv_flat", q, k=3, local=True).collect()
+    assert 42 not in {r["id"] for r in got}
+    # insert an exact-match row: the delta tail must serve it
+    new = engine.spark.createDataFrame([(999, q)], "id long, embedding array<float>")
+    engine.insert("lv", new)
+    assert engine.ann_search("lv", "lv_flat", q, k=1, local=True).first()["id"] == 999
+
+
+def test_local_requires_artifact_columns(engine):
+    rows = [(i, f"t{i}", v) for i, (_, v) in enumerate(_rows(n=60))]
+    df = engine.spark.createDataFrame(rows, "id long, txt string, v array<float>")
+    engine.register_table("lw", df, row_id="id")
+    engine.create_index("lw_flat", "lw", "v", engine="faiss", index_type="Flat")
+    with pytest.raises(ValueError, match="txt"):
+        engine.ann_search("lw", "lw_flat", rows[0][2], k=3, local=True)
+
+
+def test_local_size_cap(local_engine, monkeypatch):
+    engine, rows = local_engine
+    import duckdb_annsearch_spark.engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "LOCAL_SERVE_MAX_BYTES", 10)
+    engine._local_snapshots.clear()
+    with pytest.raises(ValueError, match="local-serving cap"):
+        engine.ann_search("lv", "lv_flat", rows[0][1], k=3, local=True)
+
+
+def test_local_hot_path_is_fast(local_engine):
+    engine, rows = local_engine
+    t = engine.table("lv")
+    idx = engine.get_index("lv_flat")
+    q = rows[7][1]
+    engine._local_topk_rows(t, idx, q, 5)  # warm the snapshot
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = engine._local_topk_rows(t, idx, q, 5)
+    per_call = (time.perf_counter() - t0) / 50
+    assert out[0][0] == 7
+    # ms-class, not the ~0.5-0.9 s Spark-job floor (generous bound: this
+    # host's CPU speed swings several-fold between windows)
+    assert per_call < 0.05, f"local probe took {per_call * 1e3:.1f} ms"
