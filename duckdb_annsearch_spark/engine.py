@@ -1094,7 +1094,10 @@ class AnnEngine:
         cached = self._local_snapshots.get(name)
         if cached is not None and cached[0] == sig:
             return cached[1], cached[2]
-        est = int(idx.meta.num_vectors) * dim * 4
+        n_est = int(idx.meta.num_vectors) + int(
+            idx.meta.extra.get("delta_rows", 0) or 0
+        )
+        est = n_est * dim * 4
         if est > LOCAL_SERVE_MAX_BYTES:
             raise ValueError(
                 f"index {name!r} is ~{est >> 20} MiB of vectors — above the "

@@ -93,3 +93,23 @@ def test_local_hot_path_is_fast(local_engine):
     # ms-class, not the ~0.5-0.9 s Spark-job floor (generous bound: this
     # host's CPU speed swings several-fold between windows)
     assert per_call < 0.05, f"local probe took {per_call * 1e3:.1f} ms"
+
+
+def test_local_serves_graph_and_ivf_artifacts(engine):
+    # the snapshot loader projects (row_id, vector) out of ANY artifact
+    # layout: sharded-graph (per-shard files + sidecars), IVF
+    # (partitioned by cluster_id), flat
+    rows = _rows(seed=5, n=400)
+    df = engine.spark.createDataFrame(
+        [(i, v) for i, v in rows], "id long, embedding array<float>"
+    )
+    engine.register_table("gv", df, row_id="id")
+    engine.streaming_build("gv_graph", "gv", "embedding", shards=2, shard_by="kmeans")
+    engine.create_index(
+        "gv_ivf", "gv", "embedding", engine="faiss", index_type="IVFFlat", ivf_nlist=4
+    )
+    q = rows[13][1]
+    got_g = engine.ann_search("gv", "gv_graph", q, k=5, local=True).collect()
+    got_i = engine.ann_search("gv", "gv_ivf", q, k=5, local=True).collect()
+    assert got_g[0]["id"] == 13
+    assert [r["id"] for r in got_g] == [r["id"] for r in got_i]  # both exact
