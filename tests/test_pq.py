@@ -397,3 +397,31 @@ def test_pq_m_auto_scales_with_row_count():
     assert pq_m_for(64, 16, n=20_000_000) == 16  # explicit wins
     with pytest.raises(ValueError, match="divisor"):
         pq_m_for(64, 7)
+
+
+def test_sharded_build_uses_auto_pq_m(engine, monkeypatch):
+    """The sharded builder must route its default code width through the
+    scale-aware rule (the 20M-certification knob).  Tiers are monkeypatched
+    driver-side (the decision is made before anything ships to executors)
+    so the >=10M branch is exercised at CI scale."""
+    from duckdb_annsearch_spark.index import pq as pq_mod
+
+    monkeypatch.setattr(
+        pq_mod, "PQ_AUTO_TIERS", ((300, 2), (100, 4), (0, 8))
+    )
+    # dim=8 here: drop the max(DEFAULT_PQ_M, ...) floor so the tier is visible
+    monkeypatch.setattr(pq_mod, "DEFAULT_PQ_M", 2)
+    rows = _rand_rows(9, 400, 8)
+    engine.register_table(
+        "apm", make_vectors_df(engine.spark, rows, dim=8), row_id="id"
+    )
+    engine.streaming_build(
+        "apm_g", "apm", "embedding", shards=2, shard_by="kmeans",
+        quantization="pq",
+    )
+    meta = engine.catalog.load("apm_g")
+    assert meta.extra["pq_m"] == 4  # n=400 >= 300 -> dim//2
+    got = engine.ann_search(
+        "apm", "apm_g", rows[7][1], 5, oversample=10, rerank=True
+    ).collect()
+    assert got[0]["id"] == 7
