@@ -413,6 +413,9 @@ class AnnEngine:
                 return
             raise KeyError(f"ANN index {name!r} does not exist")
         self.catalog.drop(name)
+        # release the local-serving snapshot's arrays (staleness is already
+        # signature-guarded; this is memory hygiene for dropped indexes)
+        self._local_snapshots.pop(name, None)
 
     def unregister_table(self, name: str) -> None:
         """DROP TABLE semantics: dropping a table cascades to every index
@@ -1196,6 +1199,7 @@ class AnnEngine:
         search_complexity: int | None = None,
         oversample: int | None = None,
         rerank: bool | None = None,
+        local: bool = False,
         **search_params,
     ) -> DataFrame:
         """Multi-query batch: ``query_idx INT`` + table columns + ``_distance``
@@ -1203,11 +1207,28 @@ class AnnEngine:
 
         ``rerank``/``oversample`` follow :meth:`ann_search`: candidates are
         re-scored exactly per query (broadcast join of the tiny query list,
-        one window per query_idx) and the best ``k`` per query returned."""
+        one window per query_idx) and the best ``k`` per query returned.
+
+        ``local=True`` follows :meth:`ann_search`: every query probes the
+        driver-cached snapshot (one GEMM for the whole batch) and the
+        result is a local-relation DataFrame — same constraints (artifact
+        columns only, size cap), exact answers."""
         from duckdb_annsearch_spark.functions.distance import metric_distance
 
         t = self.table(table)
         idx = self.get_index(index)
+        if local:
+            rows = []
+            for i, q in enumerate(queries):
+                rows.extend(
+                    (i, *r) for r in self._local_topk_rows(t, idx, q, k)
+                )
+            schema = T.StructType(
+                [T.StructField("query_idx", T.IntegerType())]
+                + [t.df.schema[c] for c in t.df.columns]
+                + [T.StructField("_distance", T.FloatType())]
+            )
+            return self.spark.createDataFrame(rows, schema)
         oversample, rerank = self._resolve_rerank(idx, oversample, rerank)
         hits = idx.search_batch(
             [list(q) for q in queries], k * oversample,

@@ -113,3 +113,24 @@ def test_local_serves_graph_and_ivf_artifacts(engine):
     got_i = engine.ann_search("gv", "gv_ivf", q, k=5, local=True).collect()
     assert got_g[0]["id"] == 13
     assert [r["id"] for r in got_g] == [r["id"] for r in got_i]  # both exact
+
+
+def test_local_batch_matches_distributed(local_engine):
+    engine, rows = local_engine
+    qs = [rows[3][1], rows[77][1], rows[150][1]]
+    dist = engine.ann_search_batch("lv", "lv_flat", qs, k=4).collect()
+    loc = engine.ann_search_batch("lv", "lv_flat", qs, k=4, local=True).collect()
+    key = lambda r: (r["query_idx"], r["_distance"], r["id"])
+    assert [(r["query_idx"], r["id"]) for r in sorted(loc, key=key)] == [
+        (r["query_idx"], r["id"]) for r in sorted(dist, key=key)
+    ]
+    assert {r["query_idx"] for r in loc} == {0, 1, 2}
+    assert loc[0].__fields__ == dist[0].__fields__
+
+
+def test_drop_index_releases_snapshot(local_engine):
+    engine, rows = local_engine
+    engine.ann_search("lv", "lv_flat", rows[0][1], k=1, local=True).collect()
+    assert "lv_flat" in engine._local_snapshots
+    engine.drop_index("lv_flat")
+    assert "lv_flat" not in engine._local_snapshots
