@@ -492,7 +492,7 @@ def q_ann_search_flat(spark, sf_dir):
 def q_ann_search_local(spark, sf_dir):
     """S3+ single-query serving short-circuit (round 6): ann_search(
     local=True) probes a driver-cached numpy snapshot of the artifact and
-    returns a LOCAL-RELATION DataFrame — no cluster job on collect, the
+    returns a k-row driver-made relation (no table/artifact scan), the
     Spark rendering of the reference's µs in-process single-query serving
     (README.md:134-146).  Exact brute force, so the same rank oracle as
     the distributed flat search applies unchanged."""

@@ -191,7 +191,7 @@ def main():
         errors["index_build"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# index_build: ERROR {errors['index_build']}", file=sys.stderr)
     # the driver-local single-query hot path (ann_search(local=True) minus
-    # the local-relation wrapper): the number comparable to the reference's
+    # the k-row relation wrapper): the number comparable to the reference's
     # in-process µs/query serving (README.md:134-146)
     local_us = None
     try:

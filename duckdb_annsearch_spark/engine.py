@@ -991,10 +991,15 @@ class AnnEngine:
         search_complexity: int | None = None,
         oversample: int | None = None,
         rerank: bool | None = None,
-        local: bool = False,
+        local: bool | str = False,
         **search_params,
     ) -> DataFrame:
         """k-NN + row fetch: all table columns + ``_distance``, ascending.
+
+        ``local='auto'`` serves locally when eligible and silently takes
+        the distributed path otherwise (wide table / artifact above the
+        cap) — the serving-tier default: hot small indexes answer in ms,
+        everything else distributes.
 
         ``local=True`` is the single-query serving short-circuit: the
         reference answers one k-NN in microseconds in-process
@@ -1002,8 +1007,9 @@ class AnnEngine:
         ~0.5-0.9 s of Spark job overhead.  The local path probes a
         driver-cached numpy snapshot of the artifact's raw vectors
         (EXACT brute force — the same answer the rerank recipe returns)
-        and wraps the k rows in a local-relation DataFrame: no cluster
-        job on collect.  Requirements: every visible table column must be
+        and wraps the k rows in a driver-made k-row relation: collecting
+        it runs one in-process task over k rows — no table/artifact scan,
+        no shuffle.  Requirements: every visible table column must be
         derivable from the artifact (row_id + the indexed vector column)
         and the artifact must fit ``LOCAL_SERVE_MAX_BYTES`` — otherwise
         this raises and the caller uses the distributed path.  Deletes
@@ -1034,7 +1040,12 @@ class AnnEngine:
         t = self.table(table)
         idx = self.get_index(index)
         if local:
-            return self._ann_search_local(t, idx, query, k)
+            try:
+                return self._ann_search_local(t, idx, query, k)
+            except ValueError:
+                if local != "auto":
+                    raise
+                # auto: ineligible (wide table / over cap) -> distributed
         if rerank is None:
             rerank = bool(idx.meta.params.get("refine"))
         if oversample is None:
@@ -1175,7 +1186,8 @@ class AnnEngine:
             [t.df.schema[c] for c in t.df.columns]
             + [T.StructField("_distance", T.FloatType())]
         )
-        # local relation: collect()/toPandas() convert driver-side, no job
+        # k-row driver-made relation: no table/artifact scan, no shuffle;
+        # the probe itself already ran in-process (_local_topk_rows)
         return self.spark.createDataFrame(rows, schema)
 
     def _resolve_rerank(self, idx, oversample, rerank):
@@ -1211,7 +1223,7 @@ class AnnEngine:
 
         ``local=True`` follows :meth:`ann_search`: every query probes the
         driver-cached snapshot (one GEMM for the whole batch) and the
-        result is a local-relation DataFrame — same constraints (artifact
+        result is a k-row driver-made relation — same constraints (artifact
         columns only, size cap), exact answers."""
         from duckdb_annsearch_spark.functions.distance import metric_distance
 

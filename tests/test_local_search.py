@@ -3,7 +3,7 @@
 The reference answers one k-NN in microseconds in-process
 (README.md:134-146); every distributed search pays Spark job overhead.
 The local path probes a driver-cached numpy snapshot of the artifact and
-returns a local-relation DataFrame — same answer as the exact/rerank
+returns a k-row driver-made relation — same answer as the exact/rerank
 path, no cluster job."""
 
 import time
@@ -134,3 +134,22 @@ def test_drop_index_releases_snapshot(local_engine):
     assert "lv_flat" in engine._local_snapshots
     engine.drop_index("lv_flat")
     assert "lv_flat" not in engine._local_snapshots
+
+
+def test_local_auto_falls_back(engine):
+    # wide table (extra txt column): auto must silently take the
+    # distributed path; explicit local=True keeps raising
+    rows = [(i, f"t{i}", v) for i, (_, v) in enumerate(_rows(n=80))]
+    df = engine.spark.createDataFrame(rows, "id long, txt string, embedding array<float>")
+    engine.register_table("la", df, row_id="id")
+    engine.create_index("la_flat", "la", "embedding", engine="faiss", index_type="Flat")
+    got = engine.ann_search("la", "la_flat", rows[5][2], k=3, local="auto").collect()
+    assert got[0]["id"] == 5 and got[0]["txt"] == "t5"
+    # narrow table: auto serves locally — the plan is a k-row driver-made
+    # relation (ExistingRDD), never a table/artifact scan or exchange
+    engine.register_table("lan", df.select("id", "embedding"), row_id="id")
+    out = engine.ann_search("lan", "la_flat", rows[5][2], k=3, local="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "FileScan" not in plan and "Exchange" not in plan
+    assert out.first()["id"] == 5
