@@ -1077,19 +1077,20 @@ class AnnEngine:
     # ---- driver-local single-query serving (see ann_search(local=True)) ----
     @staticmethod
     def _dir_sig(path: str):
-        """Freshness signature of a directory's files: (name, size, mtime_ns)
-        tuples — any write/compact/delete changes it.  None if absent."""
-        try:
-            with os.scandir(path) as it:
-                return tuple(
-                    sorted(
-                        (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                        for e in it
-                        if e.is_file()
-                    )
-                )
-        except FileNotFoundError:
+        """Freshness signature of a directory TREE's files: (relpath, size,
+        mtime_ns) tuples — any write/compact/delete changes it.  RECURSIVE:
+        IVF artifacts live in cluster_id=N hive subdirectories and sharded
+        graphs in shard dirs; a top-level-only scan would miss a vacuum
+        rewriting those.  None if the directory is absent."""
+        if not os.path.isdir(path):
             return None
+        out = []
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                out.append((os.path.join(rel, f), st.st_size, st.st_mtime_ns))
+        return tuple(sorted(out))
 
     def _local_snapshot(self, idx) -> tuple[np.ndarray, np.ndarray]:
         """Driver-cached (row_ids int64, vectors (n, dim) f32) of the index's

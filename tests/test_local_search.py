@@ -153,3 +153,23 @@ def test_local_auto_falls_back(engine):
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert "FileScan" not in plan and "Exchange" not in plan
     assert out.first()["id"] == 5
+
+
+def test_local_snapshot_sees_ivf_vacuum(engine):
+    # IVF artifacts live in cluster_id=N subdirectories: the snapshot
+    # signature must walk the tree, or a vacuum rewriting those files
+    # would serve stale (deleted) rows from the cache
+    rows = _rows(seed=21, n=200)
+    df = engine.spark.createDataFrame(
+        [(i, v) for i, v in rows], "id long, embedding array<float>"
+    )
+    engine.register_table("vv", df, row_id="id")
+    engine.create_index(
+        "vv_ivf", "vv", "embedding", engine="faiss", index_type="IVFFlat", ivf_nlist=4
+    )
+    q = rows[9][1]
+    assert engine.ann_search("vv", "vv_ivf", q, k=1, local=True).first()["id"] == 9
+    engine.delete("vv", [9])
+    engine.vacuum("vv_ivf")  # rewrites cluster_id=N files, clears tombstones
+    got = engine.ann_search("vv", "vv_ivf", q, k=3, local=True).collect()
+    assert 9 not in {r["id"] for r in got}
