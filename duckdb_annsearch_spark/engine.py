@@ -730,22 +730,27 @@ class AnnEngine:
             raise ValueError("export_dann requires a graph index")
         if meta.extra.get("shards"):
             raise ValueError("sharded graphs have no single-file DANN form")
-        t = pq.read_table(self.catalog.data_path(name)).sort_by("label")
-        vectors = np.asarray(t.column("vector").to_pylist(), dtype=np.float32)
+        # unsorted read + numpy gather — never Table.sort_by on artifact
+        # tables (pyarrow 16.1.0 corrupts large list<float> children under
+        # sort/take; see index/graph._argsorted_labels)
+        from duckdb_annsearch_spark.index.graph import _argsorted_labels
+
+        t = pq.read_table(self.catalog.data_path(name))
+        _, order = _argsorted_labels(t, "label")
+        vec_un = t.column("vector").to_pylist()
+        vectors = np.asarray([vec_un[j] for j in order], dtype=np.float32)
+        nb_un = t.column("neighbors").to_pylist()
         neighbors = [
-            np.asarray(nb or [], dtype=np.int64)
-            for nb in t.column("neighbors").to_pylist()
+            np.asarray(nb_un[j] or [], dtype=np.int64) for j in order
         ]
         sq8 = None
         if meta.quantized and "codes" in t.column_names:
+            codes_un = t.column("codes").to_pylist()
             sq8 = {
                 "mins": meta.extra["sq8_mins"],
                 "scales": meta.extra["sq8_scales"],
                 "codes": np.stack(
-                    [
-                        np.frombuffer(b, dtype=np.uint8)
-                        for b in t.column("codes").to_pylist()
-                    ]
+                    [np.frombuffer(codes_un[j], dtype=np.uint8) for j in order]
                 ),
             }
         write_dann(
@@ -1053,6 +1058,13 @@ class AnnEngine:
                 int(idx.meta.params.get("refine_k_factor", 10)) if rerank else 1
             )
         fetch_k = k * max(1, int(oversample))
+        if rerank and idx.meta.extra.get("shards"):
+            # sharded + rerank: skip the global top-fetch_k cut by CODE
+            # distance — the exact re-score must see the full per-shard
+            # candidate union (nq * shards * fetch_k rows, bounded) or
+            # deep-code-ranked true neighbors are lost before reranking
+            # (measured at 20M x 64: recall 0.78 -> see graph.py)
+            search_params = {**search_params, "merge_k": 0}
         hits = idx.search(
             list(query), fetch_k, search_complexity=search_complexity, **search_params
         )
@@ -1097,7 +1109,6 @@ class AnnEngine:
         LIVE rows: artifact + delta tail - tombstones.  Invalidated whenever
         any of the three directories (or meta.json) changes, so lifecycle
         ops (insert/delete/vacuum/merge) are honored without hooks."""
-        import pyarrow.compute as pa_c
         import pyarrow.parquet as pa_pq
 
         name, dim = idx.meta.name, idx.meta.dim
@@ -1121,16 +1132,15 @@ class AnnEngine:
             )
 
         def load(path: str) -> tuple[np.ndarray, np.ndarray]:
+            # per-CHUNK flatten, never combine_chunks/sort_by on list
+            # columns (pyarrow 16.1.0 corrupts large list<float> children
+            # under sort/take — index/graph._argsorted_labels), and never
+            # to_pylist (Python float objects)
+            from duckdb_annsearch_spark.index.scan import _fixed_matrix
+
             tb = pa_pq.read_table(path, columns=["row_id", "vector"])
-            ids = tb.column("row_id").to_numpy()
-            emb = tb.column("vector").combine_chunks()
-            # flatten+reshape, never to_pylist (Python float objects)
-            x = (
-                pa_c.list_flatten(emb)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float32)
-                .reshape(-1, dim)
-            )
+            ids = tb.column("row_id").to_numpy(zero_copy_only=False)
+            x = _fixed_matrix(tb.column("vector"), dim)
             return np.asarray(ids, dtype=np.int64), x
 
         ids, x = load(self.catalog.data_path(name))
@@ -1243,6 +1253,9 @@ class AnnEngine:
             )
             return self.spark.createDataFrame(rows, schema)
         oversample, rerank = self._resolve_rerank(idx, oversample, rerank)
+        if rerank and idx.meta.extra.get("shards"):
+            # see ann_search: rerank must see the uncut per-shard union
+            search_params = {**search_params, "merge_k": 0}
         hits = idx.search_batch(
             [list(q) for q in queries], k * oversample,
             search_complexity=search_complexity, **search_params,
@@ -1322,11 +1335,20 @@ class AnnEngine:
         tagged = queries_df.withColumn(
             "__query_idx", F.monotonically_increasing_id()
         ).localCheckpoint(eager=False)
+        table_kw = {}
+        if rerank and idx.meta.extra.get("shards"):
+            # see ann_search: the exact re-score sees the uncut per-shard
+            # union.  Volume note: this multiplies the join-back input by
+            # the shard count (nq * shards * fetch_k rows); rerank=False
+            # keeps the lean k*oversample-per-query shuffle when raw code
+            # distances are acceptable.
+            table_kw["merge_k"] = 0
         hits = idx.search_batch_df(
             tagged.select("__query_idx", F.col(qcol).cast("array<float>").alias("query")),
             k * oversample,
             idx_col="__query_idx",
             search_complexity=search_complexity,
+            **table_kw,
         ).select(
             # internal names: a queries_df/base table carrying its own
             # row_id or _distance column must not make these ambiguous

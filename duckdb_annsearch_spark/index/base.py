@@ -264,7 +264,13 @@ class BaseIndex:
             self.meta.dim,
             dequantize=self._delta_dequant_args(),
         )
-        return topk_per_query(hits.unionByName(extra), k)
+        combined = hits.unionByName(extra)
+        if kw.get("merge_k") == 0:
+            # rerank recipe (see GraphIndex._sharded_search_df): the exact
+            # re-score must see every candidate — a code-distance cut here
+            # would reintroduce the loss the caller opted out of
+            return combined
+        return topk_per_query(combined, k)
 
     def search_batch_df(
         self,
@@ -302,7 +308,10 @@ class BaseIndex:
             query_col=query_col,
             idx_col=idx_col,
         )
-        return topk_per_query(hits.unionByName(extra), k, idx_col=idx_col)
+        combined = hits.unionByName(extra)
+        if kw.get("merge_k") == 0:  # rerank recipe: no code-distance cut
+            return combined
+        return topk_per_query(combined, k, idx_col=idx_col)
 
     def _search_batch_impl(
         self, queries: list[Sequence[float]], k: int, **kw

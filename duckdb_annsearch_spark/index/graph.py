@@ -45,26 +45,48 @@ from duckdb_annsearch_spark.index.vamana import (
 )
 
 
-def _split_list_column(col, dtype) -> list[np.ndarray]:
-    """Arrow list column -> list of numpy arrays via ONE flatten + offset
-    slicing — `to_pylist()` would materialize every element as a Python
-    object (multi-GB transients on big graphs)."""
-    import pyarrow.compute as pc
+def _argsorted_labels(t, key: str) -> tuple[np.ndarray, np.ndarray]:
+    """``(sorted_keys, order)`` numpy sort permutation for a just-read
+    table.  NEVER ``Table.sort_by`` on artifact tables: pyarrow 16.1.0's
+    sort/take silently corrupts large ``list<float>`` children — verified
+    at 20M x 64-d, where post-sort ELEMENT ACCESS returns other rows'
+    values across multi-hundred-MB regions (it poisoned two rounds of 20M
+    recall certification before being caught).  Loaders extract columns
+    from the UNSORTED read and gather with this permutation instead."""
+    keys = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], order
 
-    arr = col.combine_chunks()
-    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(dtype)
-    offs = arr.offsets.to_numpy()
-    return [flat[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+def _split_list_column(col, dtype) -> list[np.ndarray]:
+    """Arrow list column -> list of numpy arrays via per-CHUNK flatten +
+    length offsets — `to_pylist()` would materialize every element as a
+    Python object (multi-GB transients on big graphs), and combine_chunks
+    is avoided for the same pyarrow-16 large-list hazard as sort_by
+    (per-chunk flatten of an as-read table is verified clean)."""
+    chunks = col.chunks if hasattr(col, "chunks") else [col]
+    out: list[np.ndarray] = []
+    for ch in chunks:
+        flat = ch.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+        lens = np.nan_to_num(
+            ch.value_lengths().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        offs = np.empty(len(lens) + 1, dtype=np.int64)
+        offs[0] = 0
+        np.cumsum(lens, out=offs[1:])
+        out.extend(flat[offs[i] : offs[i + 1]] for i in range(len(lens)))
+    return out
 
 
 def _vector_matrix(col) -> np.ndarray:
-    """Arrow list<float> column -> (n, dim) float32 via flatten+reshape."""
+    """Arrow list<float> column -> (n, dim) float32 via per-chunk
+    flatten+reshape (see ``_split_list_column`` for why not combined)."""
     from duckdb_annsearch_spark.index import scan
 
     if len(col) == 0:
         return np.zeros((0, 0), dtype=np.float32)
     dim = len(col[0].as_py() or [])
-    return scan._fixed_matrix(col.combine_chunks(), dim)
+    return scan._fixed_matrix(col, dim)
 
 
 class _Sq8View:
@@ -283,7 +305,8 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
         ):
             return _mmap_graph(path)
 
-    t = pq.read_table(path).sort_by("label")
+    t = pq.read_table(path)  # UNSORTED read + numpy gather (_argsorted_labels)
+    _, order = _argsorted_labels(t, "label")
     side = {}
     sidecar = os.path.join(path, "_graph_meta.json")
     if os.path.exists(sidecar):
@@ -292,20 +315,21 @@ def _load_graph(path: str) -> tuple[VamanaGraph, np.ndarray]:
     if "sq8_mins" in side and "codes" in t.column_names:
         # shared decoder (kernels.decode_codes) — the parquet, mmap-view,
         # and Spark probe paths must stay bit-identical
+        codes_un = t.column("codes").to_pylist()
         vectors = kernels.decode_codes(
-            t.column("codes").to_pylist(),
+            [codes_un[j] for j in order],
             {
                 "mins": np.asarray(side["sq8_mins"], dtype=np.float32),
                 "scales": np.asarray(side["sq8_scales"], dtype=np.float32),
             },
         )
     else:
-        vectors = _vector_matrix(t.column("vector"))
-    neighbors = [
-        nb[nb != NO_NEIGHBOR]
-        for nb in _split_list_column(t.column("neighbors"), np.int64)
+        vectors = _vector_matrix(t.column("vector"))[order]
+    nbs = _split_list_column(t.column("neighbors"), np.int64)
+    neighbors = [nbs[j][nbs[j] != NO_NEIGHBOR] for j in order]
+    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)[
+        order
     ]
-    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
     # entry point + metric: sidecar json (Spark-written multi-file artifacts
     # from streaming_build) or parquet footer metadata (driver-written)
     if side:
@@ -357,14 +381,15 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
             if side.get("opq"):
                 pq_rotation = load_rotation(parent_dir)
 
-    t = pq.read_table(shard_dir).sort_by("label")
-    glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pq.read_table(shard_dir)  # UNSORTED read + numpy gather (_argsorted_labels)
+    glabels, order = _argsorted_labels(t, "label")
     sq8 = pq_trailer = None
     if sq8_stats is not None and "codes" in t.column_names:
         mins, scales = sq8_stats
         if len(glabels):
+            codes_un = t.column("codes").to_pylist()
             codes = np.stack(
-                [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
+                [np.frombuffer(codes_un[j], dtype=np.uint8) for j in order]
             )
             # ONE dequantization implementation (kernels.decode_codes) —
             # the parquet, mmap-view, and Spark probe paths must stay
@@ -380,8 +405,9 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
         if pq_rotation is not None:
             dq["rotation"] = pq_rotation
         if len(glabels):
+            codes_un = t.column("codes").to_pylist()
             codes = np.stack(
-                [np.frombuffer(b, dtype=np.uint8) for b in t.column("codes").to_pylist()]
+                [np.frombuffer(codes_un[j], dtype=np.uint8) for j in order]
             )
             vectors = kernels.decode_codes(codes, dq)
         else:
@@ -391,10 +417,13 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
         if pq_rotation is not None:
             pq_trailer["rotation"] = pq_rotation
     else:
-        vectors = _vector_matrix(t.column("vector"))
-    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vectors = _vector_matrix(t.column("vector"))[order]
+    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)[
+        order
+    ]
+    nbs_un = _split_list_column(t.column("neighbors"), np.int64)
     neighbors = []
-    for nb in _split_list_column(t.column("neighbors"), np.int64):
+    for nb in (nbs_un[j] for j in order):
         idx = np.searchsorted(glabels, nb)
         # searchsorted silently clamps out-of-shard labels to a wrong local
         # index; this sidecar is PERSISTENT, so a bad remap would bake the
@@ -408,7 +437,9 @@ def write_shard_binary(shard_dir: str, metric: str, max_degree: int, build_L: in
                 f"shard {shard_dir}: neighbor label(s) outside shard label set"
             )
         neighbors.append(idx)
-    entry_global = int(t.column("entry").to_pylist()[0]) if len(glabels) else 0
+    entry_global = (
+        int(t.column("entry").to_pylist()[int(order[0])]) if len(glabels) else 0
+    )
     ep_local = int(np.searchsorted(glabels, entry_global))
     write_dann(
         os.path.join(shard_dir, "_graph.diskann"),
@@ -473,22 +504,26 @@ def _load_shard(shard_dir: str) -> tuple[VamanaGraph, np.ndarray]:
         # dequantization (rust_lib/src/provider.rs:161-210)
         t = pq.read_table(
             shard_dir, columns=["label", "row_id", "neighbors", "entry", "codes"]
-        ).sort_by("label")
+        )  # UNSORTED read + numpy gather (_argsorted_labels)
+        glabels, order = _argsorted_labels(t, "label")
         if len(t):
             # shared decoder — see the note at the sidecar load above
-            vectors = kernels.decode_codes(t.column("codes").to_pylist(), dq)
+            codes_un = t.column("codes").to_pylist()
+            vectors = kernels.decode_codes([codes_un[j] for j in order], dq)
         else:
             vectors = np.zeros((0, empty_dim), dtype=np.float32)
     else:
-        t = pq.read_table(shard_dir).sort_by("label")
-        vectors = _vector_matrix(t.column("vector"))
-    glabels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    neighbors = [
-        np.searchsorted(glabels, nb)
-        for nb in _split_list_column(t.column("neighbors"), np.int64)
+        t = pq.read_table(shard_dir)
+        glabels, order = _argsorted_labels(t, "label")
+        vectors = _vector_matrix(t.column("vector"))[order]
+    row_ids = t.column("row_id").to_numpy(zero_copy_only=False).astype(np.int64)[
+        order
     ]
-    entry_global = int(t.column("entry").to_pylist()[0]) if len(glabels) else 0
+    nbs_un = _split_list_column(t.column("neighbors"), np.int64)
+    neighbors = [np.searchsorted(glabels, nbs_un[j]) for j in order]
+    entry_global = (
+        int(t.column("entry").to_pylist()[int(order[0])]) if len(glabels) else 0
+    )
     ep = int(np.searchsorted(glabels, entry_global))
     return VamanaGraph(vectors, neighbors, ep, metric, row_ids), row_ids
 
@@ -652,6 +687,7 @@ class GraphIndex(BaseIndex):
             return self._sharded_search_df(
                 queries_df, k, query_col, idx_col, search_complexity,
                 nprobe_shards=kw.get("nprobe_shards"),
+                merge_k=kw.get("merge_k"),
             )
         L = max(k, int(search_complexity or self._beam()))
         deleted = self._deleted_rowid_array()
@@ -713,6 +749,7 @@ class GraphIndex(BaseIndex):
         idx_col: str,
         search_complexity: int | None,
         nprobe_shards: int | None = None,
+        merge_k: int | None = None,
     ) -> DataFrame:
         """Shard fan-out: every (query, shard) pair probes that shard's
         subgraph (each task holds ONE shard in memory — graphs larger than
@@ -722,7 +759,16 @@ class GraphIndex(BaseIndex):
 
         With kmeans-clustered shards, ``nprobe_shards`` prunes the fan-out
         to each query's closest shards by centroid (SPANN-style routing) —
-        work drops from all-shards to nprobe_shards/shards of the data."""
+        work drops from all-shards to nprobe_shards/shards of the data.
+
+        ``merge_k=0`` skips the global top-k cut and returns the UNION of
+        per-shard candidates (still nq * shards * k rows — bounded).  The
+        rerank recipe needs this on quantized artifacts: cutting the union
+        to k by CODE distance before the exact re-score throws away true
+        neighbors whose code rank straddles k — measured at 20M x 64
+        uniform (the concentration worst case), the global code cut alone
+        capped recall@10 at 0.78-0.81 while the per-shard beams had found
+        every true neighbor; reranking the uncut union restores it."""
         from duckdb_annsearch_spark.functions.distance import metric_distance
         from duckdb_annsearch_spark.index.base import topk_per_query
 
@@ -817,6 +863,8 @@ class GraphIndex(BaseIndex):
         partial = fan.groupBy("shard").applyInPandas(
             probe_shard, f"{idx_col} long, row_id long, _distance float"
         )
+        if merge_k == 0:  # rerank recipe: exact re-score sees every candidate
+            return partial
         return topk_per_query(partial, k, idx_col=idx_col)
 
     def _search_batch_impl(

@@ -63,14 +63,21 @@ def _write_centroids(artifact_dir: str, centroids: np.ndarray) -> None:
 
 
 def _load_centroids(file_path: str) -> np.ndarray:
-    """(nlist, dim) float32 from the artifact's centroid file, cell order."""
-    import pyarrow.compute as pc
+    """(nlist, dim) float32 from the artifact's centroid file, cell order.
+    Unsorted read + numpy gather, never Table.sort_by (pyarrow 16.1.0
+    corrupts large list<float> children under sort/take — see
+    graph._argsorted_labels; centroid files are small, but every artifact
+    loader uses the one safe pattern)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(file_path).sort_by("cell")
-    col = t.column("centroid").combine_chunks()
-    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float32)
-    return flat.reshape(len(col), -1)
+    from duckdb_annsearch_spark.index.graph import _argsorted_labels
+    from duckdb_annsearch_spark.index.scan import _fixed_matrix
+
+    t = pq.read_table(file_path)
+    _, order = _argsorted_labels(t, "cell")
+    col = t.column("centroid")
+    dim = len(col[0].as_py() or []) if len(col) else 0
+    return _fixed_matrix(col, dim)[order]
 
 
 def _train_kmeans(sample: np.ndarray, nlist: int, metric: str, seed: int = 42) -> np.ndarray:

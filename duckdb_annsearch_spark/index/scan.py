@@ -56,15 +56,27 @@ def iter_vector_batches(
 
 
 def _fixed_matrix(col, dim: int) -> np.ndarray:
-    """Arrow list column -> (n, dim) float32; null/ragged rows become zero
-    vectors (the reference zeroes its gather buffer for bad rows)."""
-    import pyarrow.compute as pc
-
+    """Arrow list column (Array or ChunkedArray) -> (n, dim) float32;
+    null/ragged rows become zero vectors (the reference zeroes its gather
+    buffer for bad rows).  Flattens per CHUNK: combine_chunks shares the
+    pyarrow-16 large-list corruption hazard with sort_by (see
+    graph._argsorted_labels), while per-chunk flatten of an as-read table
+    is verified clean."""
     try:
-        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-        if flat.shape[0] == len(col) * dim and not col.null_count:
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        parts = []
+        ok = not col.null_count
+        for ch in chunks:
+            flat = ch.flatten().to_numpy(zero_copy_only=False)
+            if flat.shape[0] != len(ch) * dim:
+                ok = False
+                break
+            parts.append(flat.reshape(len(ch), dim))
+        if ok:
+            if not parts:
+                return np.zeros((0, dim), dtype=np.float32)
             return np.ascontiguousarray(
-                flat.reshape(len(col), dim).astype(np.float32)
+                np.concatenate(parts).astype(np.float32)
             )
     except Exception:
         pass

@@ -332,3 +332,44 @@ def test_sharded_opq_graph_build_and_serving(engine, monkeypatch):
         engine.streaming_build(
             "sopq_bad", "t_sopq", "embedding", shards=2, quantization="sq8", opq=True
         )
+
+
+def test_list_loaders_respect_chunks_and_slices():
+    """pyarrow 16.1.0's Table.sort_by/take silently corrupts large
+    list<float> children (caught at 20M x 64 — it poisoned recall ground
+    truth), so every artifact loader flattens per CHUNK of the unsorted
+    read and gathers with a numpy permutation.  Pin the helpers' behavior
+    on chunked AND sliced inputs, where offset bugs live."""
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_annsearch_spark.index.graph import (
+        _argsorted_labels,
+        _split_list_column,
+        _vector_matrix,
+    )
+    from duckdb_annsearch_spark.index.scan import _fixed_matrix
+
+    rows = [[float(i), float(i) + 0.5] for i in range(10)]
+    lt = pa.list_(pa.float32())
+    chunked = pa.chunked_array(
+        [pa.array(rows[:3], type=lt), pa.array(rows[3:7], type=lt),
+         pa.array(rows[7:], type=lt)]
+    )
+    np.testing.assert_allclose(_fixed_matrix(chunked, 2), np.asarray(rows))
+    np.testing.assert_allclose(_vector_matrix(chunked), np.asarray(rows))
+    # sliced chunk: offsets must be respected
+    sliced = pa.array(rows, type=lt).slice(4, 3)
+    np.testing.assert_allclose(_fixed_matrix(sliced, 2), np.asarray(rows[4:7]))
+    # ragged lists per chunk
+    it = pa.list_(pa.int64())
+    ragged = pa.chunked_array(
+        [pa.array([[1, 2, 3], []], type=it),
+         pa.array([[4], [5, 6]], type=it).slice(1, 1)]
+    )
+    got = _split_list_column(ragged, np.int64)
+    assert [g.tolist() for g in got] == [[1, 2, 3], [], [5, 6]]
+    # the numpy sort permutation replaces Table.sort_by
+    t = pa.table({"label": pa.array([5, 1, 3]), "v": pa.array(rows[:3], type=lt)})
+    keys, order = _argsorted_labels(t, "label")
+    assert keys.tolist() == [1, 3, 5] and order.tolist() == [1, 2, 0]

@@ -137,20 +137,27 @@ def main() -> None:
     effective_pq_m = eng.get_index("big_graph").meta.extra.get("pq_m") if pq else None
 
     # ground truth: exact brute force, driver-side numpy (this is the
-    # oracle, not the operator; N*dim*4 bytes — flatten+reshape, NOT
-    # to_pylist: 5M rows of Python float objects would be tens of GiB)
-    import pyarrow.compute as pc_
+    # oracle, not the operator; N*dim*4 bytes).  Per-CHUNK flatten scattered
+    # by vec_id — NEVER Table.sort_by/combine_chunks on the list column:
+    # pyarrow 16.1.0's sort/take silently corrupts large list<float>
+    # children (element access included), which poisoned the round-5 20M
+    # recall numbers with a garbage ground truth (engine was fine; see
+    # index/graph._argsorted_labels and ROADMAP round 6).
     import pyarrow.parquet as pq_
 
-    t = pq_.read_table(data_path, columns=["vec_id", "embedding"]).sort_by("vec_id")
-    emb = t.column("embedding").combine_chunks()
-    x = (
-        pc_.list_flatten(emb)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.float32)
-        .reshape(-1, dim)
-    )
-    ids = t.column("vec_id").to_numpy()
+    t = pq_.read_table(data_path, columns=["vec_id", "embedding"])
+    ids_un = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    x = np.empty((n, dim), dtype=np.float32)
+    seen = 0
+    pos = 0
+    for ch in t.column("embedding").chunks:
+        flat = ch.flatten().to_numpy(zero_copy_only=False)
+        assert flat.shape[0] == len(ch) * dim and not ch.null_count
+        x[ids_un[pos : pos + len(ch)]] = flat.reshape(len(ch), dim)
+        seen += len(ch)
+        pos += len(ch)
+    assert seen == n
+    ids = np.arange(n, dtype=np.int64)
     q_ids = np.linspace(0, n - 1, n_queries).astype(int)
 
     stop = threading.Event()
