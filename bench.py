@@ -181,12 +181,15 @@ def main():
             fa.result()
             fb.result()
         timings["index_build"] = round(time.time() - t0, 3)
-        # per-index walls (concurrent, so they overlap — see BUILD_TIMINGS):
-        # a build regression in one family is visible instead of drowned
-        for bname, bsec in sorted(entrymod.BUILD_TIMINGS.items()):
-            timings[f"index_build.{bname}"] = bsec
-        print(f"# index_build: {timings['index_build']}s "
-              f"{entrymod.BUILD_TIMINGS}", file=sys.stderr)
+        # Per-index walls (concurrent, so they overlap) go to STDERR ONLY:
+        # round 6 put them in the summary JSON and the line outgrew the
+        # driver's ~2.2 KB tail capture ("parsed": null).  The summary line
+        # must stay compact; regressions per index remain visible below.
+        print("# BENCH_DETAIL "
+              + json.dumps({"index_build_per_index":
+                            dict(sorted(entrymod.BUILD_TIMINGS.items()))}),
+              file=sys.stderr)
+        print(f"# index_build: {timings['index_build']}s", file=sys.stderr)
     except Exception as exc:
         errors["index_build"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# index_build: ERROR {errors['index_build']}", file=sys.stderr)
@@ -220,6 +223,11 @@ def main():
 
     for name in bench_queries:
         fn = qs[name]
+        # the ann_search_local row times the Spark wrap (force_execution
+        # runs an aggregate job over the k-row relation), NOT the serving
+        # hot path — that is local_single_query_us above.  Renamed so the
+        # ~0.5 s wrap is never read as the serving latency.
+        key = "ann_search_local_wrapped" if name == "ann_search_local" else name
         t0 = time.time()
         try:
             n = force_execution(fn(spark, sf_dir))
@@ -227,24 +235,32 @@ def main():
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        timings[key] = round(time.time() - t0, 3)
+        print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
     total = round(time.time() - t_start, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "micro_us_per_query": micro,
-                "local_single_query_us": local_us,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "micro_us_per_query": micro,
+        "local_single_query_us": local_us,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    # HARD size guard: the driver's tail capture is ~2.2 KB; a summary line
+    # past ~1.9 KB risks truncation ("parsed": null in BENCH_r06.json).
+    # Degrade gracefully: shorten error strings, then coarsen timings.
+    if len(line) > 1900:
+        payload["errors"] = {k: v[:60] for k, v in errors.items()}
+        line = json.dumps(payload)
+    if len(line) > 1900:
+        payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(payload)
+    print(f"# summary_bytes: {len(line)}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

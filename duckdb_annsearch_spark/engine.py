@@ -1003,8 +1003,21 @@ class AnnEngine:
 
         ``local='auto'`` serves locally when eligible and silently takes
         the distributed path otherwise (wide table / artifact above the
-        cap) — the serving-tier default: hot small indexes answer in ms,
-        everything else distributes.
+        cap, or any per-query parameter passed — see below) — the
+        serving-tier default: hot small indexes answer in ms, everything
+        else distributes.
+
+        The local path is EXACT and returns exactly ``k`` rows; it has no
+        use for ``oversample`` / ``rerank`` / ``search_complexity`` / index
+        search params (e.g. ``nprobe``).  Passing any of them with
+        ``local=True`` raises (they would be silently ignored); with
+        ``local='auto'`` they route the call to the distributed path,
+        which honors them.  Note the documented divergence under
+        ``'auto'``: an eligible call answers from the artifact's raw
+        vectors (exact brute force, k rows), an ineligible one follows
+        the distributed semantics below (``k * oversample`` rows when
+        over-fetching without rerank, code distances on a lossy index
+        without rerank).
 
         ``local=True`` is the single-query serving short-circuit: the
         reference answers one k-NN in microseconds in-process
@@ -1045,12 +1058,30 @@ class AnnEngine:
         t = self.table(table)
         idx = self.get_index(index)
         if local:
-            try:
-                return self._ann_search_local(t, idx, query, k)
-            except ValueError:
-                if local != "auto":
-                    raise
-                # auto: ineligible (wide table / over cap) -> distributed
+            per_query = dict(search_params)
+            if search_complexity is not None:
+                per_query["search_complexity"] = search_complexity
+            if oversample is not None:
+                per_query["oversample"] = oversample
+            if rerank is not None:
+                per_query["rerank"] = rerank
+            if per_query and local != "auto":
+                raise ValueError(
+                    "ann_search(local=True) is the exact single-query "
+                    "short-circuit (k rows, full-snapshot brute force) — "
+                    f"{sorted(per_query)} would be silently ignored; drop "
+                    "them or use local='auto'/False for the distributed "
+                    "path that honors them"
+                )
+            if not per_query:
+                try:
+                    return self._ann_search_local(t, idx, query, k)
+                except (ValueError, OSError):
+                    if local != "auto":
+                        raise
+                    # auto: ineligible (wide table / over cap) or a
+                    # concurrent lifecycle op raced the snapshot scan
+                    # -> distributed
         if rerank is None:
             rerank = bool(idx.meta.params.get("refine"))
         if oversample is None:
@@ -1100,7 +1131,13 @@ class AnnEngine:
         for root, _dirs, files in os.walk(path):
             rel = os.path.relpath(root, path)
             for f in files:
-                st = os.stat(os.path.join(root, f))
+                try:
+                    st = os.stat(os.path.join(root, f))
+                except FileNotFoundError:
+                    # a concurrent write/vacuum removed a temp file between
+                    # walk and stat — skip it; the surviving files' mtimes
+                    # still change the signature
+                    continue
                 out.append((os.path.join(rel, f), st.st_size, st.st_mtime_ns))
         return tuple(sorted(out))
 
@@ -1112,10 +1149,16 @@ class AnnEngine:
         import pyarrow.parquet as pa_pq
 
         name, dim = idx.meta.name, idx.meta.dim
+        try:
+            mst = os.stat(self.catalog.meta_path(name))
+            meta_sig = (mst.st_size, mst.st_mtime_ns)
+        except OSError:
+            meta_sig = None
         sig = (
             self._dir_sig(self.catalog.data_path(name)),
             self._dir_sig(self.catalog.delta_path(name)),
             self._dir_sig(self.catalog.tombstone_path(name)),
+            meta_sig,
         )
         cached = self._local_snapshots.get(name)
         if cached is not None and cached[0] == sig:

@@ -47,16 +47,68 @@ def make_media_df(spark, rows: list[tuple[int, str, bytes, dict]]) -> DataFrame:
 # --------------------------------------------------------------- WAV codec
 
 
+def _wav_chunks(payload: bytes):
+    """Manual RIFF walk: ({tag, nch, rate, bits}, data_bytes).  The format
+    tag (1 = int PCM, 3 = IEEE float) is resolved through
+    WAVE_FORMAT_EXTENSIBLE's SubFormat GUID when present.  Raises
+    ValueError when the payload is not a parseable WAVE."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt, data = None, None
+    pos = 12
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt " and size >= 16:
+                tag, nch, rate, _br, _ba, bits = struct.unpack_from(
+                    "<HHIIHH", payload, pos + 8
+                )
+                if tag == 0xFFFE and size >= 40:  # EXTENSIBLE: real tag is
+                    # the first 2 bytes of the SubFormat GUID at offset 24
+                    tag = struct.unpack_from("<H", payload, pos + 8 + 24)[0]
+                fmt = {"tag": tag, "nch": nch, "rate": rate, "bits": bits}
+            elif cid == b"data":
+                data = payload[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+    except struct.error as exc:
+        raise ValueError(f"truncated WAVE chunk at {pos}") from exc
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    return fmt, data
+
+
+def _wav_format_tag(payload: bytes) -> int | None:
+    """The 'fmt ' chunk's format tag (1 = int PCM, 3 = IEEE float) or None
+    when the chunk walk fails — callers then fall back to a value
+    heuristic."""
+    try:
+        return _wav_chunks(payload)[0]["tag"]
+    except (ValueError, IndexError):
+        return None
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(samples float32 in [-1, 1] mono-mixed, sample_rate) from a RIFF/WAVE
-    payload.  Stdlib ``wave`` handles the chunk walk; 8-bit unsigned,
-    16/32-bit signed PCM, and 32-bit IEEE float frames are normalized here.
-    Raises on anything unrecognizable (callers fall back)."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        nch, sw, rate, nframes = (
-            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
-        )
-        raw = w.readframes(nframes)
+    payload.  Stdlib ``wave`` handles the chunk walk where it can; payloads
+    it rejects (format-3 IEEE float and WAVE_FORMAT_EXTENSIBLE on this
+    Python) fall back to a manual RIFF parse.  8-bit unsigned, 16/32-bit
+    signed PCM, and 32-bit IEEE float frames are normalized here.  Raises
+    on anything unrecognizable (callers fall back)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError):
+        fmt, raw = _wav_chunks(payload)
+        if fmt["tag"] not in (1, 3) or fmt["bits"] not in (8, 16, 32):
+            raise ValueError(
+                f"unsupported WAV format tag {fmt['tag']} / {fmt['bits']}-bit"
+            ) from None
+        nch, sw, rate = fmt["nch"], fmt["bits"] // 8, fmt["rate"]
     if sw == 1:  # 8-bit WAV is unsigned
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif sw == 2:
@@ -64,10 +116,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif sw == 4:
         xi = np.frombuffer(raw, dtype="<i4")
         xf = xi.view("<f4")
-        # format code 3 (IEEE float) also lands here through wave; tell the
-        # two apart by plausibility: float PCM stays within ~[-4, 4]
-        asf = np.abs(xf[np.isfinite(xf)])
-        if asf.size and float(asf.max()) <= 4.0:
+        # int PCM vs IEEE float: trust the fmt chunk's format tag (parsed
+        # directly — stdlib wave maps EXTENSIBLE float here too).  Only when
+        # the tag is unreadable fall back to a value heuristic, where any
+        # NaN/Inf viewed as float32 is proof of int PCM (the old
+        # range-only heuristic misread quiet int PCM as denormal floats).
+        tag = _wav_format_tag(payload)
+        if tag == 3:
+            is_float = True
+        elif tag == 1:
+            is_float = False
+        else:
+            finite = np.isfinite(xf)
+            asf = np.abs(xf[finite])
+            is_float = bool(finite.all() and asf.size and float(asf.max()) <= 4.0)
+        if is_float:
             x = xf.astype(np.float32)
         else:
             x = xi.astype(np.float32) / 2147483648.0

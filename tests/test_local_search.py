@@ -173,3 +173,52 @@ def test_local_snapshot_sees_ivf_vacuum(engine):
     engine.vacuum("vv_ivf")  # rewrites cluster_id=N files, clears tombstones
     got = engine.ann_search("vv", "vv_ivf", q, k=3, local=True).collect()
     assert 9 not in {r["id"] for r in got}
+
+
+def test_local_rejects_per_query_params(local_engine):
+    # local=True would silently ignore oversample/rerank/search params
+    # (ADVICE r6) — it must raise instead; local='auto' must route to the
+    # distributed path, which honors them (k*oversample rows, no rerank)
+    engine, rows = local_engine
+    q = rows[0][1]
+    for kw in ({"oversample": 3}, {"rerank": True}, {"search_complexity": 32},
+               {"nprobe": 2}):
+        with pytest.raises(ValueError, match="silently ignored"):
+            engine.ann_search("lv", "lv_flat", q, k=3, local=True, **kw)
+    got = engine.ann_search("lv", "lv_flat", q, k=3, local="auto", oversample=3)
+    assert got.count() == 9  # distributed non-rerank path: k * oversample
+
+
+def test_local_snapshot_invalidates_on_meta_change(local_engine):
+    engine, rows = local_engine
+    engine.ann_search("lv", "lv_flat", rows[0][1], k=1, local=True).collect()
+    sig0 = engine._local_snapshots["lv_flat"][0]
+    mp = engine.catalog.meta_path("lv_flat")
+    import os
+    st = os.stat(mp)
+    os.utime(mp, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    engine.ann_search("lv", "lv_flat", rows[0][1], k=1, local=True).collect()
+    assert engine._local_snapshots["lv_flat"][0] != sig0
+
+
+def test_dir_sig_survives_deletion_race(tmp_path, monkeypatch):
+    # a temp file vanishing between walk and stat (concurrent vacuum) must
+    # be skipped, not raise FileNotFoundError out of ann_search
+    import os as _os
+
+    from duckdb_annsearch_spark.engine import AnnEngine
+
+    (tmp_path / "keep.parquet").write_bytes(b"x")
+    ghost = tmp_path / "ghost.tmp"
+    ghost.write_bytes(b"y")
+    real_stat = _os.stat
+
+    def racy_stat(path, *a, **k):
+        if str(path).endswith("ghost.tmp"):
+            raise FileNotFoundError(path)
+        return real_stat(path, *a, **k)
+
+    import duckdb_annsearch_spark.engine as eng_mod
+    monkeypatch.setattr(eng_mod.os, "stat", racy_stat)
+    sig = AnnEngine._dir_sig(str(tmp_path))
+    assert len(sig) == 1 and sig[0][0].endswith("keep.parquet")

@@ -147,3 +147,53 @@ class TestSparkSurface:
         # non-BMP passthrough: payload untouched, intent recorded
         assert bytes(out[2]["payload"]) == b"\x89PNGfake"
         assert out[2]["meta"]["resized"] == "4x2"
+
+
+class TestWavFormatTag:
+    """fmt-chunk format-tag parsing (ADVICE r6): quiet 32-bit int PCM must
+    never be misread as IEEE float via the old value-range heuristic."""
+
+    def _wav32(self, samples_i32, tag=1, extensible=False):
+        import struct
+
+        data = np.asarray(samples_i32, dtype="<i4").tobytes()
+        if extensible:
+            # WAVE_FORMAT_EXTENSIBLE: cbSize=22, SubFormat GUID leads with
+            # the real tag (KSDATAFORMAT_SUBTYPE_* layout)
+            sub = struct.pack("<H", tag) + bytes.fromhex(
+                "0000000010008000 00aa00389b71".replace(" ", "")
+            )
+            fmt = struct.pack(
+                "<HHIIHHHHI", 0xFFFE, 1, 8000, 8000 * 4, 4, 32, 22, 32, 0xF
+            ) + sub
+        else:
+            fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000 * 4, 4, 32)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_quiet_int32_pcm_is_int(self):
+        # amplitudes ~0.0005 full scale: viewed as float32 these are finite
+        # denormals <= 4.0, which the old heuristic called "float PCM"
+        xi = [1_000_000, -1_000_000, 500_000, 0]
+        x, rate = M.decode_wav(self._wav32(xi, tag=1))
+        assert rate == 8000
+        np.testing.assert_allclose(
+            x, np.asarray(xi, dtype=np.float64) / 2**31, atol=1e-9
+        )
+
+    def test_extensible_float_is_float(self):
+        xf = np.asarray([0.5, -0.25, 0.125, 0.0], dtype="<f4")
+        payload = self._wav32(xf.view("<i4"), tag=3, extensible=True)
+        assert M._wav_format_tag(payload) == 3
+        x, _ = M.decode_wav(payload)
+        np.testing.assert_allclose(x, xf, atol=1e-7)
+
+    def test_tag_parser(self):
+        assert M._wav_format_tag(self._wav32([0], tag=1)) == 1
+        assert M._wav_format_tag(self._wav32([0], tag=1, extensible=True)) == 1
+        assert M._wav_format_tag(b"RIFFxxxxNOPE") is None
+        assert M._wav_format_tag(b"") is None
