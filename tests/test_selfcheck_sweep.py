@@ -26,6 +26,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SELFCHECK", "/root/testdata/sf0.01")
 # never appeared in a driver CORRECTNESS file through round 5 — the subset
 # whose only green evidence would otherwise be manual sweeps
 NEVER_SAMPLED = [
+    # newly hash-green in round 7 (was no_oracle through r6): the
+    # artifact-replay export must stay wired or the driver row regresses
+    "ivf_partial_probe",
     "line_dedup",
     "winnow_pairs",
     "pack_greedy",
