@@ -138,6 +138,13 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         ("emb_graph", lambda: eng.streaming_build(
             "emb_graph", "embeddings", "embedding", partition_rows=256
         )),
+        # covering-payload flat index (round 7): local serving fetches FULL
+        # rows (vec_id, label, embedding) in-process — reference parity
+        # with src/ann_search.cpp:31-195 row fetch
+        ("emb_flat_cov", lambda: eng.create_index(
+            "emb_flat_cov", "embeddings", "embedding", engine="faiss",
+            index_type="Flat", covering=True,
+        )),
         ("chunks_fts", lambda: eng.create_fts_index("chunks_fts", "chunks", "doc_id", "text")),
     ]
     _timed_builds(builds, 6)
@@ -510,6 +517,24 @@ def q_ann_search_local(spark, sf_dir):
         F.col("_distance").asc(), F.col("vec_id").asc()
     )
     return hits.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def q_ann_search_local_payload(spark, sf_dir):
+    """S3++ covering-payload local serving (round 7, verdict item 2): the
+    table carries a non-vector payload column (label), which local serving
+    resolves from the covering sidecar — full-row in-process fetch like the
+    reference scan (src/ann_search.cpp:31-195), still zero table/artifact
+    scan at query time.  Exact brute force, so the rank+payload result is
+    DuckDB-checkable."""
+    eng = _engine_for(spark, sf_dir)
+    q = _qvec(spark, sf_dir)
+    hits = eng.ann_search("embeddings", "emb_flat_cov", q, k=10, local=True)
+    w = Window.partitionBy(_const_key("_distance")).orderBy(
+        F.col("_distance").asc(), F.col("vec_id").asc()
+    )
+    return hits.select(
+        "vec_id", "label", F.row_number().over(w).alias("rank")
+    )
 
 
 def q_ann_batch_flat(spark, sf_dir):
@@ -2095,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ann_search_flat": q_ann_search_flat,
         "ann_search_local": q_ann_search_local,
+        "ann_search_local_payload": q_ann_search_local_payload,
         "ann_batch_flat": q_ann_batch_flat,
         "ivf_full_probe": q_ivf_full_probe,
         "ivf_partial_probe": q_ivf_partial_probe,
@@ -2244,6 +2270,16 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["ann_search_flat"] = _brute_rank_sql(10)
     oracles["ann_search_local"] = _brute_rank_sql(10)
+    # covering-payload local serving: same brute rank, label resolved from
+    # the covering sidecar on the Spark side and from the base table here
+    oracles["ann_search_local_payload"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, e.label AS label, {sq} AS _d
+          FROM embeddings e, q)
+    SELECT vec_id, label,
+           CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
+    """
     d_qf = _sql_sqdist("e.embedding", "f.embedding")
     oracles["ann_batch_flat"] = f"""
     WITH pairs AS (

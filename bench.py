@@ -104,6 +104,7 @@ def main():
         "knn_join",
         "ann_search_flat",
         "ann_search_local",
+        "ann_search_local_payload",
         "ann_batch_flat",
         "ivf_full_probe",
         "ivf_hier_probe",

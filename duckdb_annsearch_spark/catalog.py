@@ -78,6 +78,13 @@ class Catalog:
     def delta_path(self, name: str) -> str:
         return os.path.join(self.index_dir(name), "delta")
 
+    def covering_path(self, name: str) -> str:
+        """Covering-payload sidecar: (row_id, <payload columns>) parquet
+        kept beside the vector artifact so local serving can fetch full
+        rows in-process — the Spark rendering of the reference's
+        in-process row fetch (src/ann_search.cpp:31-195)."""
+        return os.path.join(self.index_dir(name), "covering")
+
     # ---- metadata CRUD ----
     def exists(self, name: str) -> bool:
         return os.path.exists(self.meta_path(name))

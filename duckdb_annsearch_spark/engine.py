@@ -245,6 +245,9 @@ class AnnEngine:
             raise ValueError(f"Index with name {name!r} already exists")
         t = self.table(table)
         column = column or detect_vector_column(t.df)
+        # covering payload columns (True = every non-key, non-vector column)
+        # are a sidecar concern, not an index param — pop before validation
+        covering = params.pop("covering", None)
         field = dict((f.name, f.dataType) for f in t.df.schema.fields).get(column)
         if field is None:
             raise ValueError(f"column {column!r} not found on table {table!r}")
@@ -388,6 +391,8 @@ class AnnEngine:
                         name, table, column, metric=metric,
                         shards=int(shards), shard_by=shard_by, **params,
                     )
+                    if covering:
+                        self.attach_covering(name, covering)
                     return self.get_index(name)
 
         meta = IndexMeta(
@@ -401,7 +406,51 @@ class AnnEngine:
             params=params,
         )
         cls = _INDEX_CLASSES[itype]
-        return cls.build(self.catalog, meta, t.df, t.row_id, column)
+        idx = cls.build(self.catalog, meta, t.df, t.row_id, column)
+        if covering:
+            self.attach_covering(name, covering)
+            idx = self.get_index(name)  # meta now carries the covering list
+        return idx
+
+    def attach_covering(self, index: str, columns=True):
+        """Materialize payload columns into a covering sidecar so
+        ``ann_search(local=True)`` serves FULL rows in-process — reference
+        parity with its in-process row fetch (``src/ann_search.cpp:31-195``),
+        where the scan returns every table column, not just (row_id,
+        distance).  ``columns=True`` covers every table column except the
+        row key and the indexed vector; a list covers exactly those names.
+
+        The sidecar is (row_id, <columns>) parquet under the index dir:
+        appended on :meth:`insert`, filtered by tombstones at serve time,
+        rewritten by :meth:`vacuum`, and part of the local-snapshot
+        freshness signature.  Safe to call again to refresh/extend."""
+        meta = self.catalog.load(index)
+        t = self.table(meta.table_name)
+        if columns is True:
+            cols = [c for c in t.df.columns if c not in (t.row_id, meta.column)]
+        else:
+            cols = [str(c) for c in columns]
+        if not cols:
+            raise ValueError(
+                f"table {meta.table_name!r} has no payload columns beyond "
+                f"({t.row_id}, {meta.column}) — local serving already "
+                "answers from the artifact; nothing to cover"
+            )
+        bad = [c for c in cols if c not in t.df.columns]
+        if bad:
+            raise ValueError(f"covering columns not on table: {bad}")
+        if t.row_id in cols or meta.column in cols:
+            raise ValueError(
+                f"covering columns must exclude the row key ({t.row_id}) and "
+                f"the indexed vector ({meta.column}) — both always derive "
+                "from the artifact"
+            )
+        t.df.select(
+            F.col(t.row_id).cast("long").alias("row_id"), *cols
+        ).write.mode("overwrite").parquet(self.catalog.covering_path(index))
+        meta.extra["covering"] = cols
+        self.catalog.save(meta)
+        self._local_snapshots.pop(index, None)
 
     def get_index(self, name: str):
         meta = self.catalog.load(name)
@@ -446,6 +495,13 @@ class AnnEngine:
                     F.col(meta.column).alias("vector"),
                 ),
             )
+            cov = meta.extra.get("covering")
+            if cov:
+                rows.select(
+                    F.col(t.row_id).cast("long").alias("row_id"), *cov
+                ).write.mode("append").parquet(
+                    self.catalog.covering_path(meta.name)
+                )
 
     def delete(self, table: str, row_ids: Sequence[int] | DataFrame) -> None:
         """DELETE propagation: remove the rows from the registered relation
@@ -506,6 +562,7 @@ class AnnEngine:
             params=meta.params,
         )
         staged, stage_path = self._stage_rows(meta.name, live)
+        cov_staged = self._stage_covering(meta)
         self.catalog.drop(meta.name)
         try:
             if meta.extra.get("shards"):
@@ -528,9 +585,37 @@ class AnnEngine:
                 f"vacuum rebuild of {meta.name!r} failed; staged rows kept at "
                 f"{stage_path}"
             ) from e
+        self._restore_covering(meta, cov_staged)
         self.catalog.clear_tombstones(meta.name)
         self._unstage(stage_path)
         return rebuilt
+
+    def _stage_covering(self, meta) -> tuple | None:
+        """Durably stage the covering sidecar's LIVE rows (tombstoned rows
+        dropped — vacuum compacts the payload alongside the vectors) before
+        the index dir is deleted.  Returns (columns, staged df, path)."""
+        cov_cols = meta.extra.get("covering")
+        if not cov_cols:
+            return None
+        live_cov = (
+            self.spark.read.parquet(self.catalog.covering_path(meta.name))
+            .join(self.catalog.tombstones(meta.name), "row_id", "left_anti")
+            .dropDuplicates(["row_id"])
+        )
+        staged, path = self._stage_rows(meta.name + "-covering", live_cov)
+        return (cov_cols, staged, path)
+
+    def _restore_covering(self, meta, cov_staged: tuple | None) -> None:
+        if cov_staged is None:
+            return
+        cov_cols, staged, path = cov_staged
+        staged.write.mode("overwrite").parquet(
+            self.catalog.covering_path(meta.name)
+        )
+        m2 = self.catalog.load(meta.name)
+        m2.extra["covering"] = cov_cols
+        self.catalog.save(m2)
+        self._unstage(path)
 
     def merge_index(self, target: str, source: str):
         """Merge source index's live vectors into target and rebuild
@@ -545,6 +630,35 @@ class AnnEngine:
         )
         cls = _INDEX_CLASSES[tgt.meta.index_type]
         meta = tgt.meta
+        # a covering target needs payloads for the incoming rows too —
+        # require a source covering with the same columns (merging without
+        # it would silently break local full-row serving for merged rows)
+        tgt_cov, src_cov = (
+            meta.extra.get("covering"), src.meta.extra.get("covering"),
+        )
+        cov_staged = None
+        if tgt_cov:
+            if sorted(src_cov or []) != sorted(tgt_cov):
+                raise ValueError(
+                    f"cannot merge into covering index {target!r}: source "
+                    f"{source!r} covers {src_cov or 'nothing'} but the target "
+                    f"covers {tgt_cov} — attach_covering({source!r}, "
+                    f"{tgt_cov}) first"
+                )
+            cov_union = (
+                self.spark.read.parquet(self.catalog.covering_path(target))
+                .join(self.catalog.tombstones(target), "row_id", "left_anti")
+                .unionByName(
+                    self.spark.read.parquet(self.catalog.covering_path(source))
+                    .join(
+                        self.catalog.tombstones(source), "row_id", "left_anti"
+                    )
+                )
+                .dropDuplicates(["row_id"])
+            )
+            cov_staged = (
+                tgt_cov, *self._stage_rows(target + "-covering", cov_union),
+            )
         new_meta = IndexMeta(
             name=meta.name,
             engine=meta.engine,
@@ -574,6 +688,7 @@ class AnnEngine:
                 f"merge rebuild of {meta.name!r} failed; staged rows kept at "
                 f"{stage_path}"
             ) from e
+        self._restore_covering(meta, cov_staged)
         self._unstage(stage_path)
         return rebuilt
 
@@ -1029,7 +1144,10 @@ class AnnEngine:
         it runs one in-process task over k rows — no table/artifact scan,
         no shuffle.  Requirements: every visible table column must be
         derivable from the artifact (row_id + the indexed vector column)
-        and the artifact must fit ``LOCAL_SERVE_MAX_BYTES`` — otherwise
+        or from the covering-payload sidecar (``attach_covering`` /
+        ``create_index(covering=...)`` — reference parity with full-row
+        in-process fetch, ``src/ann_search.cpp:31-195``), and the
+        artifact+payload must fit ``LOCAL_SERVE_MAX_BYTES`` — otherwise
         this raises and the caller uses the distributed path.  Deletes
         and appended deltas are honored (tombstones filtered, delta tail
         unioned) with snapshot invalidation on any artifact change.
@@ -1141,11 +1259,13 @@ class AnnEngine:
                 out.append((os.path.join(rel, f), st.st_size, st.st_mtime_ns))
         return tuple(sorted(out))
 
-    def _local_snapshot(self, idx) -> tuple[np.ndarray, np.ndarray]:
-        """Driver-cached (row_ids int64, vectors (n, dim) f32) of the index's
-        LIVE rows: artifact + delta tail - tombstones.  Invalidated whenever
-        any of the three directories (or meta.json) changes, so lifecycle
-        ops (insert/delete/vacuum/merge) are honored without hooks."""
+    def _local_snapshot(self, idx):
+        """Driver-cached (row_ids int64, vectors (n, dim) f32, covering
+        lookup or None) of the index's LIVE rows: artifact + delta tail -
+        tombstones, plus the covering-payload sidecar when attached.
+        Invalidated whenever any of the four directories (or meta.json)
+        changes, so lifecycle ops (insert/delete/vacuum/merge) are honored
+        without hooks."""
         import pyarrow.parquet as pa_pq
 
         name, dim = idx.meta.name, idx.meta.dim
@@ -1154,24 +1274,29 @@ class AnnEngine:
             meta_sig = (mst.st_size, mst.st_mtime_ns)
         except OSError:
             meta_sig = None
+        cov_sig = self._dir_sig(self.catalog.covering_path(name))
         sig = (
             self._dir_sig(self.catalog.data_path(name)),
             self._dir_sig(self.catalog.delta_path(name)),
             self._dir_sig(self.catalog.tombstone_path(name)),
             meta_sig,
+            cov_sig,
         )
         cached = self._local_snapshots.get(name)
         if cached is not None and cached[0] == sig:
-            return cached[1], cached[2]
+            return cached[1], cached[2], cached[3]
         n_est = int(idx.meta.num_vectors) + int(
             idx.meta.extra.get("delta_rows", 0) or 0
         )
-        est = n_est * dim * 4
+        # covering payload counts against the cap at its on-disk size
+        # (compressed — a lower bound on RAM, fine for a guardrail)
+        cov_bytes = sum(s for _, s, _ in (cov_sig or ()))
+        est = n_est * dim * 4 + cov_bytes
         if est > LOCAL_SERVE_MAX_BYTES:
             raise ValueError(
-                f"index {name!r} is ~{est >> 20} MiB of vectors — above the "
-                f"{LOCAL_SERVE_MAX_BYTES >> 20} MiB local-serving cap; use "
-                "the distributed path (local=False)"
+                f"index {name!r} is ~{est >> 20} MiB of vectors+payload — "
+                f"above the {LOCAL_SERVE_MAX_BYTES >> 20} MiB local-serving "
+                "cap; use the distributed path (local=False)"
             )
 
         def load(path: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1197,24 +1322,65 @@ class AnnEngine:
             ).column("row_id").to_numpy()
             keep = ~np.isin(ids, np.asarray(tomb, dtype=np.int64))
             ids, x = ids[keep], np.ascontiguousarray(x[keep])
-        self._local_snapshots[name] = (sig, ids, x)
-        return ids, x
+        cov = None
+        if cov_sig and idx.meta.extra.get("covering"):
+            import pandas as pd
+            import pyarrow as pa
+
+            # UNSORTED read + numpy argsort permutation, per the pyarrow-16
+            # list-column hazard (never sort_by/take an arrow table here);
+            # nullable pandas dtypes so int columns with NULLs don't decay
+            # to float and break the Spark schema on the way back out
+            tbc = pa_pq.read_table(self.catalog.covering_path(name))
+            pdf = tbc.to_pandas(
+                types_mapper={
+                    pa.int64(): pd.Int64Dtype(),
+                    pa.int32(): pd.Int32Dtype(),
+                    pa.bool_(): pd.BooleanDtype(),
+                    pa.string(): pd.StringDtype(),
+                    pa.large_string(): pd.StringDtype(),
+                }.get
+            )
+            cov_ids = pdf["row_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(cov_ids, kind="stable")
+            cov = (cov_ids[order], pdf.iloc[order].reset_index(drop=True))
+        self._local_snapshots[name] = (sig, ids, x, cov)
+        return ids, x, cov
+
+    @staticmethod
+    def _py_value(v):
+        """Covering payload cell -> plain Python for createDataFrame."""
+        import pandas as pd
+
+        if v is None or v is pd.NA:
+            return None
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        return v
 
     def _local_topk_rows(self, t, idx, query: Sequence[float], k: int) -> list[tuple]:
         """The pure driver-side probe: exact top-k rows (table columns +
         _distance) as plain tuples — the µs/ms-class hot path that
-        ``ann_search(local=True)`` wraps (bench times this directly)."""
+        ``ann_search(local=True)`` wraps (bench times this directly).
+        Payload columns resolve from the covering sidecar when attached
+        (full-row in-process fetch, ``src/ann_search.cpp:31-195``)."""
         from duckdb_annsearch_spark.index import kernels
 
+        cov_cols = set(idx.meta.extra.get("covering") or ())
         extra = set(t.df.columns) - {t.row_id, idx.meta.column}
-        if extra:
+        uncovered = extra - cov_cols
+        if uncovered:
             raise ValueError(
-                "local serving answers from the index artifact alone "
-                f"(columns {sorted({t.row_id, idx.meta.column})}); table "
-                f"{t.name!r} also carries {sorted(extra)} — fetching them "
-                "needs the distributed row-fetch join (local=False)"
+                "local serving answers from the index artifact + covering "
+                f"sidecar (columns {sorted({t.row_id, idx.meta.column} | cov_cols)}); "
+                f"table {t.name!r} also carries {sorted(uncovered)} — "
+                f"attach_covering({idx.meta.name!r}, {sorted(extra)}) to "
+                "serve them locally, or use the distributed row-fetch join "
+                "(local=False)"
             )
-        ids, x = self._local_snapshot(idx)
+        ids, x, cov = self._local_snapshot(idx)
         q = np.asarray(list(query), dtype=np.float32)[None, :]
         if q.shape[1] != idx.meta.dim:
             raise ValueError(
@@ -1222,14 +1388,32 @@ class AnnEngine:
             )
         d = kernels.pairwise_distances(q, x, idx.meta.metric)[0]
         sel = kernels.local_topk(d, k, ids=ids)
+        need_cov = bool(extra & cov_cols)
+        if need_cov and cov is None:
+            raise ValueError(
+                f"index {idx.meta.name!r} declares covering columns but the "
+                "sidecar is missing — re-run attach_covering, or use the "
+                "distributed path (local=False)"
+            )
         rows = []
         for j in sel:
+            rid = int(ids[j])
+            if need_cov:
+                pos = int(np.searchsorted(cov[0], rid))
+                if pos >= len(cov[0]) or int(cov[0][pos]) != rid:
+                    raise ValueError(
+                        f"covering sidecar of {idx.meta.name!r} has no payload "
+                        f"for row_id {rid} — re-run attach_covering, or use "
+                        "the distributed path (local=False)"
+                    )
             vals = []
             for c in t.df.columns:
                 if c == t.row_id:
-                    vals.append(int(ids[j]))
-                else:  # validated to be the indexed vector column
+                    vals.append(rid)
+                elif c == idx.meta.column:
                     vals.append([float(v) for v in x[j]])
+                else:  # validated to be a covered payload column
+                    vals.append(self._py_value(cov[1].at[pos, c]))
             vals.append(float(d[j]))
             rows.append(tuple(vals))
         return rows

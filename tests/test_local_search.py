@@ -222,3 +222,116 @@ def test_dir_sig_survives_deletion_race(tmp_path, monkeypatch):
     monkeypatch.setattr(eng_mod.os, "stat", racy_stat)
     sig = AnnEngine._dir_sig(str(tmp_path))
     assert len(sig) == 1 and sig[0][0].endswith("keep.parquet")
+
+
+# ---------------------------------------------------------------- covering
+
+
+@pytest.fixture()
+def covered_engine(engine):
+    # payload-bearing table: id + txt + score + embedding
+    base = _rows(seed=31, n=250)
+    rows = [(i, f"doc-{i}", float(i) / 10.0, v) for i, (_, v) in enumerate(base)]
+    df = engine.spark.createDataFrame(
+        rows, "id long, txt string, score double, embedding array<float>"
+    )
+    engine.register_table("cv", df, row_id="id")
+    engine.create_index(
+        "cv_flat", "cv", "embedding", engine="faiss", index_type="Flat",
+        covering=True,
+    )
+    return engine, rows
+
+
+def test_covering_local_matches_distributed(covered_engine):
+    engine, rows = covered_engine
+    q = rows[42][3]
+    dist = engine.ann_search("cv", "cv_flat", q, k=5).collect()
+    loc = engine.ann_search("cv", "cv_flat", q, k=5, local=True).collect()
+    assert [r["id"] for r in loc] == [r["id"] for r in dist]
+    for a, b in zip(loc, dist):
+        assert a["txt"] == b["txt"] and a["txt"] == f"doc-{a['id']}"
+        assert abs(a["score"] - b["score"]) < 1e-12
+        assert abs(a["_distance"] - b["_distance"]) < 1e-5
+    assert loc[0].__fields__ == dist[0].__fields__
+    # the local plan stays a k-row driver-made relation: no scan/exchange
+    out = engine.ann_search("cv", "cv_flat", q, k=5, local=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Exchange" not in plan
+
+
+def test_covering_honors_lifecycle(covered_engine):
+    engine, rows = covered_engine
+    q = rows[42][3]
+    assert engine.ann_search("cv", "cv_flat", q, k=1, local=True).first()["id"] == 42
+    # delete: tombstones must filter the covered row too
+    engine.delete("cv", [42])
+    got = engine.ann_search("cv", "cv_flat", q, k=3, local=True).collect()
+    assert 42 not in {r["id"] for r in got}
+    # insert: the covering sidecar must gain the new payload
+    new = engine.spark.createDataFrame(
+        [(999, "doc-999", 99.9, q)],
+        "id long, txt string, score double, embedding array<float>",
+    )
+    engine.insert("cv", new)
+    top = engine.ann_search("cv", "cv_flat", q, k=1, local=True).first()
+    assert top["id"] == 999 and top["txt"] == "doc-999" and top["score"] == 99.9
+    # vacuum: rebuild keeps covering attached and compacted
+    engine.vacuum("cv_flat")
+    idx = engine.get_index("cv_flat")
+    assert sorted(idx.meta.extra["covering"]) == ["score", "txt"]
+    top = engine.ann_search("cv", "cv_flat", q, k=1, local=True).first()
+    assert top["id"] == 999 and top["txt"] == "doc-999"
+    got = engine.ann_search("cv", "cv_flat", q, k=3, local=True).collect()
+    assert 42 not in {r["id"] for r in got}
+
+
+def test_attach_covering_to_existing_index(engine):
+    rows = [(i, f"t{i}", v) for i, (_, v) in enumerate(_rows(seed=7, n=80))]
+    df = engine.spark.createDataFrame(rows, "id long, txt string, embedding array<float>")
+    engine.register_table("ac", df, row_id="id")
+    engine.create_index("ac_flat", "ac", "embedding", engine="faiss", index_type="Flat")
+    q = rows[5][2]
+    with pytest.raises(ValueError, match="attach_covering"):
+        engine.ann_search("ac", "ac_flat", q, k=3, local=True)
+    engine.attach_covering("ac_flat", ["txt"])
+    top = engine.ann_search("ac", "ac_flat", q, k=1, local=True).first()
+    assert top["id"] == 5 and top["txt"] == "t5"
+    # validation: unknown / reserved columns rejected
+    with pytest.raises(ValueError, match="not on table"):
+        engine.attach_covering("ac_flat", ["nope"])
+    with pytest.raises(ValueError, match="exclude the row key"):
+        engine.attach_covering("ac_flat", ["id"])
+
+
+def test_covering_merge_requires_matching_source(engine):
+    base = _rows(seed=9, n=120)
+    df = engine.spark.createDataFrame(
+        [(i, f"m{i}", v) for i, (_, v) in enumerate(base)],
+        "id long, txt string, embedding array<float>",
+    )
+    engine.register_table("mva", df.where("id < 80"), row_id="id")
+    engine.register_table("mvb", df.where("id >= 80"), row_id="id")
+    engine.create_index(
+        "mv_main", "mva", "embedding", engine="faiss", index_type="Flat",
+        covering=["txt"],
+    )
+    engine.create_index("mv_other", "mvb", "embedding", engine="faiss", index_type="Flat")
+    with pytest.raises(ValueError, match="covers nothing"):
+        engine.merge_index("mv_main", "mv_other")
+    engine.attach_covering("mv_other", ["txt"])
+    engine.merge_index("mv_main", "mv_other")
+    q = [float(v) for v in base[100][1]]
+    top = engine.ann_search("mva", "mv_main", q, k=1, local=True).first()
+    assert top["id"] == 100 and top["txt"] == "m100"
+
+
+def test_covering_counts_against_cap(covered_engine, monkeypatch):
+    engine, rows = covered_engine
+    import duckdb_annsearch_spark.engine as eng_mod
+
+    # vectors alone fit (250*8*4 = 8000 bytes) but payload pushes past
+    monkeypatch.setattr(eng_mod, "LOCAL_SERVE_MAX_BYTES", 8100)
+    engine._local_snapshots.clear()
+    with pytest.raises(ValueError, match="local-serving cap"):
+        engine.ann_search("cv", "cv_flat", rows[0][3], k=3, local=True)
