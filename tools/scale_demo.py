@@ -2,6 +2,17 @@
 hundreds of thousands of vectors (the ROADMAP 50k sweep at 4-10x).
 
     python tools/scale_demo.py [N] [dim] [shards] [--sq8 | --pq] [--pq-m=M]
+        [--clusters=C] [--workdir=PATH] [--nprobe-shards=a,b,...]
+
+``--clusters=C`` generates a mixture of C clusters (deterministic hash
+centers in [0,1)^dim, uniform half-width-0.15 within-cluster noise)
+instead of uniform vectors — the shape real embedding corpora have, and
+the case kmeans-shard pruning is designed for (the uniform default is
+pruning's worst case, ROADMAP "Shard pruning on UNIFORM random
+vectors").  ``--workdir=PATH`` persists data+index there and SKIPS
+generation/build when the index already exists, so one long build can
+serve several probe sweeps.  ``--nprobe-shards=a,b`` adds pruned-probe
+measurements (0 = full fan-out) after the headline full-probe pass.
 
 Generates N synthetic vectors DISTRIBUTEDLY (mapInPandas, per-row seeded —
 no driver materialization), builds the kmeans-sharded streaming graph
@@ -68,9 +79,20 @@ def main() -> None:
     sq8 = "--sq8" in sys.argv
     pq = "--pq" in sys.argv
     pq_m = None
+    clusters = None
+    workdir = None
+    nprobe_sweep: list[int] = []
     for a in sys.argv[1:]:
         if a.startswith("--pq-m="):
             pq_m = int(a.split("=", 1)[1])
+        elif a.startswith("--clusters="):
+            clusters = int(a.split("=", 1)[1])
+        elif a.startswith("--workdir="):
+            workdir = a.split("=", 1)[1]
+        elif a.startswith("--nprobe-shards="):
+            nprobe_sweep = [
+                int(v) for v in a.split("=", 1)[1].split(",") if v.strip()
+            ]
     n_queries, k = 20, 10
 
     import numpy as np
@@ -80,19 +102,15 @@ def main() -> None:
     from duckdb_annsearch_spark.session import get_spark
 
     spark = get_spark("scale-demo")
-    tmp = tempfile.mkdtemp(prefix="scale_demo_")
+    tmp = workdir or tempfile.mkdtemp(prefix="scale_demo_")
+    os.makedirs(tmp, exist_ok=True)
     data_path = os.path.join(tmp, "vectors.parquet")
 
-    def hash_vectors(ids):
-        """(n, dim) float32 uniform in [0,1): splitmix64 of the flat
-        counter id*dim+j — fully vectorized (the per-row RandomState this
-        replaces made GENERATION the wall-clock bottleneck past 10M rows:
-        20M rows of per-row generator construction projected to hours),
-        deterministic per id so any row regenerates O(dim) for ground
-        truth."""
-        idx = ids.astype(np.uint64)[:, None] * np.uint64(dim) + np.arange(
-            dim, dtype=np.uint64
-        )
+    def _splitmix_unit(idx):
+        """splitmix64 of a uint64 index array -> float32 uniform [0,1);
+        fully vectorized (the per-row RandomState this replaces made
+        GENERATION the wall-clock bottleneck past 10M rows), deterministic
+        per index so any row regenerates O(dim) for ground truth."""
         z = idx + np.uint64(0x9E3779B97F4A7C15)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
@@ -100,6 +118,32 @@ def main() -> None:
         return ((z >> np.uint64(11)).astype(np.float64) / float(1 << 53)).astype(
             np.float32
         )
+
+    # disjoint hash streams: row noise, cluster assignment, cluster centers
+    _CLUSTER_STREAM = np.uint64(0x5151_0000_0000_0001)
+    _CENTER_STREAM = np.uint64(0xA5A5_0000_0000_0001)
+    _NOISE_HALF_WIDTH = 0.15
+
+    def hash_vectors(ids):
+        """(n, dim) float32: uniform in [0,1)^dim by default; with
+        --clusters=C, center(cluster(id)) + uniform noise — a
+        mixture-of-clusters corpus where kmeans shards capture locality
+        (the shape real embeddings have)."""
+        cols = np.arange(dim, dtype=np.uint64)
+        flat = ids.astype(np.uint64)[:, None] * np.uint64(dim) + cols
+        x = _splitmix_unit(flat)
+        if not clusters:
+            return x
+        cid = (
+            _splitmix_unit(ids.astype(np.uint64) + _CLUSTER_STREAM)
+            * float(clusters)
+        ).astype(np.uint64)
+        centers = _splitmix_unit(
+            cid[:, None] * np.uint64(dim) + cols + _CENTER_STREAM
+        )
+        return (
+            centers + (x - 0.5) * (2.0 * _NOISE_HALF_WIDTH)
+        ).astype(np.float32)
 
     def gen(batches):
         for pdf in batches:
@@ -109,15 +153,16 @@ def main() -> None:
                 {"vec_id": ids, "embedding": [x[i].tolist() for i in range(len(ids))]}
             )
 
-    (
-        spark.range(n)
-        .repartition(64)
-        .mapInPandas(gen, "vec_id long, embedding array<float>")
-        .write.mode("overwrite")
-        .parquet(data_path)
-    )
-
     eng = AnnEngine(spark, workdir=os.path.join(tmp, "engine"))
+    reused = eng.catalog.exists("big_graph") and os.path.isdir(data_path)
+    if not reused:
+        (
+            spark.range(n)
+            .repartition(64)
+            .mapInPandas(gen, "vec_id long, embedding array<float>")
+            .write.mode("overwrite")
+            .parquet(data_path)
+        )
     eng.register_table("vectors", data_path, row_id="vec_id")
 
     t0 = time.time()
@@ -130,9 +175,11 @@ def main() -> None:
         params = {"quantization": "pq"}
         if pq_m is not None:
             params["pq_m"] = pq_m
-    eng.streaming_build(
-        "big_graph", "vectors", "embedding", shards=shards, shard_by="kmeans", **params
-    )
+    if not reused:
+        eng.streaming_build(
+            "big_graph", "vectors", "embedding", shards=shards,
+            shard_by="kmeans", **params,
+        )
     build_wall = round(time.time() - t0, 1)
     effective_pq_m = eng.get_index("big_graph").meta.extra.get("pq_m") if pq else None
 
@@ -165,27 +212,45 @@ def main() -> None:
     sampler = threading.Thread(target=_worker_rss_sampler, args=(stop, rss), daemon=True)
     sampler.start()
 
-    recalls, walls = [], []
+    # exact ground truth once per query, shared by every probe pass
+    truths = {}
     for qi in q_ids:
-        q = x[qi]
-        d = ((x - q) ** 2).sum(axis=1)
-        truth = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
-        t1 = time.time()
-        if pq or sq8:
-            got = {
-                r["vec_id"]
-                for r in eng.ann_search(
-                    "vectors", "big_graph", q.tolist(), k,
-                    oversample=10, rerank=True,
-                ).collect()
-            }
-        else:
-            got = {
-                r["row_id"]
-                for r in eng.get_index("big_graph").search(q.tolist(), k).collect()
-            }
-        walls.append(time.time() - t1)
-        recalls.append(len(truth & got) / k)
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        truths[qi] = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+
+    def probe_pass(nprobe_shards=None):
+        extra = {"nprobe_shards": int(nprobe_shards)} if nprobe_shards else {}
+        recalls, walls = [], []
+        for qi in q_ids:
+            q = x[qi]
+            t1 = time.time()
+            if pq or sq8:
+                got = {
+                    r["vec_id"]
+                    for r in eng.ann_search(
+                        "vectors", "big_graph", q.tolist(), k,
+                        oversample=10, rerank=True, **extra,
+                    ).collect()
+                }
+            else:
+                got = {
+                    r["row_id"]
+                    for r in eng.get_index("big_graph")
+                    .search(q.tolist(), k, **extra)
+                    .collect()
+                }
+            walls.append(time.time() - t1)
+            recalls.append(len(truths[qi] & got) / k)
+        return {
+            "recall_at_10": round(float(np.mean(recalls)), 3),
+            "min_recall_at_10": round(float(np.min(recalls)), 3),
+            "mean_probe_sec": round(float(np.mean(walls)), 2),
+        }
+
+    full = probe_pass()
+    pruned = {
+        str(ns): probe_pass(ns) for ns in nprobe_sweep if 0 < ns < shards
+    }
     stop.set()
     sampler.join(timeout=2)
 
@@ -198,10 +263,11 @@ def main() -> None:
                 "sq8": sq8,
                 "pq": pq,
                 "pq_m": effective_pq_m,
+                "clusters": clusters,
+                "reused_artifact": reused,
                 "build_wall_sec": build_wall,
-                "recall_at_10": round(float(np.mean(recalls)), 3),
-                "min_recall_at_10": round(float(np.min(recalls)), 3),
-                "mean_probe_sec": round(float(np.mean(walls)), 2),
+                **full,
+                **({"pruned_probe": pruned} if pruned else {}),
                 **rss,
             }
         )
