@@ -1,20 +1,24 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning) is real and tested.  Two codecs are REAL and
+signatures, partitioning) is real and tested.  Three codecs are REAL and
 pure-stdlib+numpy (the container has no PIL/soundfile/av):
 
-- WAV (RIFF/WAVE PCM, 8/16/32-bit int + 32-bit float) via the stdlib
-  ``wave`` module -> real audio features (duration, RMS, peak, zero
+- WAV (RIFF/WAVE PCM, 8/16/32-bit int + 32-bit IEEE float, incl.
+  WAVE_FORMAT_EXTENSIBLE) via the stdlib ``wave`` module with a manual
+  RIFF fallback -> real audio features (duration, RMS, peak, zero
   crossings, 8 FFT band energies).
 - BMP (BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB) via ``struct`` ->
   real image features (dims, RGB means, gray std, 8-bin gray histogram),
   plus a real nearest-neighbor resize that re-encodes 24-bit BMP.
+- PNG (non-interlaced 8-bit gray/palette/RGB/RGBA) via ``zlib`` +
+  ``struct`` with per-row filter reversal (None/Sub/Up/Average/Paeth) ->
+  the same image features, plus resize that re-encodes 8-bit RGB PNG.
 
 Unrecognized or corrupt payloads fall back to the deterministic md5 fake
 (documented below) instead of failing the batch: at 100 TB one corrupt
 file must never kill a stage, and the fallback keeps features
-deterministic for oracle checks.  Heavier codecs (JPEG/PNG/MP3/MP4) keep
+deterministic for oracle checks.  Heavier codecs (JPEG/MP3/MP4) keep
 the documented fake + the library call that replaces it.
 
 Schema conventions:
@@ -229,10 +233,13 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def bmp_features(payload: bytes) -> np.ndarray:
+    return _image_features(decode_bmp(payload))
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
     """FEATURE_DIM real image features: [2 (image tag), w/1000, h/1000,
     aspect, mean_r, mean_g, mean_b, gray std, 8-bin gray histogram
-    (fraction of pixels)]."""
-    img = decode_bmp(payload)
+    (fraction of pixels)] — shared by every image codec (BMP, PNG)."""
     h, w = img.shape[:2]
     f = img.astype(np.float32) / 255.0
     gray = f @ np.asarray([0.299, 0.587, 0.114], dtype=np.float32)
@@ -244,6 +251,143 @@ def bmp_features(payload: bytes) -> np.ndarray:
         float(f[:, :, 2].mean()), float(gray.std()),
     ]
     return np.asarray(head + hist.tolist(), dtype=np.float32)
+
+
+# --------------------------------------------------------------- PNG codec
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left/up/
+    up-left is closest to a+b-c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a non-interlaced 8-bit PNG (color types
+    0 gray / 2 RGB / 3 palette / 4 gray+alpha / 6 RGBA; alpha dropped,
+    gray replicated).  Pure zlib + struct — same pattern as the BMP codec;
+    raises on anything else (callers fall back).  Per-row filter reversal
+    (None/Sub/Up/Average/Paeth); Up is vectorized, the x-sequential
+    filters run a per-byte loop — fine for feature extraction, not a
+    high-throughput decoder (that is PIL's job when present)."""
+    import zlib
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    ihdr, plte, idat = None, None, []
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"bad PNG dims {w}x{h}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG scanline data size")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    posr = 0
+    for y in range(h):
+        ftype = raw[posr]
+        row = np.frombuffer(raw, np.uint8, stride, posr + 1).copy()
+        posr += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256, per spec
+            row += prev
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/odd PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(px.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(pal[px[:, :, 0]])
+    if ctype in (0, 4):  # gray (+alpha): replicate, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA minus alpha
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """8-bit RGB non-interlaced PNG bytes (filter 0 rows, one zlib IDAT)
+    from an (h, w, 3) uint8 array — the write half of the round-trip
+    contract and the resize re-encode target."""
+    import zlib
+
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    body = b"".join(
+        b"\x00" + np.ascontiguousarray(img[y, :, :3], dtype=np.uint8).tobytes()
+        for y in range(h)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(body, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_features(payload: bytes) -> np.ndarray:
+    return _image_features(decode_png(payload))
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -261,7 +405,7 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic fallback 'decode': md5 bytes -> FEATURE_DIM floats in
     [0,1).  Used for unrecognized/corrupt payloads and for formats whose
-    real codec is not in this container (JPEG/PNG -> ``PIL.Image.open``,
+    real codec is not in this container (JPEG -> ``PIL.Image.open``,
     MP3/FLAC -> ``soundfile.read``, video -> ``av.open``)."""
     h = hashlib.md5(payload or b"").digest()
     return np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
@@ -275,6 +419,10 @@ def _is_bmp(p: bytes) -> bool:
     return len(p) >= 54 and p[:2] == b"BM"
 
 
+def _is_png(p: bytes) -> bool:
+    return p.startswith(PNG_SIG)
+
+
 def decode_features(payload: bytes) -> np.ndarray:
     """Route one payload to its real codec when recognizable, the
     deterministic fake otherwise.  Corrupt-but-recognizable payloads fall
@@ -285,6 +433,8 @@ def decode_features(payload: bytes) -> np.ndarray:
             return wav_features(p)
         if _is_bmp(p):
             return bmp_features(p)
+        if _is_png(p):
+            return png_features(p)
     except Exception:
         pass
     return _fake_decode(p)
@@ -307,10 +457,11 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: BMP payloads are REALLY resized (nearest-neighbor,
-    re-encoded 24-bit BMP) with meta recording old/new dims; unrecognized
-    payloads pass through with the target size recorded in meta (real impl
-    for JPEG/PNG: PIL ``Image.resize`` in this same mapInPandas shape)."""
+    """Image resize: BMP and PNG payloads are REALLY resized
+    (nearest-neighbor, re-encoded in their own format) with meta recording
+    old/new dims; unrecognized payloads pass through with the target size
+    recorded in meta (real impl for JPEG: PIL ``Image.resize`` in this
+    same mapInPandas shape)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -319,12 +470,18 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             for p, m in zip(pdf["payload"], pdf["meta"]):
                 meta = dict(m or {})
                 try:
-                    img = decode_bmp(p or b"")
+                    raw = p or b""
+                    if _is_png(raw):
+                        img = decode_png(raw)
+                        enc, codec = encode_png, "png"
+                    else:
+                        img = decode_bmp(raw)
+                        enc, codec = encode_bmp, "bmp"
                     meta["orig_size"] = f"{img.shape[1]}x{img.shape[0]}"
-                    p = encode_bmp(resize_nearest(img, width, height))
-                    meta["codec"] = "bmp"
+                    p = enc(resize_nearest(img, width, height))
+                    meta["codec"] = codec
                 except Exception:
-                    pass  # non-BMP: passthrough, meta records intent only
+                    pass  # unrecognized: passthrough, meta records intent
                 meta["resized"] = f"{width}x{height}"
                 payloads.append(p)
                 metas.append(meta)

@@ -197,3 +197,124 @@ class TestWavFormatTag:
         assert M._wav_format_tag(self._wav32([0], tag=1, extensible=True)) == 1
         assert M._wav_format_tag(b"RIFFxxxxNOPE") is None
         assert M._wav_format_tag(b"") is None
+
+
+class TestPng:
+    """Pure-stdlib PNG codec (round 7): zlib+struct decode with per-row
+    filter reversal, 8-bit RGB encode."""
+
+    def _img(self, h=6, w=10):
+        rng = np.random.RandomState(3)
+        return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_encode_decode_roundtrip(self):
+        img = self._img()
+        out = M.decode_png(M.encode_png(img))
+        np.testing.assert_array_equal(out, img)
+
+    def _hand_png(self, img, filters):
+        """Hand-build a PNG applying the given per-row filter types forward
+        (the inverse of what decode_png reverses)."""
+        import struct
+        import zlib
+
+        h, w, ch = img.shape
+        rows = img.reshape(h, w * ch).astype(np.int64)
+        prev = np.zeros(w * ch, dtype=np.int64)
+        body = b""
+        for y in range(h):
+            cur, ft = rows[y], filters[y % len(filters)]
+            if ft == 0:
+                enc = cur
+            elif ft == 1:  # Sub
+                left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+                enc = cur - left
+            elif ft == 2:  # Up
+                enc = cur - prev
+            elif ft == 3:  # Average
+                left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+                enc = cur - ((left + prev) >> 1)
+            else:  # Paeth
+                left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+                upl = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+                pred = np.asarray(
+                    [M._paeth(int(a), int(b), int(c))
+                     for a, b, c in zip(left, prev, upl)]
+                )
+                enc = cur - pred
+            body += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = cur
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        return (M.PNG_SIG
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(body))
+                + chunk(b"IEND", b""))
+
+    def test_all_filter_types(self):
+        img = self._img(h=10)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            out = M.decode_png(self._hand_png(img, filters))
+            np.testing.assert_array_equal(out, img, err_msg=f"filters={filters}")
+
+    def test_gray_palette_rgba(self):
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        def png(ctype, channels, body_px, extra=b""):
+            h, w = body_px.shape[:2]
+            body = b"".join(
+                b"\x00" + body_px[y].tobytes() for y in range(h)
+            )
+            return (M.PNG_SIG
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                    + extra
+                    + chunk(b"IDAT", zlib.compress(body))
+                    + chunk(b"IEND", b""))
+
+        # grayscale replicates to RGB
+        g = np.asarray([[0, 128], [255, 64]], dtype=np.uint8)[:, :, None]
+        out = M.decode_png(png(0, 1, g))
+        np.testing.assert_array_equal(out[:, :, 0], g[:, :, 0])
+        np.testing.assert_array_equal(out[:, :, 1], g[:, :, 0])
+        # RGBA drops alpha
+        rgba = np.dstack([g[:, :, 0]] * 3 + [np.full((2, 2), 7, np.uint8)])
+        out = M.decode_png(png(6, 4, rgba))
+        assert out.shape == (2, 2, 3)
+        np.testing.assert_array_equal(out[:, :, 2], g[:, :, 0])
+        # palette lookup
+        pal = np.asarray([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idxs = np.asarray([[0, 1], [2, 0]], dtype=np.uint8)[:, :, None]
+        out = M.decode_png(png(3, 1, idxs, extra=chunk(b"PLTE", pal.tobytes())))
+        np.testing.assert_array_equal(out[0, 1], [0, 255, 0])
+        np.testing.assert_array_equal(out[1, 0], [0, 0, 255])
+
+    def test_features_and_routing(self):
+        img = np.zeros((8, 16, 3), dtype=np.uint8)
+        img[:, :8] = [255, 0, 0]
+        payload = M.encode_png(img)
+        f = M.png_features(payload)
+        assert f[0] == 2.0 and abs(f[4] - 0.5) < 1e-6  # image tag, mean R
+        np.testing.assert_array_equal(M.decode_features(payload), f)
+        # corrupt PNG (good signature, garbage body) falls back to the fake
+        bad = M.PNG_SIG + b"garbage"
+        np.testing.assert_array_equal(M.decode_features(bad), M._fake_decode(bad))
+
+    def test_resize_images_real_png(self, spark):
+        img = np.zeros((8, 16, 3), dtype=np.uint8)
+        img[:, 8:] = [0, 0, 255]
+        rows = [(1, "image", M.encode_png(img), {"src": "p"})]
+        out = M.resize_images(M.make_media_df(spark, rows), 4, 2).collect()[0]
+        assert out["meta"]["codec"] == "png"
+        assert out["meta"]["orig_size"] == "16x8" and out["meta"]["resized"] == "4x2"
+        resized = M.decode_png(bytes(out["payload"]))
+        assert resized.shape == (2, 4, 3)
+        np.testing.assert_array_equal(resized[0, 3], [0, 0, 255])
+        np.testing.assert_array_equal(resized[0, 0], [0, 0, 0])
