@@ -98,3 +98,68 @@ def test_sharded_pq_graph_recall_at_25k(engine, big_table):
         recalls.append(len(truth & got) / k)
     assert float(np.mean(recalls)) >= 0.9, recalls
     assert min(recalls) >= 0.7, recalls
+
+
+N_CLUSTERED = 24_000
+N_CLUSTERS = 200
+
+
+@pytest.fixture(scope="module")
+def clustered_table(spark, tmp_path_factory):
+    """Mixture-of-clusters corpus (the shape real embeddings have): hash
+    centers in [0,1)^dim, uniform ±0.15 within-cluster noise — the case
+    kmeans-shard pruning is designed for (tools/scale_demo.py --clusters
+    is the at-scale twin; ROADMAP documents uniform data as pruning's
+    worst case)."""
+    path = str(tmp_path_factory.mktemp("clustered") / "vectors.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                cid = int(i) % N_CLUSTERS
+                center = np.random.RandomState(cid + 7777).rand(DIM)
+                noise = (np.random.RandomState(int(i)).rand(DIM) - 0.5) * 0.3
+                vecs.append((center + noise).astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    (
+        spark.range(N_CLUSTERED)
+        .repartition(16)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_pruned_probe_recall_on_clustered_data(engine, clustered_table):
+    """nprobe_shards pruning is the 100-TB serving mode on clustered
+    corpora: probing 4 of 16 kmeans shards must hold the recall floor
+    because the shards capture cluster locality (round-7 verdict item 4;
+    the 20M x 384-shard measurement lives in ROADMAP)."""
+    import pyarrow.parquet as pq_
+
+    engine.register_table("clus", clustered_table, row_id="vec_id")
+    engine.streaming_build(
+        "clus_g", "clus", "embedding", shards=16, shard_by="kmeans"
+    )
+
+    t = pq_.read_table(clustered_table).sort_by("vec_id")
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_numpy()
+    idx = engine.get_index("clus_g")
+
+    k = 10
+    recalls = []
+    for qi in np.linspace(0, N_CLUSTERED - 1, 5).astype(int):
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        truth = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+        got = {
+            r["row_id"]
+            for r in idx.search(x[qi].tolist(), k, nprobe_shards=4).collect()
+        }
+        recalls.append(len(truth & got) / k)
+    assert float(np.mean(recalls)) >= 0.9, recalls
+    assert min(recalls) >= 0.7, recalls
