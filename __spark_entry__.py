@@ -566,6 +566,10 @@ def q_ivf_full_probe(spark, sf_dir):
 # choice is deterministic (index/ivf.py _probe_cells: exact centroid top-k).
 ORACLE_EXPORT_DIR = "/tmp/ann_oracle_export"
 IVF_PROBE_MEMBERS = os.path.join(ORACLE_EXPORT_DIR, "ivf_probe_members.parquet")
+GRAPH_CAND_MEMBERS = {
+    name: os.path.join(ORACLE_EXPORT_DIR, f"graph_cand_{name}.parquet")
+    for name in ("gsq8", "gpq", "gopq")
+}
 
 
 def _export_oracle_ids(path: str, ids) -> None:
@@ -929,26 +933,72 @@ def q_opq_rerank(spark, sf_dir):
     )
 
 
-def q_graph_sq8_topk(spark, sf_dir):
-    """Sharded out-of-core SQ8 graph search — approximate (no oracle), but
-    the plan embeds the same >=7/10 recall-floor certification as
-    ``graph_topk`` (diskann_streaming.test:44-49), here additionally
-    covering the quantization error: the floor is asserted against the
-    exact full-precision Flat top-10."""
-    eng = _sq8_engine_for(spark, sf_dir)
+def _graph_replay_certified(spark, sf_dir, eng, index: str, tag: str, what: str):
+    """Shared shape of the sharded-quantized-graph rows (round 7): the
+    candidate union the rerank recipe scores is DETERMINISTIC (lock-step
+    per-shard beams, ``merge_k=0`` skips the global code cut), so export
+    it and let the DuckDB oracle reproduce the EXACT served top-10 by
+    brute-forcing only the candidates — one hash then checks the beam's
+    candidate decision replay, the exact re-score, the cross-shard merge,
+    and the final ordering (the same artifact-replay shape as
+    ``ivf_partial_probe``).  The >=7/10 in-plan recall-floor assert vs the
+    full-precision Flat top-10 stays (diskann_streaming.test:44-49) so
+    candidate QUALITY is still certified, not just replayed."""
     q = _qvec(spark, sf_dir)
-    hits = eng.ann_search("embeddings", "info_gsq8", q, k=10).select("vec_id")
+    idx = eng.get_index(index)
+    fetch_k = 10 * 10  # k * oversample, mirroring the rerank call below
+    cand = (
+        idx.search([float(x) for x in q], fetch_k, merge_k=0)
+        .select("row_id").distinct().collect()
+    )
+    _export_oracle_ids(GRAPH_CAND_MEMBERS[tag], (r["row_id"] for r in cand))
+    hits = eng.ann_search(
+        "embeddings", index, q, k=10, oversample=10, rerank=True
+    )
     exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
-    return _recall_floor_certified(hits, exact, 7, "sharded-sq8 graph")
+    overlap = hits.select("vec_id").join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("__ov")
+    )
+    certified = overlap.where(
+        F.assert_true(
+            F.col("__ov") >= 7,
+            F.concat(
+                F.lit(f"{what} recall floor violated: overlap "),
+                F.col("__ov").cast("string"),
+                F.lit(" < floor 7 vs exact top-k"),
+            ),
+        ).isNull()
+    )
+    w = Window.partitionBy(_const_key("_distance")).orderBy(
+        F.col("_distance").asc(), F.col("vec_id").asc()
+    )
+    return (
+        hits.select("vec_id", F.row_number().over(w).alias("rank"))
+        .crossJoin(F.broadcast(certified))
+        .select("vec_id", "rank")
+    )
+
+
+def q_graph_sq8_topk(spark, sf_dir):
+    """Sharded out-of-core SQ8 graph search, served through the rerank
+    recipe (the documented serving shape for lossy codes) — hash-green
+    since round 7 via candidate-union replay + the original >=7/10
+    in-plan recall floor (see ``_graph_replay_certified``); the SQ8 mmap
+    dequant path is exercised as the beam's navigation metric."""
+    eng = _sq8_engine_for(spark, sf_dir)
+    return _graph_replay_certified(
+        spark, sf_dir, eng, "info_gsq8", "gsq8", "sharded-sq8 graph"
+    )
 
 
 def q_graph_pq_topk(spark, sf_dir):
-    """Sharded out-of-core PQ graph search (new r5) — approximate (no
-    oracle), with the same >=7/10 in-plan recall-floor certification as
-    ``graph_topk``/``graph_sq8_topk`` (diskann_streaming.test:44-49),
-    asserted against the exact full-precision Flat top-10 so the floor
-    covers both the graph approximation AND the 16-byte-code
-    reconstruction error.  Served through the engine's rerank recipe
+    """Sharded out-of-core PQ graph search (new r5; hash-green since
+    round 7 via candidate-union replay, see ``_graph_replay_certified``)
+    with the same >=7/10 in-plan recall-floor certification as
+    ``graph_topk`` (diskann_streaming.test:44-49), asserted against the
+    exact full-precision Flat top-10 so the floor covers both the graph
+    approximation AND the 16-byte-code reconstruction error.  Served
+    through the engine's rerank recipe
     (``oversample=10, rerank=True`` — candidates from the codes, exact
     re-score on the table vectors), the documented serving shape for
     lossy codes: raw 16-byte ADC ranking alone drops below the floor at
@@ -957,28 +1007,23 @@ def q_graph_pq_topk(spark, sf_dir):
     100 TB: shards page m=16 bytes/vector off the PQC mmap sidecar
     instead of 4*dim=256."""
     eng = _sq8_engine_for(spark, sf_dir)
-    q = _qvec(spark, sf_dir)
-    hits = eng.ann_search(
-        "embeddings", "info_gpq", q, k=10, oversample=10, rerank=True
-    ).select("vec_id")
-    exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
-    return _recall_floor_certified(hits, exact, 7, "sharded-pq graph")
+    return _graph_replay_certified(
+        spark, sf_dir, eng, "info_gpq", "gpq", "sharded-pq graph"
+    )
 
 
 def q_graph_opq_topk(spark, sf_dir):
-    """Sharded out-of-core OPQ graph search (late r5) — approximate (no
-    oracle), same >=7/10 in-plan recall-floor certification as
+    """Sharded out-of-core OPQ graph search (late r5; hash-green since
+    round 7 via candidate-union replay, see ``_graph_replay_certified``),
+    same >=7/10 in-plan recall-floor certification as
     ``graph_pq_topk``: the index-global learned rotation composes with the
     per-shard 16-byte codes (encode x @ R, decode applies R^T), served
     through the rerank recipe so the floor covers rotation persistence,
     the OPQC mmap trailer decode, and the graph approximation at once."""
     eng = _sq8_engine_for(spark, sf_dir)
-    q = _qvec(spark, sf_dir)
-    hits = eng.ann_search(
-        "embeddings", "info_gopq", q, k=10, oversample=10, rerank=True
-    ).select("vec_id")
-    exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
-    return _recall_floor_certified(hits, exact, 7, "sharded-opq graph")
+    return _graph_replay_certified(
+        spark, sf_dir, eng, "info_gopq", "gopq", "sharded-opq graph"
+    )
 
 
 def q_dann_roundtrip(spark, sf_dir):
@@ -2307,7 +2352,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT vec_id, CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
     FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
     """
-    # graph_topk: no oracle — approximate (driver records rows-only check)
+    # graph_topk: no oracle — approximate (driver records rows-only check;
+    # its candidate set IS its result on the unsharded graph, so a replay
+    # oracle would be circular — the in-plan recall floor is the evidence)
+    # sharded quantized graph rows: candidate-union replay (round 7) — the
+    # rerank recipe's exact re-score over the exported deterministic
+    # candidate set is reproducible by brute force restricted to it
+    for _tag, _qname in (
+        ("gsq8", "graph_sq8_topk"), ("gpq", "graph_pq_topk"),
+        ("gopq", "graph_opq_topk"),
+    ):
+        oracles[_qname] = f"""
+    WITH m AS (SELECT vec_id FROM read_parquet('{GRAPH_CAND_MEMBERS[_tag]}')),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id AS vec_id, {sq} AS _d FROM embeddings e, q
+          WHERE e.vec_id IN (SELECT vec_id FROM m))
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
+    FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
+    """
 
     oracles["topk_filtered"] = f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -27,8 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SELFCHECK", "/root/testdata/sf0.01")
 # whose only green evidence would otherwise be manual sweeps
 NEVER_SAMPLED = [
     # newly hash-green in round 7 (was no_oracle through r6): the
-    # artifact-replay export must stay wired or the driver row regresses
+    # artifact-replay exports must stay wired or the driver rows regress
+    # (graph_pq_topk pins the shared _graph_replay_certified shape for the
+    # three sharded quantized graph rows)
     "ivf_partial_probe",
+    "graph_pq_topk",
     "line_dedup",
     "winnow_pairs",
     "pack_greedy",
