@@ -597,6 +597,10 @@ class AnnEngine:
         cov_cols = meta.extra.get("covering")
         if not cov_cols:
             return None
+        if not os.path.isdir(self.catalog.covering_path(meta.name)):
+            # sidecar lost out-of-band: rebuild without it rather than fail
+            # the vacuum; serving will name attach_covering as the remedy
+            return None
         live_cov = (
             self.spark.read.parquet(self.catalog.covering_path(meta.name))
             .join(self.catalog.tombstones(meta.name), "row_id", "left_anti")

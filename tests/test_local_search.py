@@ -335,3 +335,18 @@ def test_covering_counts_against_cap(covered_engine, monkeypatch):
     engine._local_snapshots.clear()
     with pytest.raises(ValueError, match="local-serving cap"):
         engine.ann_search("cv", "cv_flat", rows[0][3], k=3, local=True)
+
+
+def test_vacuum_survives_missing_covering_dir(covered_engine):
+    # sidecar lost out-of-band: vacuum rebuilds WITHOUT it (no crash) and
+    # local serving then names attach_covering as the remedy
+    engine, rows = covered_engine
+    import shutil
+    shutil.rmtree(engine.catalog.covering_path("cv_flat"))
+    engine.vacuum("cv_flat")
+    assert "covering" not in engine.get_index("cv_flat").meta.extra
+    with pytest.raises(ValueError, match="attach_covering"):
+        engine.ann_search("cv", "cv_flat", rows[0][3], k=3, local=True)
+    engine.attach_covering("cv_flat", True)
+    top = engine.ann_search("cv", "cv_flat", rows[0][3], k=1, local=True).first()
+    assert top["id"] == 0 and top["txt"] == "doc-0"
