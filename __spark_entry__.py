@@ -160,22 +160,19 @@ def _const_key(col_name):
     return constant_partition_key(col_name)
 
 
-def _recall_floor_certified(hits, exact, floor: int, what: str):
-    """Embed a recall-floor assertion in the plan itself: semi-join overlap
-    count, crossJoin(broadcast) onto the hits, assert_true as a FILTER so
+def _recall_floor_frame(hits, exact, floor: int, what: str):
+    """The 1-row certified frame at the heart of the in-plan recall-floor
+    assertion: semi-join overlap count with assert_true as a FILTER so
     column pruning can never skip the check (assert_true returns NULL on
-    pass -> the filter keeps every row; a violation throws at execution).
-    One Spark job, no driver-side collects — the certification shape of
-    the reference's own recall tests (diskann_streaming.test:44-49)."""
+    pass -> the filter keeps the row; a violation throws at execution).
+    The assert anchors on the overlap aggregate itself — count(*) over an
+    empty input still yields exactly one row, so a TOTAL recall failure
+    (hits empty -> __ov = 0) throws instead of vanishing in a zero-row
+    crossJoin.  Callers crossJoin(broadcast(frame)) onto their output."""
     overlap = hits.join(exact, "vec_id", "left_semi").agg(
         F.count("*").alias("__ov")
     )
-    # Anchor the assert on the overlap aggregate itself — count(*) over an
-    # empty input still yields exactly one row, so a TOTAL recall failure
-    # (hits empty -> __ov = 0) throws here instead of vanishing in a
-    # zero-row crossJoin.  The broadcast materializes this 1-row frame (and
-    # with it the assert) even when the hits side is empty.
-    certified = overlap.where(
+    return overlap.where(
         F.assert_true(
             F.col("__ov") >= floor,
             F.concat(
@@ -185,6 +182,13 @@ def _recall_floor_certified(hits, exact, floor: int, what: str):
             ),
         ).isNull()
     )
+
+
+def _recall_floor_certified(hits, exact, floor: int, what: str):
+    """Recall-floor certification as one Spark job, no driver-side collects
+    — the certification shape of the reference's own recall tests
+    (diskann_streaming.test:44-49)."""
+    certified = _recall_floor_frame(hits, exact, floor, what)
     return hits.crossJoin(F.broadcast(certified)).select("vec_id")
 
 
@@ -614,10 +618,22 @@ def q_ivf_partial_probe(spark, sf_dir):
     )
     _export_oracle_ids(IVF_PROBE_MEMBERS, (r["row_id"] for r in members))
     hits = eng.ann_search("embeddings", "emb_ivf", q, k=10, nprobe=6)
+    # the replay hash is deliberately blind to pruning QUALITY (the oracle
+    # brute-forces whatever cells were probed) — keep the original >=7/10
+    # recall floor vs the exact Flat top-10 so a probe-selection
+    # regression still throws in-plan (round-7 review finding)
+    exact = eng.ann_search("embeddings", "emb_flat", q, k=10).select("vec_id")
+    certified = _recall_floor_frame(
+        hits.select("vec_id"), exact, 7, "ivf partial-probe"
+    )
     w = Window.partitionBy(_const_key("_distance")).orderBy(
         F.col("_distance").asc(), F.col("vec_id").asc()
     )
-    return hits.select("vec_id", F.row_number().over(w).alias("rank"))
+    return (
+        hits.select("vec_id", F.row_number().over(w).alias("rank"))
+        .crossJoin(F.broadcast(certified))
+        .select("vec_id", "rank")
+    )
 
 
 def q_ivf_hier_probe(spark, sf_dir):
@@ -956,19 +972,7 @@ def _graph_replay_certified(spark, sf_dir, eng, index: str, tag: str, what: str)
         "embeddings", index, q, k=10, oversample=10, rerank=True
     )
     exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
-    overlap = hits.select("vec_id").join(exact, "vec_id", "left_semi").agg(
-        F.count("*").alias("__ov")
-    )
-    certified = overlap.where(
-        F.assert_true(
-            F.col("__ov") >= 7,
-            F.concat(
-                F.lit(f"{what} recall floor violated: overlap "),
-                F.col("__ov").cast("string"),
-                F.lit(" < floor 7 vs exact top-k"),
-            ),
-        ).isNull()
-    )
+    certified = _recall_floor_frame(hits.select("vec_id"), exact, 7, what)
     w = Window.partitionBy(_const_key("_distance")).orderBy(
         F.col("_distance").asc(), F.col("vec_id").asc()
     )

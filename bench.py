@@ -233,8 +233,8 @@ def main():
         try:
             n = force_execution(fn(spark, sf_dir))
         except Exception as exc:  # one broken query must never zero the round
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {key}: ERROR {errors[key]}", file=sys.stderr)
             continue
         timings[key] = round(time.time() - t0, 3)
         print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)

@@ -246,8 +246,12 @@ class AnnEngine:
         t = self.table(table)
         column = column or detect_vector_column(t.df)
         # covering payload columns (True = every non-key, non-vector column)
-        # are a sidecar concern, not an index param — pop before validation
+        # are a sidecar concern, not an index param — pop before validation,
+        # and validate NOW: a typo'd column name must fail before a
+        # potentially hours-long build, not after it
         covering = params.pop("covering", None)
+        if covering:
+            self._validate_covering(t, column, covering)
         field = dict((f.name, f.dataType) for f in t.df.schema.fields).get(column)
         if field is None:
             raise ValueError(f"column {column!r} not found on table {table!r}")
@@ -426,25 +430,7 @@ class AnnEngine:
         freshness signature.  Safe to call again to refresh/extend."""
         meta = self.catalog.load(index)
         t = self.table(meta.table_name)
-        if columns is True:
-            cols = [c for c in t.df.columns if c not in (t.row_id, meta.column)]
-        else:
-            cols = [str(c) for c in columns]
-        if not cols:
-            raise ValueError(
-                f"table {meta.table_name!r} has no payload columns beyond "
-                f"({t.row_id}, {meta.column}) — local serving already "
-                "answers from the artifact; nothing to cover"
-            )
-        bad = [c for c in cols if c not in t.df.columns]
-        if bad:
-            raise ValueError(f"covering columns not on table: {bad}")
-        if t.row_id in cols or meta.column in cols:
-            raise ValueError(
-                f"covering columns must exclude the row key ({t.row_id}) and "
-                f"the indexed vector ({meta.column}) — both always derive "
-                "from the artifact"
-            )
+        cols = self._validate_covering(t, meta.column, columns)
         t.df.select(
             F.col(t.row_id).cast("long").alias("row_id"), *cols
         ).write.mode("overwrite").parquet(self.catalog.covering_path(index))
@@ -641,6 +627,10 @@ class AnnEngine:
             meta.extra.get("covering"), src.meta.extra.get("covering"),
         )
         cov_staged = None
+        if tgt_cov and not os.path.isdir(self.catalog.covering_path(target)):
+            # target sidecar lost out-of-band (same degradation as vacuum):
+            # merge proceeds without covering; serving names the remedy
+            tgt_cov = None
         if tgt_cov:
             if sorted(src_cov or []) != sorted(tgt_cov):
                 raise ValueError(
@@ -648,6 +638,12 @@ class AnnEngine:
                     f"{source!r} covers {src_cov or 'nothing'} but the target "
                     f"covers {tgt_cov} — attach_covering({source!r}, "
                     f"{tgt_cov}) first"
+                )
+            if not os.path.isdir(self.catalog.covering_path(source)):
+                raise ValueError(
+                    f"source index {source!r} declares covering columns but "
+                    "its sidecar directory is missing — re-run "
+                    f"attach_covering({source!r}, {tgt_cov}) first"
                 )
             cov_union = (
                 self.spark.read.parquet(self.catalog.covering_path(target))
@@ -1180,13 +1176,9 @@ class AnnEngine:
         t = self.table(table)
         idx = self.get_index(index)
         if local:
-            per_query = dict(search_params)
-            if search_complexity is not None:
-                per_query["search_complexity"] = search_complexity
-            if oversample is not None:
-                per_query["oversample"] = oversample
-            if rerank is not None:
-                per_query["rerank"] = rerank
+            per_query = self._local_incompatible_params(
+                search_complexity, oversample, rerank, search_params
+            )
             if per_query and local != "auto":
                 raise ValueError(
                     "ann_search(local=True) is the exact single-query "
@@ -1432,6 +1424,48 @@ class AnnEngine:
         # the probe itself already ran in-process (_local_topk_rows)
         return self.spark.createDataFrame(rows, schema)
 
+    @staticmethod
+    def _validate_covering(t, column: str, covering) -> list[str]:
+        """Resolve + validate covering payload columns against the table:
+        True = every column except the row key and the indexed vector;
+        explicit lists must name real, non-reserved columns."""
+        if covering is True:
+            cols = [c for c in t.df.columns if c not in (t.row_id, column)]
+        else:
+            cols = [str(c) for c in covering]
+        if not cols:
+            raise ValueError(
+                f"table {t.name!r} has no payload columns beyond "
+                f"({t.row_id}, {column}) — local serving already answers "
+                "from the artifact; nothing to cover"
+            )
+        bad = [c for c in cols if c not in t.df.columns]
+        if bad:
+            raise ValueError(f"covering columns not on table: {bad}")
+        if t.row_id in cols or column in cols:
+            raise ValueError(
+                f"covering columns must exclude the row key ({t.row_id}) and "
+                f"the indexed vector ({column}) — both always derive "
+                "from the artifact"
+            )
+        return cols
+
+    @staticmethod
+    def _local_incompatible_params(
+        search_complexity, oversample, rerank, search_params
+    ) -> dict:
+        """Per-query parameters the exact local short-circuit has no use
+        for — passing any with local=True raises; local='auto' routes to
+        the distributed path that honors them."""
+        per_query = dict(search_params)
+        if search_complexity is not None:
+            per_query["search_complexity"] = search_complexity
+        if oversample is not None:
+            per_query["oversample"] = oversample
+        if rerank is not None:
+            per_query["rerank"] = rerank
+        return per_query
+
     def _resolve_rerank(self, idx, oversample, rerank):
         """Shared default resolution for the rerank serving recipe: an
         ``,RFlat`` / ``refine=True`` index reranks by default at
@@ -1472,6 +1506,16 @@ class AnnEngine:
         t = self.table(table)
         idx = self.get_index(index)
         if local:
+            per_query = self._local_incompatible_params(
+                search_complexity, oversample, rerank, search_params
+            )
+            if per_query:
+                raise ValueError(
+                    "ann_search_batch(local=True) is the exact in-process "
+                    f"batch probe (k rows per query) — {sorted(per_query)} "
+                    "would be silently ignored; drop them or use "
+                    "local=False for the distributed path that honors them"
+                )
             rows = []
             for i, q in enumerate(queries):
                 rows.extend(

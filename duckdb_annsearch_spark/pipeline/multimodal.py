@@ -313,9 +313,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError(f"bad PNG dims {w}x{h}")
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    need = h * (stride + 1)
+    # bounded inflate: a zlib-bomb IDAT must not allocate past the size
+    # IHDR promises (one corrupt file must never kill a stage)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), need + 1)
+    if len(raw) != need or not (dec.eof or dec.flush() == b""):
         raise ValueError("bad PNG scanline data size")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

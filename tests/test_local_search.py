@@ -350,3 +350,26 @@ def test_vacuum_survives_missing_covering_dir(covered_engine):
     engine.attach_covering("cv_flat", True)
     top = engine.ann_search("cv", "cv_flat", rows[0][3], k=1, local=True).first()
     assert top["id"] == 0 and top["txt"] == "doc-0"
+
+
+def test_local_batch_rejects_per_query_params(local_engine):
+    engine, rows = local_engine
+    with pytest.raises(ValueError, match="silently ignored"):
+        engine.ann_search_batch(
+            "lv", "lv_flat", [rows[0][1]], k=3, local=True, oversample=5
+        )
+
+
+def test_create_index_validates_covering_before_build(engine):
+    rows = _rows(seed=13, n=40)
+    df = engine.spark.createDataFrame(
+        [(i, v) for i, v in rows], "id long, embedding array<float>"
+    )
+    engine.register_table("cvv", df, row_id="id")
+    with pytest.raises(ValueError, match="not on table"):
+        engine.create_index(
+            "cvv_flat", "cvv", "embedding", engine="faiss", index_type="Flat",
+            covering=["typo_col"],
+        )
+    # the failed call must NOT have created the index
+    assert not engine.catalog.exists("cvv_flat")

@@ -296,6 +296,24 @@ class TestPng:
         np.testing.assert_array_equal(out[0, 1], [0, 255, 0])
         np.testing.assert_array_equal(out[1, 0], [0, 0, 255])
 
+    def test_zlib_bomb_is_bounded(self):
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        # 1x1 gray IHDR promising 2 bytes, IDAT inflating to 10 MB: the
+        # bounded inflate must reject it without allocating the 10 MB
+        bomb = (M.PNG_SIG
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+                + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="scanline data size"):
+            M.decode_png(bomb)
+        np.testing.assert_array_equal(M.decode_features(bomb), M._fake_decode(bomb))
+
     def test_features_and_routing(self):
         img = np.zeros((8, 16, 3), dtype=np.uint8)
         img[:, :8] = [255, 0, 0]

@@ -154,7 +154,27 @@ def main() -> None:
             )
 
     eng = AnnEngine(spark, workdir=os.path.join(tmp, "engine"))
+    # provenance sidecar: a reused workdir must have been built with the
+    # SAME generation/build knobs, or the JSON would echo argv values the
+    # artifact was never built with (wrong-provenance measurement)
+    build_params = {
+        "n": n, "dim": dim, "shards": shards, "sq8": sq8, "pq": pq,
+        "pq_m": pq_m, "clusters": clusters,
+    }
+    params_path = os.path.join(tmp, "build_params.json")
     reused = eng.catalog.exists("big_graph") and os.path.isdir(data_path)
+    if reused:
+        try:
+            with open(params_path) as fh:
+                prior = json.load(fh)
+        except OSError:
+            prior = None
+        if prior != build_params:
+            raise SystemExit(
+                f"workdir {tmp} was built with {prior}, but this run asks "
+                f"for {build_params} — pick a fresh --workdir or rerun "
+                "with the original flags"
+            )
     if not reused:
         (
             spark.range(n)
@@ -180,6 +200,8 @@ def main() -> None:
             "big_graph", "vectors", "embedding", shards=shards,
             shard_by="kmeans", **params,
         )
+        with open(params_path, "w") as fh:
+            json.dump(build_params, fh)
     build_wall = round(time.time() - t0, 1)
     effective_pq_m = eng.get_index("big_graph").meta.extra.get("pq_m") if pq else None
 
@@ -248,9 +270,16 @@ def main() -> None:
         }
 
     full = probe_pass()
-    pruned = {
-        str(ns): probe_pass(ns) for ns in nprobe_sweep if 0 < ns < shards
-    }
+    pruned = {}
+    for ns in nprobe_sweep:
+        if 0 < ns < shards:
+            pruned[str(ns)] = probe_pass(ns)
+        else:  # 0 / >= shards ARE the full fan-out = the headline pass
+            print(
+                f"# nprobe_shards={ns} is full fan-out at shards={shards}; "
+                "see the headline recall/probe numbers",
+                file=sys.stderr,
+            )
     stop.set()
     sampler.join(timeout=2)
 
