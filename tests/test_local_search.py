@@ -373,3 +373,59 @@ def test_create_index_validates_covering_before_build(engine):
         )
     # the failed call must NOT have created the index
     assert not engine.catalog.exists("cvv_flat")
+
+
+def test_local_equals_distributed_under_random_lifecycle(engine):
+    """Randomized lifecycle fuzz (seeded): after every random
+    insert/delete/vacuum on a covering index, local serving must return
+    EXACTLY the distributed answer — ids, payload, and distances — for a
+    fresh random query.  One scenario per op keeps Spark wall CI-sized
+    while covering op interleavings the unit tests fix in place."""
+    rng = np.random.RandomState(411)
+    dim = 6
+    rows = {
+        int(i): (f"p{i}", float(rng.rand()), rng.rand(dim).astype(np.float32).tolist())
+        for i in range(120)
+    }
+    df = engine.spark.createDataFrame(
+        [(i, t, s, v) for i, (t, s, v) in rows.items()],
+        "id long, txt string, score double, embedding array<float>",
+    )
+    engine.register_table("fz", df, row_id="id")
+    engine.create_index(
+        "fz_flat", "fz", "embedding", engine="faiss", index_type="Flat",
+        covering=True,
+    )
+    next_id = 1000
+    for step in range(6):
+        op = ["insert", "delete", "vacuum"][step % 3]
+        if op == "insert":
+            new = {
+                next_id + j: (
+                    f"p{next_id + j}", float(rng.rand()),
+                    rng.rand(dim).astype(np.float32).tolist(),
+                )
+                for j in range(3)
+            }
+            engine.insert("fz", engine.spark.createDataFrame(
+                [(i, t, s, v) for i, (t, s, v) in new.items()],
+                "id long, txt string, score double, embedding array<float>",
+            ))
+            rows.update(new)
+            next_id += 3
+        elif op == "delete":
+            victims = [int(i) for i in rng.choice(sorted(rows), 4, replace=False)]
+            engine.delete("fz", victims)
+            for v in victims:
+                rows.pop(v)
+        else:
+            engine.vacuum("fz_flat")
+        q = rng.rand(dim).astype(np.float32).tolist()
+        loc = engine.ann_search("fz", "fz_flat", q, k=7, local=True).collect()
+        dist = engine.ann_search("fz", "fz_flat", q, k=7).collect()
+        assert [r["id"] for r in loc] == [r["id"] for r in dist], f"step {step} {op}"
+        for a, b in zip(loc, dist):
+            assert a["txt"] == b["txt"] == rows[a["id"]][0]
+            assert abs(a["score"] - rows[a["id"]][1]) < 1e-12
+            assert abs(a["_distance"] - b["_distance"]) < 1e-4
+        assert {r["id"] for r in loc} <= set(rows)
