@@ -429,3 +429,18 @@ def test_local_equals_distributed_under_random_lifecycle(engine):
             assert abs(a["score"] - rows[a["id"]][1]) < 1e-12
             assert abs(a["_distance"] - b["_distance"]) < 1e-4
         assert {r["id"] for r in loc} <= set(rows)
+
+
+def test_covering_on_sharded_graph_index(engine):
+    # the covering sidecar is index-layout-agnostic: attach to a
+    # kmeans-sharded streaming graph and serve full rows locally
+    rows = [(i, f"g{i}", v) for i, (_, v) in enumerate(_rows(seed=17, n=300))]
+    df = engine.spark.createDataFrame(rows, "id long, txt string, embedding array<float>")
+    engine.register_table("gcov", df, row_id="id")
+    engine.streaming_build("gcov_g", "gcov", "embedding", shards=2, shard_by="kmeans")
+    engine.attach_covering("gcov_g", True)
+    q = rows[21][2]
+    top = engine.ann_search("gcov", "gcov_g", q, k=3, local=True).collect()
+    assert top[0]["id"] == 21 and top[0]["txt"] == "g21"
+    dist = engine.ann_search("gcov", "gcov_g", q, k=3).collect()
+    assert [(r["id"], r["txt"]) for r in top] == [(r["id"], r["txt"]) for r in dist]
