@@ -1399,6 +1399,38 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training over the documents corpus (arXiv:1508.07909
+    in its production shape: ONE distributed word-frequency pass — the
+    table is vocabulary-sized, never corpus-sized — then a driver-side
+    deterministic merge loop).  Rows-only check: the merge loop is
+    inherently iterative (the documented non-SQL-expressible class);
+    correctness is pinned by tests/test_bpe.py against an independently
+    written naive reference implementation."""
+    from duckdb_annsearch_spark.pipeline.bpe import train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=40, min_freq=2, max_words=200_000)
+    return spark.createDataFrame(
+        [(int(k), str(l), str(r))
+         for k, l, r in zip(merges["rank"], merges["left"], merges["right"])],
+        "rank long, left string, right string",
+    )
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """The learned tokenizer SERVED corpus-wide: train (cached-size merge
+    table) then bpe_encode via Arrow-batched mapInPandas with per-worker
+    word caches; returns per-doc learned-BPE token counts for the first
+    documents.  Rows-only (depends on the iterative trainer)."""
+    from duckdb_annsearch_spark.pipeline.bpe import bpe_encode, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=40, min_freq=2, max_words=200_000)
+    enc = bpe_encode(docs.where(F.col("doc_id") < 50), merges)
+    return enc.select("doc_id", "n_tokens")
+
+
 def q_prepare_corpus(spark, sf_dir):
     """Composed training-data pipeline: langid -> quality floor -> exact
     dedup (pipeline/corpus.py), keeping (doc_id, lang, quality)."""
@@ -2208,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "prepare_corpus": q_prepare_corpus,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "langid": q_langid,
         "doc_stats": q_doc_stats,
         "stratified_sample": q_stratified_sample,

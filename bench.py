@@ -142,6 +142,7 @@ def main():
         "winnow_pairs",
         "remove_dup_spans",
         "quality_classifier",
+        "bpe_merges",
         "neardup_stream_batch",
         # round-5 third-session operators
         "gopher_filter",
