@@ -44,7 +44,6 @@ def _naive_bpe(word_freqs: dict, num_merges: int, min_freq: int = 2):
 
 def test_hand_example():
     # Sennrich-style toy: 'low'x5 'lower'x2 'newest'x6 'widest'x3
-    docs = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
     wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
     ref = _naive_bpe(wf, 8)
     # the 'est</w>' suffix family (weight 9) dominates the first merges;
