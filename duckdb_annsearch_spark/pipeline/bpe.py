@@ -24,6 +24,7 @@ written naive reference implementation and a hand-computed example.
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 
 import pandas as pd
@@ -84,6 +85,83 @@ def _merge_word(syms: tuple, pair: tuple) -> tuple:
     return tuple(out)
 
 
+def _train_from_freqs(
+    words: list[str], freqs: list[int], num_merges: int, min_freq: int
+) -> list[tuple]:
+    """Incremental BPE merge loop (subword-nmt's structure, see
+    ``get_pair_statistics``/``update_pair_statistics`` in the public
+    subword-nmt trainer): pair counts are maintained, never recomputed.
+
+    Three structures make each merge O(words-containing-the-pair), not
+    O(corpus):
+      * ``pair_counts``: current frequency of every adjacent pair;
+      * ``posting``: pair -> set of word indices containing it (so a
+        merge touches only affected words);
+      * a lazy max-heap of ``(-count, pair)`` entries, pushed on every
+        count change and validated against ``pair_counts`` on pop —
+        the deterministic argmax (max count, ties to the
+        lexicographically smallest pair) without an O(#pairs) scan.
+
+    The heap invariant: after every mutation the CURRENT (count, pair)
+    of each live pair has been pushed at some point, so the smallest
+    valid entry is the exact argmax the naive recount would pick —
+    merge sequences are bit-identical to the textbook algorithm."""
+    word_syms: list[tuple] = [tuple(w) + (END_OF_WORD,) for w in words]
+    pair_counts: dict = {}
+    posting: dict = {}
+    for i, (syms, f) in enumerate(zip(word_syms, freqs)):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            posting.setdefault(p, set()).add(i)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    min_freq = int(min_freq)
+    merges: list[tuple] = []
+    while len(merges) < int(num_merges):
+        best_pair = None
+        while heap:
+            neg_c, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -neg_c:  # live entry, exact argmax
+                best_pair, best_count = p, -neg_c
+                break
+        if best_pair is None or best_count < min_freq:
+            break
+        merges.append(best_pair)
+        # the merged pair disappears as a pair; its postings are the
+        # only words whose pair statistics change
+        affected = posting.pop(best_pair, set())
+        pair_counts.pop(best_pair, None)
+        touched: set = set()
+        for i in affected:
+            syms, f = word_syms[i], freqs[i]
+            for p in zip(syms, syms[1:]):
+                c = pair_counts.get(p)
+                if c is not None:
+                    c -= f
+                    if c <= 0:
+                        pair_counts.pop(p, None)
+                    else:
+                        pair_counts[p] = c
+                        touched.add(p)
+                s = posting.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        posting.pop(p, None)
+            new = _merge_word(syms, best_pair)
+            word_syms[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                posting.setdefault(p, set()).add(i)
+                touched.add(p)
+        for p in touched:
+            c = pair_counts.get(p)
+            if c is not None:  # may have died later in this same merge
+                heapq.heappush(heap, (-c, p))
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -100,27 +178,16 @@ def train_bpe(
     (Sennrich §3.2) so merges learn word-final units distinctly.  Each
     iteration merges the highest-frequency adjacent pair, ties broken
     lexicographically for cross-run determinism, stopping early when the
-    best pair's frequency drops below ``min_freq``."""
+    best pair's frequency drops below ``min_freq``.  The merge loop is
+    incremental (``_train_from_freqs``) — production merge counts
+    (32k–64k) over the 1M-word cap run in minutes, not hours."""
     wf = word_frequencies(df, text_col, max_words).collect()
-    word_syms = [tuple(r["word"]) + (END_OF_WORD,) for r in wf]
-    freqs = [int(r["freq"]) for r in wf]
-
-    merges: list[tuple] = []
-    for _rank in range(int(num_merges)):
-        pairs = _pair_counts(word_syms, freqs)
-        if not pairs:
-            break
-        # deterministic argmax: max freq, ties to the lexicographically
-        # smallest pair — cross-run/cross-partition determinism
-        top_f = max(pairs.values())
-        if top_f < int(min_freq):
-            break
-        best_pair = min(p for p, f in pairs.items() if f == top_f)
-        merges.append(best_pair)
-        word_syms = [
-            _merge_word(s, best_pair) if best_pair[0] in s else s
-            for s in word_syms
-        ]
+    merges = _train_from_freqs(
+        [r["word"] for r in wf],
+        [int(r["freq"]) for r in wf],
+        num_merges,
+        min_freq,
+    )
     return pd.DataFrame(
         {
             "rank": range(len(merges)),
