@@ -591,6 +591,30 @@ def _export_oracle_ids(path: str, ids) -> None:
     os.replace(tmp, path)
 
 
+def _export_oracle_ids_spark(path: str, ids_df) -> None:
+    """Spark-side variant of :func:`_export_oracle_ids` for exports that
+    scale with the table (round-7 review: never drive-collect a
+    table-sized member list).  Writes the one-column ``vec_id`` frame as
+    a single-part parquet executor-side, then atomically publishes the
+    part file at ``path`` (DuckDB reads one file, same as the pyarrow
+    writer)."""
+    import glob
+    import shutil
+
+    os.makedirs(ORACLE_EXPORT_DIR, exist_ok=True)
+    stage = path + ".stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        ids_df.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.replace(part, path)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def q_ivf_partial_probe(spark, sf_dir):
     """IVFFlat at nprobe < nlist — the production probe mode (approximate:
     only the query's closest 6 of 8 cells are scanned, which is parquet
@@ -610,13 +634,14 @@ def q_ivf_partial_probe(spark, sf_dir):
     cells = idx._probe_cells(
         np.asarray([list(q)], dtype=np.float32), 6
     )[0]
-    members = (
+    # the probed cells hold ~75% of the table — export executor-side
+    # (one coalesced write task), never through the driver
+    _export_oracle_ids_spark(
+        IVF_PROBE_MEMBERS,
         idx.live_artifact()
         .where(F.col("cluster_id").isin([int(c) for c in cells]))
-        .select("row_id")
-        .collect()
+        .select(F.col("row_id").alias("vec_id")),
     )
-    _export_oracle_ids(IVF_PROBE_MEMBERS, (r["row_id"] for r in members))
     hits = eng.ann_search("embeddings", "emb_ivf", q, k=10, nprobe=6)
     # the replay hash is deliberately blind to pruning QUALITY (the oracle
     # brute-forces whatever cells were probed) — keep the original >=7/10
@@ -959,18 +984,25 @@ def _graph_replay_certified(spark, sf_dir, eng, index: str, tag: str, what: str)
     and the final ordering (the same artifact-replay shape as
     ``ivf_partial_probe``).  The >=7/10 in-plan recall-floor assert vs the
     full-precision Flat top-10 stays (diskann_streaming.test:44-49) so
-    candidate QUALITY is still certified, not just replayed."""
+    candidate QUALITY is still certified, not just replayed.
+
+    Round 8: the export comes from ``ann_search``'s ``capture`` hook —
+    the SAME persisted candidate frame the served result reranks (one
+    beam execution total), so the served top-10 is a subset of the
+    export BY CONSTRUCTION (round-7 review: the old second
+    ``idx.search`` run made the oracle's soundness silently depend on
+    two independent searches being bit-identical, and doubled the graph
+    cost of these bench rows)."""
     q = _qvec(spark, sf_dir)
-    idx = eng.get_index(index)
-    fetch_k = 10 * 10  # k * oversample, mirroring the rerank call below
-    cand = (
-        idx.search([float(x) for x in q], fetch_k, merge_k=0)
-        .select("row_id").distinct().collect()
-    )
-    _export_oracle_ids(GRAPH_CAND_MEMBERS[tag], (r["row_id"] for r in cand))
+    cap: dict = {}
     hits = eng.ann_search(
-        "embeddings", index, q, k=10, oversample=10, rerank=True
+        "embeddings", index, q, k=10, oversample=10, rerank=True, capture=cap
     )
+    cand = cap["candidates"].select("row_id").distinct().collect()
+    _export_oracle_ids(GRAPH_CAND_MEMBERS[tag], (r["row_id"] for r in cand))
+    # capture stays persisted: the driver's collect of the returned frame
+    # reuses the cached candidates (that reuse IS the single-search win);
+    # ~fetch_k*shards rows cached per graph row is noise
     exact = eng.ann_search("embeddings", "info_flat", q, k=10).select("vec_id")
     certified = _recall_floor_frame(hits.select("vec_id"), exact, 7, what)
     w = Window.partitionBy(_const_key("_distance")).orderBy(

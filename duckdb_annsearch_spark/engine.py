@@ -567,9 +567,15 @@ class AnnEngine:
                 rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
         except BaseException as e:
             # the old index is gone — the staged parquet is the only copy
+            # (name the covering stage too, or it leaks silently)
+            cov_note = (
+                f"; covering payload staged at {cov_staged[2]}"
+                if cov_staged
+                else ""
+            )
             raise RuntimeError(
                 f"vacuum rebuild of {meta.name!r} failed; staged rows kept at "
-                f"{stage_path}"
+                f"{stage_path}{cov_note}"
             ) from e
         self._restore_covering(meta, cov_staged)
         self.catalog.clear_tombstones(meta.name)
@@ -684,9 +690,14 @@ class AnnEngine:
             else:
                 rebuilt = cls.build(self.catalog, new_meta, staged, "row_id", "vector")
         except BaseException as e:
+            cov_note = (
+                f"; covering payload staged at {cov_staged[2]}"
+                if cov_staged
+                else ""
+            )
             raise RuntimeError(
                 f"merge rebuild of {meta.name!r} failed; staged rows kept at "
-                f"{stage_path}"
+                f"{stage_path}{cov_note}"
             ) from e
         self._restore_covering(meta, cov_staged)
         self._unstage(stage_path)
@@ -1112,9 +1123,21 @@ class AnnEngine:
         oversample: int | None = None,
         rerank: bool | None = None,
         local: bool | str = False,
+        capture: dict | None = None,
         **search_params,
     ) -> DataFrame:
         """k-NN + row fetch: all table columns + ``_distance``, ascending.
+
+        ``capture``: an optional dict the distributed path fills with
+        ``capture["candidates"]`` — the index's raw candidate frame
+        (``row_id``, ``_distance``), PERSISTED so that collecting it and
+        collecting the returned result run the candidate search ONCE (the
+        result plan reuses the cached frame).  Built for replay-style
+        audit harnesses that must export the exact candidate set the
+        serving call scored, without a second search whose bit-identity
+        would be assumed rather than guaranteed.  Caller owns
+        ``unpersist()``.  The local short-circuit has no candidate phase;
+        it sets ``capture["candidates"] = None``.
 
         ``local='auto'`` serves locally when eligible and silently takes
         the distributed path otherwise (wide table / artifact above the
@@ -1189,7 +1212,10 @@ class AnnEngine:
                 )
             if not per_query:
                 try:
-                    return self._ann_search_local(t, idx, query, k)
+                    out = self._ann_search_local(t, idx, query, k)
+                    if capture is not None:
+                        capture["candidates"] = None
+                    return out
                 except (ValueError, OSError):
                     if local != "auto":
                         raise
@@ -1213,6 +1239,11 @@ class AnnEngine:
         hits = idx.search(
             list(query), fetch_k, search_complexity=search_complexity, **search_params
         )
+        if capture is not None:
+            # persist so the audit export and the served result both read
+            # ONE candidate-search execution (cache hit by plan equality)
+            hits = hits.persist()
+            capture["candidates"] = hits
         joined = t.df.join(
             F.broadcast(hits.withColumnRenamed("row_id", t.row_id)), on=t.row_id, how="inner"
         )
@@ -1335,6 +1366,11 @@ class AnnEngine:
                     pa.bool_(): pd.BooleanDtype(),
                     pa.string(): pd.StringDtype(),
                     pa.large_string(): pd.StringDtype(),
+                    # nullable float dtypes too: plain float64 decay turns
+                    # NULL payloads into NaN, diverging from the
+                    # distributed path's NULL for the same row
+                    pa.float32(): pd.Float32Dtype(),
+                    pa.float64(): pd.Float64Dtype(),
                 }.get
             )
             cov_ids = pdf["row_id"].to_numpy(dtype=np.int64)
@@ -1460,9 +1496,13 @@ class AnnEngine:
         per_query = dict(search_params)
         if search_complexity is not None:
             per_query["search_complexity"] = search_complexity
-        if oversample is not None:
+        # explicit no-ops are NOT incompatible: rerank=False and
+        # oversample=1 are exactly the local path's semantics (exact
+        # answer, no re-score, k rows) — only values that would change
+        # the result route away / raise
+        if oversample is not None and int(oversample) != 1:
             per_query["oversample"] = oversample
-        if rerank is not None:
+        if rerank:
             per_query["rerank"] = rerank
         return per_query
 

@@ -444,3 +444,85 @@ def test_covering_on_sharded_graph_index(engine):
     assert top[0]["id"] == 21 and top[0]["txt"] == "g21"
     dist = engine.ann_search("gcov", "gcov_g", q, k=3).collect()
     assert [(r["id"], r["txt"]) for r in top] == [(r["id"], r["txt"]) for r in dist]
+
+
+def test_local_accepts_explicit_noop_params(local_engine):
+    # rerank=False / oversample=1 ARE the local semantics: exact answer,
+    # no re-score, k rows (ADVICE r7) — local=True must accept them, and
+    # local='auto' must keep the fast path instead of silently routing
+    # to the slower distributed one
+    engine, rows = local_engine
+    q = rows[0][1]
+    base = engine.ann_search("lv", "lv_flat", q, k=3, local=True).collect()
+    for kw in ({"rerank": False}, {"oversample": 1},
+               {"rerank": False, "oversample": 1}):
+        got = engine.ann_search("lv", "lv_flat", q, k=3, local=True, **kw)
+        assert [r["id"] for r in got.collect()] == [r["id"] for r in base]
+    out = engine.ann_search("lv", "lv_flat", q, k=3, local="auto", rerank=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Exchange" not in plan
+
+
+def test_capture_exposes_served_candidates(local_engine):
+    # the capture hook hands back the PERSISTED candidate frame the
+    # served result reranks — the replay-oracle export reads the same
+    # single search execution, so served ⊆ captured by construction
+    engine, rows = local_engine
+    q = rows[7][1]
+    cap: dict = {}
+    hits = engine.ann_search(
+        "lv", "lv_flat", q, k=5, oversample=4, rerank=True, capture=cap
+    )
+    cand = {r["row_id"] for r in cap["candidates"].select("row_id").collect()}
+    assert len(cand) == 20  # k * oversample candidates from Flat
+    assert cap["candidates"].storageLevel.useMemory  # persisted
+    served = {r["id"] for r in hits.collect()}
+    assert served <= cand and len(served) == 5
+    cap["candidates"].unpersist()
+    # the local short-circuit has no candidate phase
+    cap2: dict = {}
+    engine.ann_search("lv", "lv_flat", q, k=5, local=True, capture=cap2)
+    assert cap2["candidates"] is None
+
+
+def test_covering_null_float_payload_roundtrips(engine):
+    # NULL float payloads must serve as NULL locally, not NaN (ADVICE r7:
+    # plain float64 decay turned NULLs into NaN in the covering snapshot)
+    base = _rows(seed=41, n=60)
+    rows = [
+        (i, None if i % 3 == 0 else float(i) / 4.0, v)
+        for i, (_, v) in enumerate(base)
+    ]
+    df = engine.spark.createDataFrame(
+        rows, "id long, fscore float, embedding array<float>"
+    )
+    engine.register_table("nf", df, row_id="id")
+    engine.create_index(
+        "nf_flat", "nf", "embedding", engine="faiss", index_type="Flat",
+        covering=True,
+    )
+    q = rows[9][2]
+    loc = engine.ann_search("nf", "nf_flat", q, k=8, local=True).collect()
+    dist = engine.ann_search("nf", "nf_flat", q, k=8).collect()
+    assert [r["id"] for r in loc] == [r["id"] for r in dist]
+    for a, b in zip(loc, dist):
+        if a["id"] % 3 == 0:
+            assert a["fscore"] is None and b["fscore"] is None
+        else:
+            assert abs(a["fscore"] - b["fscore"]) < 1e-6
+
+
+def test_vacuum_failure_names_covering_stage(covered_engine, monkeypatch):
+    # a failed rebuild of a covering index must name BOTH staged paths —
+    # the covering sidecar stage leaked silently before (ADVICE r7)
+    engine, rows = covered_engine
+    import duckdb_annsearch_spark.engine as eng_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("injected build failure")
+
+    monkeypatch.setattr(
+        eng_mod._INDEX_CLASSES["flat"], "build", staticmethod(boom)
+    )
+    with pytest.raises(RuntimeError, match="covering payload staged at"):
+        engine.vacuum("cv_flat")
