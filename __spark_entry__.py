@@ -570,6 +570,7 @@ def q_ivf_full_probe(spark, sf_dir):
 # choice is deterministic (index/ivf.py _probe_cells: exact centroid top-k).
 ORACLE_EXPORT_DIR = "/tmp/ann_oracle_export"
 IVF_PROBE_MEMBERS = os.path.join(ORACLE_EXPORT_DIR, "ivf_probe_members.parquet")
+BPE_WORD_TOKENS = os.path.join(ORACLE_EXPORT_DIR, "bpe_word_tokens.parquet")
 GRAPH_CAND_MEMBERS = {
     name: os.path.join(ORACLE_EXPORT_DIR, f"graph_cand_{name}.parquet")
     for name in ("gsq8", "gpq", "gopq")
@@ -586,6 +587,26 @@ def _export_oracle_ids(path: str, ids) -> None:
     tmp = path + ".tmp"
     pa_pq.write_table(
         pa.table({"vec_id": pa.array(sorted(int(i) for i in ids), pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, path)
+
+
+def _export_bpe_word_tokens(path: str, rows: list) -> None:
+    """Atomically publish the (word, n_tokens) replay map for the BPE
+    serving oracle — vocabulary-sized, one parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    os.makedirs(ORACLE_EXPORT_DIR, exist_ok=True)
+    tmp = path + ".tmp"
+    pa_pq.write_table(
+        pa.table(
+            {
+                "word": pa.array([w for w, _ in rows], pa.string()),
+                "n_tokens": pa.array([int(n) for _, n in rows], pa.int64()),
+            }
+        ),
         tmp,
     )
     os.replace(tmp, path)
@@ -1454,12 +1475,47 @@ def q_bpe_token_counts(spark, sf_dir):
     """The learned tokenizer SERVED corpus-wide: train (cached-size merge
     table) then bpe_encode via Arrow-batched mapInPandas with per-worker
     word caches; returns per-doc learned-BPE token counts for the first
-    documents.  Rows-only (depends on the iterative trainer)."""
-    from duckdb_annsearch_spark.pipeline.bpe import bpe_encode, train_bpe
+    documents.
+
+    Hash-green via artifact replay (round 8, the ``ivf_partial_probe``
+    shape): once training ends the learned ranks are DATA, and the token
+    count of a fixed word under fixed ranks is deterministic — export the
+    (word, n_tokens) map for the served docs' vocabulary (tiny) and let
+    DuckDB re-split the corpus with the same word regex, join the map,
+    and sum per doc.  That checks the corpus-wide distributed half (split
+    parity, Arrow-batched encode across batches, per-worker cache, sum)
+    EXACTLY; the per-word merge math itself stays pinned by
+    tests/test_bpe.py's equivalence vs an independent naive reference
+    (replay would be circular for that inner loop — documented class)."""
+    from duckdb_annsearch_spark.pipeline.bpe import (
+        WORD_SPLIT_RE,
+        _encode_word,
+        bpe_encode,
+        train_bpe,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=40, min_freq=2, max_words=200_000)
-    enc = bpe_encode(docs.where(F.col("doc_id") < 50), merges)
+    served = docs.where(F.col("doc_id") < 50)
+    words = [
+        r["word"]
+        for r in served.select(
+            F.explode(F.split(F.lower("text"), WORD_SPLIT_RE)).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+        .collect()
+    ]
+    ranks = {
+        (str(l), str(r)): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    cache: dict = {}
+    _export_bpe_word_tokens(
+        BPE_WORD_TOKENS,
+        [(w, len(_encode_word(w, ranks, cache))) for w in words],
+    )
+    enc = bpe_encode(served, merges)
     return enc.select("doc_id", "n_tokens")
 
 
@@ -2439,6 +2495,23 @@ def oracle_sql() -> dict[str, str]:
           WHERE e.vec_id IN (SELECT vec_id FROM m))
     SELECT vec_id, CAST(row_number() OVER (ORDER BY _d ASC, vec_id ASC) AS INT) AS rank
     FROM d ORDER BY _d ASC, vec_id ASC LIMIT 10
+    """
+    # bpe_token_counts: artifact replay (round 8) — once training ends the
+    # learned ranks are DATA and each word's token count under them is
+    # deterministic; DuckDB re-splits the corpus with the trainer's word
+    # regex, joins the exported (word, n_tokens) map and sums per doc,
+    # checking the distributed split/encode/sum half exactly (the merge
+    # math stays pinned by tests/test_bpe.py — see q_bpe_token_counts)
+    oracles["bpe_token_counts"] = f"""
+    WITH m AS (SELECT word, n_tokens FROM read_parquet('{BPE_WORD_TOKENS}')),
+    w AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS word
+          FROM documents WHERE doc_id < 50),
+    s AS (SELECT w.doc_id, sum(m.n_tokens) AS n
+          FROM w JOIN m ON w.word = m.word GROUP BY w.doc_id)
+    SELECT d.doc_id, CAST(coalesce(s.n, 0) AS INT) AS n_tokens
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    WHERE d.doc_id < 50
     """
 
     oracles["topk_filtered"] = f"""
