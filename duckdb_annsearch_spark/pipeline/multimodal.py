@@ -1,7 +1,7 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning) is real and tested.  Three codecs are REAL and
+signatures, partitioning) is real and tested.  Four codecs are REAL and
 pure-stdlib+numpy (the container has no PIL/soundfile/av):
 
 - WAV (RIFF/WAVE PCM, 8/16/32-bit int + 32-bit IEEE float, incl.
@@ -14,12 +14,19 @@ pure-stdlib+numpy (the container has no PIL/soundfile/av):
 - PNG (non-interlaced 8-bit gray/palette/RGB/RGBA) via ``zlib`` +
   ``struct`` with per-row filter reversal (None/Sub/Up/Average/Paeth) ->
   the same image features, plus resize that re-encodes 8-bit RGB PNG.
+- JPEG (ITU T.81 BASELINE sequential DCT, 8-bit, gray or YCbCr with
+  arbitrary integer sampling factors, restart markers): full marker
+  parse, canonical Huffman decode with byte-unstuffing, dequant +
+  dezigzag + orthonormal IDCT, chroma upsample, YCbCr->RGB -> the same
+  image features.  Progressive / arithmetic / 12-bit raise -> fallback.
+  An encoder (``encode_jpeg_baseline``) exists for tests: it emits
+  valid baseline JFIF with self-describing canonical Huffman tables.
 
 Unrecognized or corrupt payloads fall back to the deterministic md5 fake
 (documented below) instead of failing the batch: at 100 TB one corrupt
 file must never kill a stage, and the fallback keeps features
-deterministic for oracle checks.  Heavier codecs (JPEG/MP3/MP4) keep
-the documented fake + the library call that replaces it.
+deterministic for oracle checks.  The remaining heavy codecs (MP3/MP4)
+keep the documented fake + the library call that replaces it.
 
 Schema conventions:
   media(media_id long, kind string, payload binary, meta map<string,string>)
@@ -403,14 +410,450 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+# -------------------------------------------------------------- JPEG codec
+#
+# Baseline sequential DCT per ITU T.81 (the public JPEG spec) — the same
+# decode the reference gets from its image library; here pure stdlib +
+# numpy because the container has no PIL.  Feature-extraction grade: the
+# entropy decode is a per-block Python loop (fine for features; a
+# high-throughput decoder is PIL's job when present).
+
+JPEG_SOI = b"\xff\xd8"
+
+# zigzag scan order (T.81 fig. 5): anti-diagonals, alternating direction
+_ZZ = []
+for _s in range(15):
+    _diag = [(_k, _s - _k) for _k in range(max(0, _s - 7), min(8, _s + 1))]
+    _ZZ += _diag[::-1] if _s % 2 == 0 else _diag
+_ZZ_R = np.asarray([r for r, _ in _ZZ])
+_ZZ_C = np.asarray([c for _, c in _ZZ])
+
+# orthonormal 8x8 DCT-II matrix: forward F = A @ f @ A.T equals T.81's
+# definition exactly; inverse f = A.T @ F @ A
+_DCT_A = np.asarray(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+def _is_jpeg(p: bytes) -> bool:
+    return len(p) >= 4 and p[:2] == JPEG_SOI and p[2] == 0xFF
+
+
+def _build_huff(counts: list, symbols: list) -> dict:
+    """Canonical Huffman per T.81 C.2: (length, code) -> symbol."""
+    t, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            t[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return t
+
+
+class _JpegBits:
+    """Entropy-segment bit reader with 0xFF00 byte-unstuffing."""
+
+    __slots__ = ("d", "i", "buf", "n")
+
+    def __init__(self, d: bytes, i: int):
+        self.d, self.i, self.buf, self.n = d, i, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.i]
+            if b == 0xFF:
+                if self.d[self.i + 1] != 0x00:
+                    raise ValueError("marker inside entropy-coded data")
+                self.i += 2
+            else:
+                self.i += 1
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        if self.d[self.i] != 0xFF or not (0xD0 <= self.d[self.i + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.i += 2
+
+
+def _huff_read(br: _JpegBits, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map the s received magnitude bits to a signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a BASELINE sequential JPEG (SOF0/SOF1,
+    8-bit, 1 or 3 components, any integer sampling factors that divide
+    the max, DRI/RSTn honored).  Raises on progressive (SOF2+),
+    arithmetic coding, 12-bit precision, or corrupt streams — callers
+    fall back to the deterministic fake."""
+    d = payload
+    if not _is_jpeg(d):
+        raise ValueError("not a JPEG payload")
+    qt: dict = {}
+    hts: dict = {}
+    comps = None
+    h = w = 0
+    ri = 0
+    scan = None
+    i = 2
+    while i + 2 <= len(d):
+        if d[i] != 0xFF:
+            raise ValueError("bad marker segment")
+        m = d[i + 1]
+        if m == 0xFF:  # fill byte
+            i += 1
+            continue
+        i += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(d[i:i + 2], "big")
+        seg = d[i + 2:i + ln]
+        if m == 0xDB:  # DQT (tables stored in zigzag order)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg[p:p + 64], np.uint8
+                    ).astype(np.float64)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[p:p + 128], ">u2"
+                    ).astype(np.float64)
+                    p += 128
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                 seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                for c in range(seg[5])
+            ]
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                counts = list(seg[p:p + 16])
+                p += 16
+                ns = sum(counts)
+                hts[(tc, th)] = _build_huff(counts, list(seg[p:p + ns]))
+                p += ns
+        elif m == 0xDD:  # DRI
+            ri = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS — entropy data follows the segment
+            scomp = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(seg[0])
+            ]
+            scan = (scomp, i + ln)
+            break
+        i += ln
+    if comps is None or scan is None or not h or not w:
+        raise ValueError("missing SOF/SOS")
+    scomp, dpos = scan
+    tbl = {cid: (hts[(0, td)], hts[(1, ta)]) for cid, td, ta in scomp}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, ch, cv, _tq in comps:
+        if not ch or not cv or hmax % ch or vmax % cv:
+            raise ValueError("unsupported sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+        for cid, ch, cv, _tq in comps
+    }
+    pred = {cid: 0 for cid, *_ in comps}
+    br = _JpegBits(d, dpos)
+    A = _DCT_A
+    for mi in range(mcux * mcuy):
+        if ri and mi and mi % ri == 0:
+            br.restart()
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mi, mcux)
+        for cid, ch, cv, tq in comps:
+            dc_t, ac_t = tbl[cid]
+            q = qt[tq]
+            for by in range(cv):
+                for bx in range(ch):
+                    s = _huff_read(br, dc_t)
+                    pred[cid] += _extend(br.receive(s), s)
+                    coef = np.zeros(64, np.float64)
+                    coef[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_read(br, ac_t)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        coef[k] = _extend(br.receive(sz), sz)
+                        k += 1
+                    blk = np.zeros((8, 8), np.float64)
+                    blk[_ZZ_R, _ZZ_C] = coef * q
+                    px = A.T @ blk @ A + 128.0
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    out = []
+    for cid, ch, cv, _tq in comps:
+        pl = np.repeat(
+            np.repeat(planes[cid], vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        out.append(pl[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.dstack([g, g, g])
+    if len(out) != 3:
+        raise ValueError("expected 1 or 3 components")
+    y, cb, cr = out
+    rgb = np.dstack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ]
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, code: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def pad(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+def _mag_bits(v: int) -> tuple:
+    """(category, extra-bit value) for a signed coefficient (T.81 F.1.2)."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    q: int = 2,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Valid baseline JFIF bytes for an ``(h, w, 3)`` RGB or ``(h, w)``
+    gray uint8 image — the test-harness encoder that exercises
+    :func:`decode_jpeg` end-to-end (quant tables ``1 + (1+u+v)*q``, the
+    classic distance-weighted form; canonical Huffman tables built from
+    the image's own symbol set and emitted in DHT, so any spec decoder
+    reads them).  ``subsample=True`` writes 4:2:0 (Y at 2x2, averaged
+    chroma); ``restart_interval`` emits DRI + RSTn markers."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samps = [(1, 1)]
+        tq_of = [0]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            h2, w2 = (y.shape[0] + 1) // 2 * 2, (y.shape[1] + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, h2 - cb.shape[0]), (0, w2 - cb.shape[1])),
+                         mode="edge")
+            crp = np.pad(cr, ((0, h2 - cr.shape[0]), (0, w2 - cr.shape[1])),
+                         mode="edge")
+            cb = cbp.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        tq_of = [0, 1, 1]
+    h, w = img.shape[:2]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # quant tables in natural order, emitted zigzag
+    uu, vv = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    # clip at creation so quantization and the emitted DQT use the SAME
+    # values (8-bit DQT caps entries at 255)
+    qtabs = [
+        np.clip(1.0 + (1.0 + uu + vv) * q, 1, 255),
+        np.clip(1.0 + (1.0 + uu + vv) * q * 2.0, 1, 255),
+    ]
+    A = _DCT_A
+    # pad planes to full MCU coverage (edge replicate)
+    padded = []
+    for pl, (sh, sv) in zip(planes, samps):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(
+            np.pad(pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
+                   mode="edge")
+        )
+    # pass 1: quantized zigzag blocks in interleaved MCU order + symbol ops
+    ops: list = []  # ("sym", table_key, symbol, extra, extra_len) | ("rst", n)
+    pred = [0] * len(planes)
+    rst_n = 0
+    for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            ops.append(("rst", rst_n % 8))
+            rst_n += 1
+            pred = [0] * len(planes)
+        my, mx = divmod(mi, mcux)
+        for ci, (pl, (sh, sv)) in enumerate(zip(padded, samps)):
+            tq = tq_of[ci]
+            hk = ci > 0  # table id: 0 = luma, 1 = chroma
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    blk = pl[y0:y0 + 8, x0:x0 + 8]
+                    coef = A @ blk @ A.T
+                    z = np.round(
+                        coef[_ZZ_R, _ZZ_C] / qtabs[tq][_ZZ_R, _ZZ_C]
+                    ).astype(np.int64)
+                    diff = int(z[0]) - pred[ci]
+                    pred[ci] = int(z[0])
+                    s, extra = _mag_bits(diff)
+                    ops.append(("sym", ("dc", hk), s, extra, s))
+                    run = 0
+                    for k in range(1, 64):
+                        if z[k] == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            ops.append(("sym", ("ac", hk), 0xF0, 0, 0))
+                            run -= 16
+                        s2, ex2 = _mag_bits(int(z[k]))
+                        ops.append(
+                            ("sym", ("ac", hk), (run << 4) | s2, ex2, s2)
+                        )
+                        run = 0
+                    if run:
+                        ops.append(("sym", ("ac", hk), 0x00, 0, 0))
+    # canonical fixed-length Huffman per table: n symbols at length L with
+    # 2**L > n (a spare leaf keeps the all-ones code unused, T.81 custom)
+    tables: dict = {}
+    for kind in {op[1] for op in ops if op[0] == "sym"}:
+        syms = sorted({op[2] for op in ops if op[0] == "sym" and op[1] == kind})
+        L = max(2, (len(syms) + 1).bit_length())
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        tables[kind] = (
+            counts, syms, {sym: (i, L) for i, sym in enumerate(syms)}
+        )
+    bw = _JpegBitWriter()
+    for op in ops:
+        if op[0] == "rst":
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + op[1]])
+            continue
+        _, kind, sym, extra, el = op
+        code, ln = tables[kind][2][sym]
+        bw.write(code, ln)
+        if el:
+            bw.write(extra, el)
+    bw.pad()
+    # ---- serialize segments
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(JPEG_SOI)
+    n_qt = 1 if gray else 2
+    for t in range(n_qt):
+        zz = qtabs[t][_ZZ_R, _ZZ_C].astype(np.uint8)
+        out += seg(0xDB, bytes([t]) + zz.tobytes())
+    ncomp = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], tq_of[ci]])
+    out += seg(0xC0, sof)
+    for (cls, hk), (counts, syms, _codes) in sorted(tables.items()):
+        tc = 0 if cls == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | int(hk)]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = int(ci > 0)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])  # full spectral band, no approximation
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += bytes([0xFF, 0xD9])
+    return bytes(out)
+
+
+def jpeg_features(payload: bytes) -> np.ndarray:
+    return _image_features(decode_jpeg(payload))
+
+
 # --------------------------------------------------------- feature routing
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic fallback 'decode': md5 bytes -> FEATURE_DIM floats in
     [0,1).  Used for unrecognized/corrupt payloads and for formats whose
-    real codec is not in this container (JPEG -> ``PIL.Image.open``,
-    MP3/FLAC -> ``soundfile.read``, video -> ``av.open``)."""
+    real codec is not in this container (MP3/FLAC -> ``soundfile.read``,
+    video -> ``av.open``)."""
     h = hashlib.md5(payload or b"").digest()
     return np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
 
@@ -439,6 +882,8 @@ def decode_features(payload: bytes) -> np.ndarray:
             return bmp_features(p)
         if _is_png(p):
             return png_features(p)
+        if _is_jpeg(p):
+            return jpeg_features(p)
     except Exception:
         pass
     return _fake_decode(p)
@@ -447,8 +892,8 @@ def decode_features(payload: bytes) -> np.ndarray:
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """(media_id, feature ARRAY<FLOAT>[16]) via Arrow-batched mapInPandas —
     the decode runs per executor partition, payload bytes never hit the
-    driver.  WAV/BMP payloads get REAL decoded features; everything else
-    the md5 fake (see ``decode_features``)."""
+    driver.  WAV/BMP/PNG/JPEG payloads get REAL decoded features;
+    everything else the md5 fake (see ``decode_features``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

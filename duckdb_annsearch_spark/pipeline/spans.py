@@ -20,8 +20,13 @@ merge into one removed region — acceptable (strictly more conservative
 removal) and vanishingly rare at k >= 8.
 
 Plan shape (the thing that matters at 100 TB): the gram machinery never
-carries text.  Grams explode map-only and ship only a 60-bit hash +
-position (16 bytes/row) into one partial-aggregating groupBy; duplicated
+carries text.  Grams explode map-only and ship only a 60-bit int64 hash
++ position (~20 bytes/row) into ONE exchange keyed on the gram hash —
+duplication is decided by window aggregates over that single exchange
+(``count(*) over (partition by _gh)``; the round-7 shape shuffled the
+gram stream twice, once for a groupBy and again for the join back, and
+the partial-agg difference defeated ReusedExchange — halving the gram
+shuffle was worth ~40 GB of scratch at the 20M-doc cell).  Duplicated
 start positions come back as one data-sized ``(doc, starts_array)``
 table (non-empty only for documents that actually contain duplicated
 spans); the final cut is a per-row array expression ``filter(tokens,
@@ -48,7 +53,7 @@ copies should survive once.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.pipeline.text import token_hash
@@ -105,19 +110,20 @@ def dup_span_starts(
             "_gpos", "_gram"
         ),
     ).select(F.col(id_col), F.col("_gpos"), token_hash(gram).alias("_gh"))
-    agg = (
-        F.count("*")
+    # duplication decided by window aggregates over ONE exchange of the
+    # gram stream (a groupBy + join-back would exchange it twice — the
+    # partial agg on mostly-unique gram keys shrinks nothing but defeats
+    # ReusedExchange); cross_doc's ">= 2 distinct docs" is exactly
+    # "min(id) != max(id)", which window-computes without DISTINCT
+    w = Window.partitionBy("_gh")
+    dup_flag = (
+        (F.count(F.lit(1)).over(w) >= 2)
         if scope == "corpus"
-        else F.count_distinct(F.col(id_col))
-    )
-    dup = (
-        grams.groupBy("_gh")
-        .agg(agg.alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("_gh")
+        else (F.min(id_col).over(w) != F.max(id_col).over(w))
     )
     return (
-        grams.join(dup, "_gh")
+        grams.withColumn("_dup", dup_flag)
+        .where(F.col("_dup"))
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("_gpos")).alias("starts"))
     )

@@ -336,3 +336,89 @@ class TestPng:
         assert resized.shape == (2, 4, 3)
         np.testing.assert_array_equal(resized[0, 3], [0, 0, 255])
         np.testing.assert_array_equal(resized[0, 0], [0, 0, 0])
+
+
+class TestJpeg:
+    """Pure-stdlib baseline JPEG codec (round 8): full T.81 sequential
+    decode (canonical Huffman + byte-unstuffing, dequant/dezigzag,
+    orthonormal IDCT, chroma upsample, YCbCr->RGB, DRI/RSTn) exercised
+    end-to-end by the test-grade baseline encoder; corrupt and
+    progressive payloads fall back to the deterministic fake."""
+
+    @staticmethod
+    def _gradient(h, w):
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return np.dstack(
+            [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (w + h)]
+        ).astype(np.uint8)
+
+    @pytest.mark.parametrize(
+        "kw,tol",
+        [
+            ({}, 2.0),
+            ({"subsample": True}, 3.5),
+            ({"restart_interval": 3}, 2.0),
+            ({"q": 6, "subsample": True, "restart_interval": 2}, 5.0),
+        ],
+    )
+    def test_roundtrip_within_quant_error(self, kw, tol):
+        img = self._gradient(37, 53)  # odd dims: MCU padding + crop
+        dec = M.decode_jpeg(M.encode_jpeg_baseline(img, **kw))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < tol
+
+    def test_grayscale_single_component(self):
+        g = ((np.arange(24)[:, None] * 3 + np.arange(40)[None, :]) % 256).astype(
+            np.uint8
+        )
+        dec = M.decode_jpeg(M.encode_jpeg_baseline(g))
+        assert dec.shape == (24, 40, 3)
+        # gray replicated across channels
+        np.testing.assert_array_equal(dec[:, :, 0], dec[:, :, 1])
+        assert np.abs(dec[:, :, 0].astype(float) - g).mean() < 2.0
+
+    def test_flat_color_exact(self):
+        # a constant block quantizes losslessly at any table: DC only
+        img = np.full((16, 16, 3), 128, dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg_baseline(img))
+        assert int(np.abs(dec.astype(int) - 128).max()) <= 1
+
+    def test_restart_markers_present_and_honored(self):
+        img = self._gradient(32, 32)
+        enc = M.encode_jpeg_baseline(img, restart_interval=1)
+        assert b"\xff\xd0" in enc  # RST0 emitted
+        assert b"\xff\xdd" in enc  # DRI segment
+        dec = M.decode_jpeg(enc)
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 2.0
+
+    def test_progressive_rejected(self):
+        # flip SOF0 (FFC0) to SOF2 (FFC2): decoder must refuse, router
+        # must fall back to the fake rather than mis-decode
+        enc = bytearray(M.encode_jpeg_baseline(self._gradient(8, 8)))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC2
+        enc = bytes(enc)
+        with pytest.raises(ValueError, match="baseline"):
+            M.decode_jpeg(enc)
+        np.testing.assert_array_equal(M.decode_features(enc), M._fake_decode(enc))
+
+    def test_truncated_falls_back(self):
+        enc = M.encode_jpeg_baseline(self._gradient(16, 16))
+        bad = enc[: len(enc) // 2]
+        np.testing.assert_array_equal(M.decode_features(bad), M._fake_decode(bad))
+
+    def test_features_and_routing(self):
+        img = np.zeros((8, 16, 3), dtype=np.uint8)
+        img[:, :8] = [255, 0, 0]
+        payload = M.encode_jpeg_baseline(img, q=1)
+        f = M.jpeg_features(payload)
+        assert f[0] == 2.0 and abs(f[4] - 0.5) < 0.02  # image tag, mean R
+        np.testing.assert_array_equal(M.decode_features(payload), f)
+
+    def test_zigzag_is_the_standard_order(self):
+        # T.81 fig. 5 first/last entries, spot-checked by hand
+        zz = list(zip(M._ZZ_R.tolist(), M._ZZ_C.tolist()))
+        assert zz[:10] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                           (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+        assert zz[-3:] == [(6, 7), (7, 6), (7, 7)]
+        assert sorted(zz) == [(r, c) for r in range(8) for c in range(8)]

@@ -159,6 +159,9 @@ class TestRemoveDupSpans:
         for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
             key = m.group(1)
             assert key.startswith(("doc_id", "_gh")), m.group(0)
+        # the gram stream crosses exactly ONE exchange (round 8: window
+        # dup-decision replaced the groupBy + join-back double shuffle)
+        assert len(_re.findall(r"Exchange hashpartitioning\(_gh", plan)) <= 1
         assert plan.count("Generate") <= 2  # gram posexplode (+reuse)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
