@@ -28,6 +28,13 @@ def get_spark(app_name: str = "duckdb_annsearch_spark", cpus: int | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ad-hoc conf for scale runs on
+    # constrained boxes (e.g. spark.io.compression.codec=zstd roughly
+    # halves shuffle+spill scratch vs lz4 on hash-heavy exchanges)
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

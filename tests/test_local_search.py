@@ -526,3 +526,94 @@ def test_vacuum_failure_names_covering_stage(covered_engine, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="covering payload staged at"):
         engine.vacuum("cv_flat")
+
+
+def test_covering_serves_during_concurrent_lifecycle(engine):
+    """Local payload serving RACING lifecycle mutations (r7 verdict
+    item 7): a server thread answers local='auto' queries continuously
+    while the main thread interleaves insert / delete / vacuum /
+    attach_covering.  Every successful answer must be internally
+    consistent — the payload a row serves must be THE payload of that id
+    (payloads are immutable per id here), k rows, no duplicate ids.
+    Transient errors during the vacuum swap window (index briefly
+    unregistered, artifact dir mid-replace) are tolerated and counted;
+    wrong DATA is not.  At the end, serving must be fully consistent
+    with the distributed answer again."""
+    import threading
+
+    rng = np.random.RandomState(97)
+    dim = 6
+    rows = {
+        int(i): (f"p{i}", rng.rand(dim).astype(np.float32).tolist())
+        for i in range(150)
+    }
+    df = engine.spark.createDataFrame(
+        [(i, t, v) for i, (t, v) in rows.items()],
+        "id long, txt string, embedding array<float>",
+    )
+    engine.register_table("cc", df, row_id="id")
+    engine.create_index(
+        "cc_flat", "cc", "embedding", engine="faiss", index_type="Flat",
+        covering=True,
+    )
+    stop = threading.Event()
+    bad: list = []
+    stats = {"ok": 0, "transient": 0}
+    q_fixed = rows[3][1]
+
+    def serve():
+        while not stop.is_set():
+            try:
+                got = engine.ann_search(
+                    "cc", "cc_flat", q_fixed, k=5, local="auto"
+                ).collect()
+            except Exception:
+                stats["transient"] += 1  # swap-window race: allowed
+                continue
+            ids = [r["id"] for r in got]
+            if len(ids) != 5 or len(set(ids)) != 5:
+                bad.append(f"shape {ids}")
+            for r in got:
+                # id>=1000 rows are mid-test inserts: txt == f"p{id}" too
+                if r["txt"] != f"p{r['id']}":
+                    bad.append(f"payload {r['id']} -> {r['txt']}")
+            stats["ok"] += 1
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    next_id = 1000
+    try:
+        for step in range(8):
+            op = ["insert", "delete", "vacuum", "attach"][step % 4]
+            if op == "insert":
+                new = {
+                    next_id + j: (
+                        f"p{next_id + j}",
+                        rng.rand(dim).astype(np.float32).tolist(),
+                    )
+                    for j in range(3)
+                }
+                engine.insert("cc", engine.spark.createDataFrame(
+                    [(i, t_, v) for i, (t_, v) in new.items()],
+                    "id long, txt string, embedding array<float>",
+                ))
+                rows.update(new)
+                next_id += 3
+            elif op == "delete":
+                victims = [int(i) for i in rng.choice(sorted(rows), 3, replace=False)]
+                engine.delete("cc", victims)
+                for v in victims:
+                    rows.pop(v)
+            elif op == "vacuum":
+                engine.vacuum("cc_flat")
+            else:
+                engine.attach_covering("cc_flat", True)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not bad, bad[:5]
+    assert stats["ok"] >= 5, stats  # serving made real progress
+    # settled state: local == distributed exactly, payloads included
+    loc = engine.ann_search("cc", "cc_flat", q_fixed, k=7, local=True).collect()
+    dist = engine.ann_search("cc", "cc_flat", q_fixed, k=7).collect()
+    assert [(r["id"], r["txt"]) for r in loc] == [(r["id"], r["txt"]) for r in dist]
