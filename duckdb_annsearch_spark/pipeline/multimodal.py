@@ -906,11 +906,10 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: BMP and PNG payloads are REALLY resized
-    (nearest-neighbor, re-encoded in their own format) with meta recording
-    old/new dims; unrecognized payloads pass through with the target size
-    recorded in meta (real impl for JPEG: PIL ``Image.resize`` in this
-    same mapInPandas shape)."""
+    """Image resize: BMP, PNG and baseline-JPEG payloads are REALLY
+    resized (nearest-neighbor, re-encoded in their own format) with meta
+    recording old/new dims; unrecognized payloads pass through with the
+    target size recorded in meta."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -923,6 +922,9 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     if _is_png(raw):
                         img = decode_png(raw)
                         enc, codec = encode_png, "png"
+                    elif _is_jpeg(raw):
+                        img = decode_jpeg(raw)
+                        enc, codec = encode_jpeg_baseline, "jpeg"
                     else:
                         img = decode_bmp(raw)
                         enc, codec = encode_bmp, "bmp"

@@ -422,3 +422,16 @@ class TestJpeg:
                            (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
         assert zz[-3:] == [(6, 7), (7, 6), (7, 7)]
         assert sorted(zz) == [(r, c) for r in range(8) for c in range(8)]
+
+    def test_resize_images_real_jpeg(self, spark):
+        img = self._gradient(24, 32)
+        rows = [(1, "image", M.encode_jpeg_baseline(img), {"fmt": "jpg"})]
+        out = M.resize_images(M.make_media_df(spark, rows), 16, 8).collect()[0]
+        meta = dict(out["meta"])
+        assert meta["codec"] == "jpeg" and meta["orig_size"] == "32x24"
+        assert meta["resized"] == "16x8"
+        dec = M.decode_jpeg(bytes(out["payload"]))
+        assert dec.shape == (8, 16, 3)
+        # resized content tracks the original gradient (lossy tolerance)
+        ref = M.resize_nearest(img, 16, 8)
+        assert np.abs(dec.astype(float) - ref.astype(float)).mean() < 6.0
