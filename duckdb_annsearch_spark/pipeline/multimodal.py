@@ -22,11 +22,16 @@ pure-stdlib+numpy (the container has no PIL/soundfile/av):
   An encoder (``encode_jpeg_baseline``) exists for tests: it emits
   valid baseline JFIF with self-describing canonical Huffman tables.
 
+MP3 gets a REAL container parse (frame-header walk: duration, sample
+rate, bitrate, frame count, VBR-ness — the curation-relevant metadata)
+with PCM content stats explicitly zeroed; full Layer-III PCM decode and
+video (MP4) keep the documented fake + the library call that replaces
+them.
+
 Unrecognized or corrupt payloads fall back to the deterministic md5 fake
 (documented below) instead of failing the batch: at 100 TB one corrupt
 file must never kill a stage, and the fallback keeps features
-deterministic for oracle checks.  The remaining heavy codecs (MP3/MP4)
-keep the documented fake + the library call that replaces it.
+deterministic for oracle checks.
 
 Schema conventions:
   media(media_id long, kind string, payload binary, meta map<string,string>)
@@ -846,6 +851,103 @@ def jpeg_features(payload: bytes) -> np.ndarray:
     return _image_features(decode_jpeg(payload))
 
 
+# ------------------------------------------------------- MP3 frame headers
+#
+# Real CONTAINER parse (ISO 11172-3 / 13818-3 frame headers): duration,
+# sample rate, bitrate, frame count, VBR-ness — the curation-relevant
+# metadata — from walking the MPEG audio frame sequence, without
+# decoding PCM (a full Layer-III huffman+IMDCT decoder is what
+# ``soundfile`` is for; the content-stat feature slots stay zero and are
+# documented as such).
+
+# kbps by (version_group, layer), header bitrate index 1..14
+_MP3_BITRATES = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# sample rates by header version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+
+def _mp3_frames(p: bytes) -> list:
+    """Walk the MPEG audio frame sequence: [(kbps, rate, samples_per_frame,
+    version_bits, layer)] — skips a leading ID3v2 tag (syncsafe size),
+    resyncs over junk before the first frame, stops at trailing tags."""
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        i = 10 + (
+            ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14)
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        )
+    frames: list = []
+    while i + 4 <= len(p):
+        if p[i] == 0xFF and (p[i + 1] & 0xE0) == 0xE0:
+            vb = (p[i + 1] >> 3) & 3
+            lb = (p[i + 1] >> 1) & 3
+            bi = (p[i + 2] >> 4) & 15
+            si = (p[i + 2] >> 2) & 3
+            pad = (p[i + 2] >> 1) & 1
+            if vb == 1 or lb == 0 or bi in (0, 15) or si == 3:
+                if frames:
+                    break  # valid stream ended; trailing bytes are tags
+                i += 1
+                continue
+            layer = 4 - lb  # header layer bits: 11=I, 10=II, 01=III
+            vgroup = 1 if vb == 3 else 2
+            kbps = _MP3_BITRATES[(vgroup, layer)][bi - 1]
+            rate = _MP3_RATES[vb][si]
+            if layer == 1:
+                spf, fsz = 384, (12 * kbps * 1000 // rate + pad) * 4
+            else:
+                spf = 1152 if (layer == 2 or vgroup == 1) else 576
+                fsz = (144 if spf == 1152 else 72) * kbps * 1000 // rate + pad
+            if fsz <= 4:
+                break
+            frames.append((kbps, rate, spf, vb, layer))
+            i += fsz
+        elif frames:
+            break
+        else:
+            i += 1  # resync scan before the first frame
+    return frames
+
+
+def _is_mp3(p: bytes) -> bool:
+    """ID3v2 prefix or a valid frame sync at byte 0.  UTF-8 text can
+    never alias the sync path (0xFF is not a legal UTF-8 byte); an
+    'ID3'-prefixed text falls through when no valid frames follow."""
+    return len(p) >= 4 and (
+        p[:3] == b"ID3"
+        or (p[0] == 0xFF and (p[1] & 0xE0) == 0xE0)
+    )
+
+
+def mp3_features(payload: bytes) -> np.ndarray:
+    """FEATURE_DIM features with REAL container metadata and zeroed
+    content stats (PCM not decoded — positions 3..7 are the WAV layout's
+    rms/peak/mean_abs/zcr/dc, all 0 here): [1 (audio tag), duration s,
+    rate/48k, 0x5, mean_kbps/320, frames/1000, version_bits, layer,
+    vbr flag, 0x3]."""
+    frames = _mp3_frames(payload or b"")
+    if not frames:
+        raise ValueError("no MPEG audio frames")
+    dur = float(sum(spf / rate for _, rate, spf, _, _ in frames))
+    kbps = float(np.mean([f[0] for f in frames]))
+    vbr = 1.0 if len({f[0] for f in frames}) > 1 else 0.0
+    head = [1.0, dur, frames[0][1] / 48000.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    tail = [kbps / 320.0, len(frames) / 1000.0, float(frames[0][3]),
+            float(frames[0][4]), vbr, 0.0, 0.0, 0.0]
+    return np.asarray(head + tail, dtype=np.float32)
+
+
 # --------------------------------------------------------- feature routing
 
 
@@ -884,6 +986,8 @@ def decode_features(payload: bytes) -> np.ndarray:
             return png_features(p)
         if _is_jpeg(p):
             return jpeg_features(p)
+        if _is_mp3(p):
+            return mp3_features(p)
     except Exception:
         pass
     return _fake_decode(p)
