@@ -146,8 +146,19 @@ def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> n
     needing full f32 fidelity on large-magnitude data should pre-normalize
     or re-rank the top candidates with an exact expression (the engine's
     oracle-facing queries recompute output distances in f64)."""
-    q = np.ascontiguousarray(queries, dtype=np.float32)
-    x = np.ascontiguousarray(cands, dtype=np.float32)
+    # contiguity fast-skip: ascontiguousarray costs ~0.15 µs per operand
+    # even when it's a no-op — real money at the µs-class single-query
+    # sizes (BASELINE micro grid n=64)
+    q = (
+        queries
+        if queries.dtype == np.float32 and queries.flags.c_contiguous
+        else np.ascontiguousarray(queries, dtype=np.float32)
+    )
+    x = (
+        cands
+        if cands.dtype == np.float32 and cands.flags.c_contiguous
+        else np.ascontiguousarray(cands, dtype=np.float32)
+    )
     if metric == "l2" and q.shape[0] == 1:  # squared L2, single query
         qv = q[0]
         if x.size <= _SMALL_BLOCK:
@@ -164,7 +175,7 @@ def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> n
             d = x @ (qv * np.float32(-2.0))  # -2 folded into the GEMV operand
             d += _x_sqnorms(x)
             d += qv @ qv
-        np.maximum(d, 0.0, out=d)
+        np.maximum(d, 0.0, d)  # positional out: skips ufunc kwarg parse
         return d[None, :]
     if metric == "ip":
         if q.shape[0] == 1:
