@@ -22,11 +22,12 @@ pure-stdlib+numpy (the container has no PIL/soundfile/av):
   An encoder (``encode_jpeg_baseline``) exists for tests: it emits
   valid baseline JFIF with self-describing canonical Huffman tables.
 
-MP3 gets a REAL container parse (frame-header walk: duration, sample
-rate, bitrate, frame count, VBR-ness — the curation-relevant metadata)
-with PCM content stats explicitly zeroed; full Layer-III PCM decode and
-video (MP4) keep the documented fake + the library call that replaces
-them.
+MP3 and MP4 get REAL container parses (MP3: frame-header walk →
+duration, sample rate, bitrate, frame count, VBR-ness; MP4/ISO-BMFF:
+box-tree walk → duration, track inventory, video dimensions — the
+curation-relevant metadata) with content stats explicitly zeroed; full
+Layer-III PCM / video-frame decode keep the documented fake + the
+library call that replaces them (``soundfile`` / ``av``).
 
 Unrecognized or corrupt payloads fall back to the deterministic md5 fake
 (documented below) instead of failing the batch: at 100 TB one corrupt
@@ -948,6 +949,92 @@ def mp3_features(payload: bytes) -> np.ndarray:
     return np.asarray(head + tail, dtype=np.float32)
 
 
+# ---------------------------------------------------------- MP4 box parse
+#
+# ISO BMFF (MPEG-4 Part 12) container walk — the same REAL-metadata /
+# undecoded-content split as the MP3 parser: duration, track inventory
+# and video dimensions come from the box tree (mvhd/tkhd/hdlr); frame
+# CONTENT stays undecoded (that is ``av``/ffmpeg's job when present).
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _is_mp4(p: bytes) -> bool:
+    return len(p) >= 12 and p[4:8] == b"ftyp"
+
+
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the sibling boxes in
+    [start, end); handles 64-bit largesize, stops on nonsense sizes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(p[i:i + 4], "big")
+        typ = p[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(p[i + 8:i + 16], "big")
+            body = i + 16
+        elif size == 0:  # box extends to the end of the file
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield typ, body, i + size
+        i += size
+
+
+def _mp4_walk(p: bytes, start: int, end: int, info: dict) -> None:
+    for typ, b, e in _mp4_boxes(p, start, end):
+        if typ in _MP4_CONTAINERS:
+            _mp4_walk(p, b, e, info)
+        elif typ == b"mvhd" and e - b >= 20:
+            ver = p[b]
+            if ver == 1 and e - b >= 28:
+                ts = int.from_bytes(p[b + 20:b + 24], "big")
+                dur = int.from_bytes(p[b + 24:b + 32], "big")
+            else:
+                ts = int.from_bytes(p[b + 12:b + 16], "big")
+                dur = int.from_bytes(p[b + 16:b + 20], "big")
+            if ts:
+                info["duration"] = dur / ts
+                info["timescale"] = ts
+        elif typ == b"hdlr" and e - b >= 12:
+            handler = p[b + 8:b + 12]
+            if handler == b"vide":
+                info["n_video"] = info.get("n_video", 0) + 1
+            elif handler == b"soun":
+                info["n_audio"] = info.get("n_audio", 0) + 1
+        elif typ == b"tkhd" and e - b >= 8:
+            info["n_tracks"] = info.get("n_tracks", 0) + 1
+            # width/height: 16.16 fixed point, last 8 bytes of the box
+            w = int.from_bytes(p[e - 8:e - 4], "big") / 65536.0
+            h = int.from_bytes(p[e - 4:e], "big") / 65536.0
+            if w and h:
+                info["width"] = max(info.get("width", 0.0), w)
+                info["height"] = max(info.get("height", 0.0), h)
+
+
+def mp4_features(payload: bytes) -> np.ndarray:
+    """FEATURE_DIM features with REAL container metadata and zeroed
+    content stats (frames not decoded): [3 (video tag), duration s,
+    timescale/1e5, 0x5, n_tracks/10, n_video, n_audio, width/1000,
+    height/1000, 0x3]."""
+    p = payload or b""
+    if not _is_mp4(p):
+        raise ValueError("not an ISO-BMFF payload")
+    info: dict = {}
+    _mp4_walk(p, 0, len(p), info)
+    if "duration" not in info and not info.get("n_tracks"):
+        raise ValueError("no moov metadata found")
+    head = [3.0, float(info.get("duration", 0.0)),
+            info.get("timescale", 0) / 1e5, 0.0, 0.0, 0.0, 0.0, 0.0]
+    tail = [info.get("n_tracks", 0) / 10.0, float(info.get("n_video", 0)),
+            float(info.get("n_audio", 0)), info.get("width", 0.0) / 1000.0,
+            info.get("height", 0.0) / 1000.0, 0.0, 0.0, 0.0]
+    return np.asarray(head + tail, dtype=np.float32)
+
+
 # --------------------------------------------------------- feature routing
 
 
@@ -988,6 +1075,8 @@ def decode_features(payload: bytes) -> np.ndarray:
             return jpeg_features(p)
         if _is_mp3(p):
             return mp3_features(p)
+        if _is_mp4(p):
+            return mp4_features(p)
     except Exception:
         pass
     return _fake_decode(p)

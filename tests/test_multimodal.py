@@ -500,3 +500,67 @@ class TestMp3Headers:
         )
         # utf-8 text can never hit the sync path
         assert not M._is_mp3("normal document text".encode())
+
+
+class TestMp4Boxes:
+    """ISO-BMFF container walk (round 8): real duration / track
+    inventory / dimensions from hand-built box trees; frame content
+    stays undecoded (zeroed slots)."""
+
+    @staticmethod
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+    def _mp4(self, timescale=1000, duration=5500, tracks=()):
+        mvhd = bytes(4) + bytes(8) + timescale.to_bytes(4, "big") \
+            + duration.to_bytes(4, "big") + bytes(80)
+        inner = self._box(b"mvhd", mvhd)
+        for handler, w, h in tracks:
+            tkhd = bytes(76) + (int(w * 65536)).to_bytes(4, "big") \
+                + (int(h * 65536)).to_bytes(4, "big")
+            hdlr = bytes(8) + handler + bytes(12)
+            inner += self._box(
+                b"trak",
+                self._box(b"tkhd", tkhd)
+                + self._box(b"mdia", self._box(b"hdlr", hdlr)),
+            )
+        return self._box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") \
+            + self._box(b"moov", inner)
+
+    def test_duration_tracks_dims(self):
+        payload = self._mp4(
+            timescale=600, duration=3000,
+            tracks=((b"vide", 1920, 1080), (b"soun", 0, 0)),
+        )
+        f = M.mp4_features(payload)
+        assert f[0] == 3.0  # video tag
+        assert abs(f[1] - 5.0) < 1e-6  # 3000/600 s
+        assert abs(f[8] - 2 / 10) < 1e-6  # n_tracks
+        assert f[9] == 1.0 and f[10] == 1.0  # one video, one audio
+        assert abs(f[11] - 1.92) < 1e-3 and abs(f[12] - 1.08) < 1e-3
+        assert np.all(f[3:8] == 0.0)  # content undecoded
+
+    def test_64bit_mvhd_version1(self):
+        mvhd = bytes([1]) + bytes(3) + bytes(16) + (1000).to_bytes(4, "big") \
+            + (2500).to_bytes(8, "big") + bytes(80)
+        payload = self._box(b"ftyp", b"isom" + bytes(8)) \
+            + self._box(b"moov", self._box(b"mvhd", mvhd))
+        f = M.mp4_features(payload)
+        assert abs(f[1] - 2.5) < 1e-6
+
+    def test_routing_and_fallback(self):
+        payload = self._mp4(tracks=((b"vide", 640, 480),))
+        np.testing.assert_array_equal(
+            M.decode_features(payload), M.mp4_features(payload)
+        )
+        # ftyp but no moov metadata: falls back to the fake
+        bad = self._box(b"ftyp", b"isom" + bytes(8)) + b"mdat-junk"
+        np.testing.assert_array_equal(
+            M.decode_features(bad), M._fake_decode(bad)
+        )
+        # nonsense box size must terminate, not loop/overrun
+        evil = self._box(b"ftyp", b"isom" + bytes(8)) \
+            + (3).to_bytes(4, "big") + b"moov"
+        np.testing.assert_array_equal(
+            M.decode_features(evil), M._fake_decode(evil)
+        )
