@@ -2221,6 +2221,27 @@ def q_dedup_against(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_dedup_against_bloom(spark, sf_dir):
+    """The same cross-corpus dedup THROUGH the Bloom shuffle guard
+    (pipeline/bloom.py, round 8): a distributed Bloom over the
+    reference's content keys and band buckets lets definitely-non-dup
+    rows skip the anti-join and non-matching band rows skip the
+    candidate shuffle — exactness preserved (no false negatives), so
+    this row shares ``dedup_against``'s oracle verbatim and must
+    hash-match it."""
+    from duckdb_annsearch_spark.pipeline.dedup import dedup_against
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    out = dedup_against(
+        new, ref, mode="fuzzy", threshold=0.8,
+        num_hashes=NUM_MINHASH, bands=LSH_BANDS,
+        ref_bloom_fpp=0.01,
+    )
+    return out.select("doc_id")
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher/MassiveText document-rule audit (pipeline/filters.py,
     arXiv:2112.11446 Table A1): per-doc rule statistics + the keep
@@ -2364,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "dedup_against": q_dedup_against,
+        "dedup_against_bloom": q_dedup_against_bloom,
         "url_curation": q_url_curation,
         "url_dedup": q_url_dedup,
         "curation_funnel": q_curation_funnel,
@@ -2851,6 +2873,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT d.doc_id FROM documents d
     WHERE d.doc_id % 3 != 0 AND d.doc_id NOT IN (SELECT da FROM dup)
     """
+    # same oracle verbatim: the Bloom guard must be invisible to results
+    oracles["dedup_against_bloom"] = oracles["dedup_against"]
 
     # streaming near-dedup increment with empty history == in-batch
     # bucket-min: drop any doc sharing a non-sentinel band bucket with a

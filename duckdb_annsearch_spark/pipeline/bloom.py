@@ -1,0 +1,173 @@
+"""Distributed Bloom filter over an int64 key column.
+
+PySpark exposes no Bloom builder (Spark's ``DataFrameStatFunctions.
+bloomFilter`` is JVM-only), so this is the canonical distributed build
+done DataFrame-native: each partition sets its keys' bits into a local
+numpy bitmap inside one Arrow-batched ``mapInPandas`` pass and emits the
+bitmap as ONE binary row; the driver ORs the per-partition bitmaps
+streamingly (``toLocalIterator`` — peak driver memory is two bitmaps,
+never partitions × bitmap).  Membership tests run map-side from the
+broadcast bitmap, vectorized over Arrow batches.
+
+Hashing is Kirsch-Mitzenmacher double hashing (two splitmix64-derived
+64-bit hashes; bit_i = (h1 + i*h2) mod m), the standard construction —
+k independent hash functions are unnecessary (Kirsch & Mitzenmacher,
+"Less Hashing, Same Performance", ESA 2006).
+
+The point at 100 TB: an exactness-preserving shuffle guard.  A Bloom
+has NO false negatives, so "definitely not in the reference" rows can
+skip a join entirely (kept outright for anti-join semantics, dropped
+outright for inner-join semantics) and only the ~fpp false-positive
+sliver pays the shuffle — see ``dedup_against(ref_bloom_fpp=...)``,
+where the new crawl mostly does NOT overlap the reference corpus and
+the band join's left side shrinks to the actual-overlap fraction.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BloomFilter", "bloom_from_df", "bloom_filter_df"]
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """The splitmix64 finalizer — a full-avalanche 64-bit mix (public
+    constant set from Steele et al. / java.util.SplittableRandom)."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+    return z ^ (z >> np.uint64(31))
+
+
+class BloomFilter:
+    """Immutable bitmap + parameters; picklable (rides task closures /
+    broadcasts as the raw words array)."""
+
+    def __init__(self, words: np.ndarray, num_bits: int, num_hashes: int):
+        self.words = np.ascontiguousarray(words, dtype=np.uint64)
+        self.num_bits = int(num_bits)
+        self.num_hashes = int(num_hashes)
+
+    @staticmethod
+    def params(expected: int, fpp: float) -> tuple:
+        """(num_bits, num_hashes) for an expected insert count and target
+        false-positive rate — the textbook m = -n ln p / ln²2,
+        k = (m/n) ln 2 formulas, word-aligned."""
+        n = max(1, int(expected))
+        m = int(-n * math.log(fpp) / (math.log(2.0) ** 2))
+        m = max(64, (m + 63) // 64 * 64)
+        k = max(1, round(m / n * math.log(2.0)))
+        return m, min(16, k)
+
+    def _bit_positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit indices via double hashing."""
+        z = keys.astype(np.int64).view(np.uint64)
+        h1 = _splitmix64(z)
+        h2 = _splitmix64(z ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(
+            self.num_bits
+        )
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._bit_positions(np.asarray(keys))
+        np.bitwise_or.at(
+            self.words,
+            (pos >> np.uint64(6)).ravel(),
+            np.uint64(1) << (pos & np.uint64(63)).ravel(),
+        )
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership: bool array, no false negatives."""
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._bit_positions(keys)
+        w = self.words[(pos >> np.uint64(6))]
+        bit = (w >> (pos & np.uint64(63))) & np.uint64(1)
+        return bit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.num_bits == other.num_bits
+        self.words |= other.words
+        return self
+
+
+def bloom_from_df(
+    df: DataFrame,
+    col: str,
+    expected: int | None = None,
+    fpp: float = 0.01,
+) -> BloomFilter:
+    """Build a Bloom filter over an int64 column distributively: one
+    Arrow-batched pass sets bits into per-partition bitmaps, the driver
+    OR-reduces them streamingly.  ``expected`` sizes the filter (one
+    extra count() pass when omitted); NULL keys are skipped (SQL
+    semantics: NULL is never a member)."""
+    if expected is None:
+        expected = df.where(F.col(col).isNotNull()).count()
+    num_bits, num_hashes = BloomFilter.params(expected, fpp)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(
+            np.zeros(num_bits // 64, dtype=np.uint64), num_bits, num_hashes
+        )
+        seen = False
+        for pdf in batches:
+            keys = pdf[col].dropna().to_numpy(dtype=np.int64)
+            if keys.size:
+                bf.add(keys)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"bitmap": [bf.words.tobytes()]})
+
+    parts = df.select(F.col(col).cast("long").alias(col)).mapInPandas(
+        build, "bitmap binary"
+    )
+    out = BloomFilter(
+        np.zeros(num_bits // 64, dtype=np.uint64), num_bits, num_hashes
+    )
+    for row in parts.toLocalIterator():
+        out.words |= np.frombuffer(bytes(row["bitmap"]), dtype=np.uint64)
+    return out
+
+
+def bloom_filter_df(
+    df: DataFrame, col: str, bf: BloomFilter, keep: str = "maybe"
+) -> DataFrame:
+    """Rows whose ``col`` the filter ``'maybe'`` contains (the sliver a
+    following exact join must still check) or ``'definitely_not'``
+    (rows that can skip that join entirely — Bloom has no false
+    negatives).  NULL keys are 'definitely not' members.  Vectorized
+    Arrow-batched test against the closure-shipped bitmap."""
+    if keep not in ("maybe", "definitely_not"):
+        raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
+    want_maybe = keep == "maybe"
+    cols = df.columns
+
+    def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = pdf["__bloom_key"]
+            valid = keys.notna().to_numpy()
+            hit = np.zeros(len(pdf), dtype=bool)
+            if valid.any():
+                hit[valid] = bf.might_contain(
+                    keys[valid].to_numpy(dtype=np.int64)
+                )
+            yield pdf[hit if want_maybe else ~hit].drop(
+                columns=["__bloom_key"]
+            )
+
+    keyed = df.withColumn("__bloom_key", F.col(col).cast("long"))
+    return keyed.mapInPandas(
+        test, keyed.drop("__bloom_key").schema
+    ).select(*cols)

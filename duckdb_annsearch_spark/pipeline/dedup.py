@@ -766,6 +766,7 @@ def dedup_against(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
     max_bucket: int | None = None,
+    ref_bloom_fpp: float | None = None,
 ) -> DataFrame:
     """CROSS-corpus deduplication: drop from ``df`` every document already
     present in ``ref`` (the 'dedupe the new crawl against the existing
@@ -795,13 +796,55 @@ def dedup_against(
     Scale shape: two map-only signature passes + one equi-join keyed on
     (band, band_hash) + one verify join over candidates + one left-anti
     join back — every stage bounded by bucket sizes, nothing driver-side.
-    """
+
+    ``ref_bloom_fpp``: optional EXACTNESS-PRESERVING shuffle guard (a
+    Bloom filter has no false negatives — ``pipeline/bloom.py``).  A
+    Bloom over the reference's content keys (and, in fuzzy mode, its
+    band-bucket keys) is built in one distributed pass and tested
+    map-side: df rows that are definitely NOT in the reference skip the
+    anti-join (kept outright), and band rows that can't hit any
+    reference bucket never enter the candidate shuffle.  Only the
+    ~fpp false-positive sliver pays the joins, which then decide
+    exactly — results are IDENTICAL with or without the Bloom (pinned
+    by test and by the shared driver oracle).  Worth it when the new
+    crawl mostly does not overlap the reference — the realistic case."""
     if mode == "exact":
         ref_keys = (
             ref.where(F.col(text_col).isNotNull())
             .select(F.md5(F.col(text_col)).alias("__k"))
             .distinct()
         )
+        if ref_bloom_fpp:
+            from duckdb_annsearch_spark.pipeline.bloom import (
+                bloom_filter_df,
+                bloom_from_df,
+            )
+
+            # 60-bit key from the md5 prefix: equal md5 => equal key, so
+            # a bloom miss proves the full-key anti-join would keep the
+            # row (NULL texts key NULL -> 'definitely not', kept — the
+            # same 'never a duplicate' semantics as the join path)
+            key64 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
+                "long"
+            )
+            bf = bloom_from_df(
+                ref_keys.select(
+                    F.conv(F.substring(F.col("__k"), 1, 15), 16, 10)
+                    .cast("long")
+                    .alias("__k64")
+                ),
+                "__k64",
+                fpp=ref_bloom_fpp,
+            )
+            keyed = df.withColumn("__k64", key64)
+            sure = bloom_filter_df(keyed, "__k64", bf, "definitely_not")
+            maybe = bloom_filter_df(keyed, "__k64", bf, "maybe")
+            checked = maybe.join(
+                ref_keys,
+                _content_key(text_col, id_col) == F.col("__k"),
+                "left_anti",
+            )
+            return sure.drop("__k64").unionByName(checked.drop("__k64"))
         return df.join(
             ref_keys,
             _content_key(text_col, id_col) == F.col("__k"),
@@ -811,7 +854,9 @@ def dedup_against(
         raise ValueError(f"unknown dedup_against mode {mode!r}")
 
     # exact pre-pass (see docstring: what makes max_bucket safe)
-    df = dedup_against(df, ref, text_col, id_col, mode="exact")
+    df = dedup_against(
+        df, ref, text_col, id_col, mode="exact", ref_bloom_fpp=ref_bloom_fpp
+    )
 
     nonempty = F.size(word_shingles(F.col(text_col), shingle_k)) > 0
     left = band_buckets(
@@ -828,6 +873,22 @@ def dedup_against(
             .select("band", "band_hash")
         )
         right = right.join(keep, ["band", "band_hash"])
+    if ref_bloom_fpp:
+        from duckdb_annsearch_spark.pipeline.bloom import (
+            bloom_filter_df,
+            bloom_from_df,
+        )
+
+        # band rows that can't hit ANY (capped) reference bucket never
+        # enter the candidate shuffle; false positives just join to
+        # nothing (exactness preserved)
+        bkey = F.xxhash64("band", "band_hash")
+        bf = bloom_from_df(
+            right.select(bkey.alias("__bk")), "__bk", fpp=ref_bloom_fpp
+        )
+        left = bloom_filter_df(
+            left.withColumn("__bk", bkey), "__bk", bf, "maybe"
+        ).drop("__bk")
     cand = (
         left.join(right, ["band", "band_hash"])
         .select("doc_id", "ref_id")

@@ -1,0 +1,117 @@
+"""Distributed Bloom filter (pipeline/bloom.py) and its
+exactness-preserving wiring into dedup_against: a Bloom has no false
+negatives, so bloom-pruned plans must return IDENTICAL results."""
+
+import numpy as np
+import pytest
+
+from duckdb_annsearch_spark.pipeline.bloom import (
+    BloomFilter,
+    bloom_filter_df,
+    bloom_from_df,
+)
+from duckdb_annsearch_spark.pipeline.dedup import dedup_against
+
+
+def _local_bloom(keys, num_bits, num_hashes):
+    bf = BloomFilter(np.zeros(num_bits // 64, np.uint64), num_bits, num_hashes)
+    bf.add(np.asarray(keys, dtype=np.int64))
+    return bf
+
+
+class TestBloomCore:
+    def test_params_textbook(self):
+        m, k = BloomFilter.params(10_000, 0.01)
+        assert 90_000 < m < 100_000  # ~9.59 bits/key
+        assert k == 7  # round(m/n * ln2)
+
+    def test_no_false_negatives_and_fpp(self):
+        rng = np.random.RandomState(3)
+        members = rng.randint(-(2**62), 2**62, 20_000).astype(np.int64)
+        m, k = BloomFilter.params(len(members), 0.01)
+        bf = _local_bloom(members, m, k)
+        assert bf.might_contain(members).all()  # the hard guarantee
+        others = rng.randint(-(2**62), 2**62, 50_000).astype(np.int64)
+        others = others[~np.isin(others, members)]
+        fp = bf.might_contain(others).mean()
+        assert fp < 0.03, fp  # ~1% target, generous bound
+
+    def test_negative_keys_and_empty(self):
+        bf = _local_bloom([-1, -(2**62), 0], 1024, 3)
+        assert bf.might_contain(np.asarray([-1, 0], np.int64)).all()
+        assert bf.might_contain(np.zeros(0, np.int64)).shape == (0,)
+
+
+class TestBloomSpark:
+    def test_distributed_build_equals_local(self, spark):
+        keys = list(range(0, 5000, 3))
+        df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(7)
+        bf = bloom_from_df(df, "k", expected=len(keys), fpp=0.01)
+        local = _local_bloom(keys, bf.num_bits, bf.num_hashes)
+        np.testing.assert_array_equal(bf.words, local.words)
+
+    def test_filter_split_is_a_partition(self, spark):
+        rows = [(i, i * 17) for i in range(400)] + [(400, None)]
+        df = spark.createDataFrame(rows, "id long, k long")
+        members = [i * 17 for i in range(0, 400, 4)]
+        bf = _local_bloom(members, *BloomFilter.params(len(members), 0.01))
+        maybe = bloom_filter_df(df, "k", bf, "maybe").collect()
+        nope = bloom_filter_df(df, "k", bf, "definitely_not").collect()
+        assert len(maybe) + len(nope) == len(rows)
+        assert {r["id"] for r in maybe}.isdisjoint({r["id"] for r in nope})
+        # every true member is in 'maybe' (no false negatives end-to-end)
+        member_ids = {i for i in range(0, 400, 4)}
+        assert member_ids <= {r["id"] for r in maybe}
+        # NULL key is never a member
+        assert 400 in {r["id"] for r in nope}
+
+    def test_keep_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "id long, k long")
+        bf = _local_bloom([2], 1024, 3)
+        with pytest.raises(ValueError, match="maybe"):
+            bloom_filter_df(df, "k", bf, "nope")
+
+
+class TestDedupAgainstBloom:
+    @pytest.fixture()
+    def corpora(self, spark):
+        base = [
+            "the quick brown fox jumps over the lazy dog every day",
+            "pack my box with five dozen liquor jugs tonight",
+            "how vexingly quick daft zebras jump around here",
+            "sphinx of black quartz judge my vow again",
+        ]
+        ref_rows = [(i, base[i % 4] + f" ref tail {i % 7}") for i in range(40)]
+        new_rows = (
+            [(100 + i, ref_rows[i][1]) for i in range(10)]  # exact dups
+            + [(200 + i, f"completely novel document number {i} "
+                         f"with distinct words {i * 3} {i * 5}") for i in range(30)]
+        )
+        ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        return new, ref
+
+    @pytest.mark.parametrize("mode", ["exact", "fuzzy"])
+    def test_bloom_pruned_equals_plain(self, corpora, mode):
+        new, ref = corpora
+        plain = sorted(
+            r["doc_id"] for r in dedup_against(new, ref, mode=mode).collect()
+        )
+        pruned = sorted(
+            r["doc_id"]
+            for r in dedup_against(
+                new, ref, mode=mode, ref_bloom_fpp=0.01
+            ).collect()
+        )
+        assert plain == pruned
+        assert all(d >= 200 for d in plain)  # exact dups dropped
+
+    def test_null_text_survives_with_bloom(self, spark):
+        new = spark.createDataFrame(
+            [(1, None), (2, "shared text here")], "doc_id long, text string"
+        )
+        ref = spark.createDataFrame(
+            [(9, "shared text here")], "doc_id long, text string"
+        )
+        out = dedup_against(new, ref, mode="exact", ref_bloom_fpp=0.01).collect()
+        assert [r["doc_id"] for r in out] == [1]
