@@ -178,6 +178,7 @@ def main():
         "gopher_filter",
         "c4_filter",
         "dedup_against",
+        "dedup_against_bloom",
         "url_curation",
         "url_dedup",
         "vocab_topk",
