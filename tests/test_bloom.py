@@ -115,3 +115,14 @@ class TestDedupAgainstBloom:
         )
         out = dedup_against(new, ref, mode="exact", ref_bloom_fpp=0.01).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+def test_bloom_test_stage_is_map_side(spark):
+    # the membership test must add NO exchange — it's the point of the
+    # guard (prune BEFORE the shuffle, not after)
+    df = spark.createDataFrame([(i, i * 3) for i in range(100)], "id long, k long")
+    bf = _local_bloom([3, 9, 27], 1024, 3)
+    out = bloom_filter_df(df, "k", bf, "maybe")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
