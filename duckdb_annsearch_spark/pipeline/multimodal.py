@@ -1136,23 +1136,45 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, df.schema)
 
 
-def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Stubbed video frame sampling: emits one deterministic fake frame row
-    per payload per sampled index (0..2). Real impl: ``av``/ffmpeg frame
-    iteration, yielding one row per sampled frame."""
+def sample_frames(
+    df: DataFrame, every_n: int = 30, fps: float = 30.0
+) -> DataFrame:
+    """Video frame sampling with REAL timing from the MP4 container and
+    fake frame bytes (frame DECODE needs ``av``/ffmpeg — absent here;
+    the sampling schedule, timestamps and Spark plumbing are real).
+
+    For ISO-BMFF payloads the mvhd duration drives the schedule: one row
+    per sampled index ``0, every_n, 2*every_n, ...`` across
+    ``duration * fps`` nominal frames, with the REAL timestamp
+    ``ts_sec = frame_idx / fps``.  Non-MP4/unparseable payloads keep the
+    fixed 3-row fake schedule (ts from the same formula) so one corrupt
+    file never kills the stage.  Frame bytes are the deterministic md5
+    fake either way — documented, oracle-stable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "frame": []}
+            out = {"media_id": [], "frame_idx": [], "ts_sec": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for i in range(3):
+                p = bytes(payload or b"")
+                n_frames = 3 * every_n  # fake-schedule default
+                try:
+                    if _is_mp4(p):
+                        info: dict = {}
+                        _mp4_walk(p, 0, len(p), info)
+                        dur = float(info.get("duration", 0.0))
+                        if dur > 0:
+                            n_frames = max(1, int(dur * fps))
+                except Exception:
+                    pass
+                for i in range(0, n_frames, max(1, int(every_n))):
                     out["media_id"].append(mid)
-                    out["frame_idx"].append(i * every_n)
+                    out["frame_idx"].append(i)
+                    out["ts_sec"].append(i / fps)
                     out["frame"].append(
-                        hashlib.md5((payload or b"") + bytes([i])).digest()
+                        hashlib.md5(p + i.to_bytes(4, "big")).digest()
                     )
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(
-        run, "media_id long, frame_idx int, frame binary"
+        run, "media_id long, frame_idx int, ts_sec double, frame binary"
     )

@@ -564,3 +564,18 @@ class TestMp4Boxes:
         np.testing.assert_array_equal(
             M.decode_features(evil), M._fake_decode(evil)
         )
+
+    def test_sample_frames_real_mp4_schedule(self, spark):
+        # 6-second mvhd duration at fps=10 -> 60 nominal frames,
+        # every_n=20 -> indices 0/20/40 with REAL timestamps
+        payload = self._mp4(timescale=1000, duration=6000,
+                            tracks=((b"vide", 320, 240),))
+        df = M.make_media_df(spark, [(7, "video", payload, {})])
+        rows = M.sample_frames(df, every_n=20, fps=10.0).collect()
+        assert [(r["frame_idx"], r["ts_sec"]) for r in rows] == [
+            (0, 0.0), (20, 2.0), (40, 4.0)
+        ]
+        # non-MP4 payload keeps the fixed 3-row fake schedule
+        df2 = M.make_media_df(spark, [(8, "video", b"not a video", {})])
+        rows2 = M.sample_frames(df2, every_n=20, fps=10.0).collect()
+        assert [r["frame_idx"] for r in rows2] == [0, 20, 40]
