@@ -265,6 +265,13 @@ def main():
             with ThreadPoolExecutor(nt) as ex:
                 list(ex.map(_worker, range(nt)))
             qps[str(nt)] = round(nt * per_thread / (time.perf_counter() - t0))
+        # the engine's actual concurrent-serving answer: ONE GEMM scores
+        # the whole query block (threaded single-query is GIL-bound glue)
+        batch_q = [q] * 256
+        eng._local_topk_rows_batch(t, idx, batch_q, 10)  # warm
+        t0 = time.perf_counter()
+        eng._local_topk_rows_batch(t, idx, batch_q, 10)
+        qps["batch256"] = round(256 / (time.perf_counter() - t0))
         print("# BENCH_DETAIL " + json.dumps({"local_qps_by_threads": qps}),
               file=sys.stderr)
     except Exception as exc:

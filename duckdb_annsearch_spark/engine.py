@@ -1398,6 +1398,21 @@ class AnnEngine:
         ``ann_search(local=True)`` wraps (bench times this directly).
         Payload columns resolve from the covering sidecar when attached
         (full-row in-process fetch, ``src/ann_search.cpp:31-195``)."""
+        return [
+            r[1:] for r in self._local_topk_rows_batch(t, idx, [query], k)
+        ]
+
+    def _local_topk_rows_batch(
+        self, t, idx, queries: Sequence[Sequence[float]], k: int
+    ) -> list[tuple]:
+        """Batched driver-side probe: ONE GEMM scores every query against
+        the snapshot (``kernels.pairwise_distances`` on the stacked query
+        matrix), then per-query top-k + shared row assembly; returns
+        ``(query_idx, *table_columns, _distance)`` tuples.  This is the
+        CONCURRENT-serving shape: the threaded single-query path is
+        GIL-bound Python glue and aggregate QPS *drops* with callers
+        (measured, ROADMAP round 8) — batching amortizes the glue over
+        the whole query block instead."""
         from duckdb_annsearch_spark.index import kernels
 
         cov_cols = set(idx.meta.extra.get("covering") or ())
@@ -1413,13 +1428,12 @@ class AnnEngine:
                 "(local=False)"
             )
         ids, x, cov = self._local_snapshot(idx)
-        q = np.asarray(list(query), dtype=np.float32)[None, :]
-        if q.shape[1] != idx.meta.dim:
+        qm = np.asarray([list(q) for q in queries], dtype=np.float32)
+        if qm.ndim != 2 or qm.shape[1] != idx.meta.dim:
             raise ValueError(
-                f"query dim {q.shape[1]} != index dim {idx.meta.dim}"
+                f"query dim {qm.shape[-1]} != index dim {idx.meta.dim}"
             )
-        d = kernels.pairwise_distances(q, x, idx.meta.metric)[0]
-        sel = kernels.local_topk(d, k, ids=ids)
+        dm = kernels.pairwise_distances(qm, x, idx.meta.metric)
         need_cov = bool(extra & cov_cols)
         if need_cov and cov is None:
             raise ValueError(
@@ -1428,26 +1442,28 @@ class AnnEngine:
                 "distributed path (local=False)"
             )
         rows = []
-        for j in sel:
-            rid = int(ids[j])
-            if need_cov:
-                pos = int(np.searchsorted(cov[0], rid))
-                if pos >= len(cov[0]) or int(cov[0][pos]) != rid:
-                    raise ValueError(
-                        f"covering sidecar of {idx.meta.name!r} has no payload "
-                        f"for row_id {rid} — re-run attach_covering, or use "
-                        "the distributed path (local=False)"
-                    )
-            vals = []
-            for c in t.df.columns:
-                if c == t.row_id:
-                    vals.append(rid)
-                elif c == idx.meta.column:
-                    vals.append([float(v) for v in x[j]])
-                else:  # validated to be a covered payload column
-                    vals.append(self._py_value(cov[1].at[pos, c]))
-            vals.append(float(d[j]))
-            rows.append(tuple(vals))
+        for qi in range(qm.shape[0]):
+            d = dm[qi]
+            for j in kernels.local_topk(d, k, ids=ids):
+                rid = int(ids[j])
+                if need_cov:
+                    pos = int(np.searchsorted(cov[0], rid))
+                    if pos >= len(cov[0]) or int(cov[0][pos]) != rid:
+                        raise ValueError(
+                            f"covering sidecar of {idx.meta.name!r} has no payload "
+                            f"for row_id {rid} — re-run attach_covering, or use "
+                            "the distributed path (local=False)"
+                        )
+                vals = [qi]
+                for c in t.df.columns:
+                    if c == t.row_id:
+                        vals.append(rid)
+                    elif c == idx.meta.column:
+                        vals.append([float(v) for v in x[j]])
+                    else:  # validated to be a covered payload column
+                        vals.append(self._py_value(cov[1].at[pos, c]))
+                vals.append(float(d[j]))
+                rows.append(tuple(vals))
         return rows
 
     def _ann_search_local(self, t, idx, query: Sequence[float], k: int) -> DataFrame:
@@ -1556,11 +1572,7 @@ class AnnEngine:
                     "would be silently ignored; drop them or use "
                     "local=False for the distributed path that honors them"
                 )
-            rows = []
-            for i, q in enumerate(queries):
-                rows.extend(
-                    (i, *r) for r in self._local_topk_rows(t, idx, q, k)
-                )
+            rows = self._local_topk_rows_batch(t, idx, queries, k)
             schema = T.StructType(
                 [T.StructField("query_idx", T.IntegerType())]
                 + [t.df.schema[c] for c in t.df.columns]
