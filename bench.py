@@ -269,9 +269,12 @@ def main():
         # the whole query block (threaded single-query is GIL-bound glue)
         batch_q = [q] * 256
         eng._local_topk_rows_batch(t, idx, batch_q, 10)  # warm
-        t0 = time.perf_counter()
-        eng._local_topk_rows_batch(t, idx, batch_q, 10)
-        qps["batch256"] = round(256 / (time.perf_counter() - t0))
+        best = float("inf")
+        for _ in range(3):  # best-of-3: BLAS thread scheduling swings 2-3x
+            t0 = time.perf_counter()
+            eng._local_topk_rows_batch(t, idx, batch_q, 10)
+            best = min(best, time.perf_counter() - t0)
+        qps["batch256"] = round(256 / best)
         print("# BENCH_DETAIL " + json.dumps({"local_qps_by_threads": qps}),
               file=sys.stderr)
     except Exception as exc:
