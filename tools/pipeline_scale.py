@@ -149,6 +149,26 @@ def main() -> None:
 
     stage("winnow_fingerprints", lambda: winnow_fingerprints(docs, k=5, w=4))
     stage("remove_dup_spans", lambda: remove_dup_spans(docs, k=8))
+
+    # cross-corpus dedup with/without the Bloom shuffle guard: ref = every
+    # 10th doc, new = the rest — the realistic LOW-overlap crawl shape the
+    # guard exists for (only planted copies + the ~fpp sliver pay the
+    # join).  NOTE: distinct stage names — a later stage reuses the name
+    # "dedup_against" for the 50%-overlap odd-vs-even shape and dict
+    # entries are keyed by name (a collision here once read as a result
+    # mismatch; it was two different queries sharing a key).
+    from duckdb_annsearch_spark.pipeline.dedup import dedup_against
+
+    _ref = docs.where(F.col("doc_id") % 10 == 0)
+    _new = docs.where(F.col("doc_id") % 10 != 0)
+    stage(
+        "xcorpus_dedup_ref10",
+        lambda: dedup_against(_new, _ref, max_bucket=200),
+    )
+    stage(
+        "xcorpus_dedup_ref10_bloom",
+        lambda: dedup_against(_new, _ref, max_bucket=200, ref_bloom_fpp=0.01),
+    )
     _weights = spark.range(1 << 18).select(
         F.col("id").alias("feature"),
         (((F.col("id") * 31 + 7) % 1000 - 500).cast("double") / 1024.0).alias(
