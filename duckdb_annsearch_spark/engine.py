@@ -1200,7 +1200,8 @@ class AnnEngine:
         idx = self.get_index(index)
         if local:
             per_query = self._local_incompatible_params(
-                search_complexity, oversample, rerank, search_params
+                search_complexity, oversample, rerank, search_params,
+                quantized=idx.meta.quantized,
             )
             if per_query and local != "auto":
                 raise ValueError(
@@ -1504,7 +1505,7 @@ class AnnEngine:
 
     @staticmethod
     def _local_incompatible_params(
-        search_complexity, oversample, rerank, search_params
+        search_complexity, oversample, rerank, search_params, quantized=False
     ) -> dict:
         """Per-query parameters the exact local short-circuit has no use
         for — passing any with local=True raises; local='auto' routes to
@@ -1515,10 +1516,13 @@ class AnnEngine:
         # explicit no-ops are NOT incompatible: rerank=False and
         # oversample=1 are exactly the local path's semantics (exact
         # answer, no re-score, k rows) — only values that would change
-        # the result route away / raise
+        # the result route away / raise.  EXCEPT on a lossy artifact:
+        # there an explicit rerank=False requests the distributed path's
+        # code-distance semantics, which the exact local probe would
+        # silently replace with true distances — route away / raise.
         if oversample is not None and int(oversample) != 1:
             per_query["oversample"] = oversample
-        if rerank:
+        if rerank or (rerank is False and quantized):
             per_query["rerank"] = rerank
         return per_query
 
@@ -1563,7 +1567,8 @@ class AnnEngine:
         idx = self.get_index(index)
         if local:
             per_query = self._local_incompatible_params(
-                search_complexity, oversample, rerank, search_params
+                search_complexity, oversample, rerank, search_params,
+                quantized=idx.meta.quantized,
             )
             if per_query:
                 raise ValueError(

@@ -148,15 +148,20 @@ def pairwise_distances(queries: np.ndarray, cands: np.ndarray, metric: str) -> n
     oracle-facing queries recompute output distances in f64)."""
     # contiguity fast-skip: ascontiguousarray costs ~0.15 µs per operand
     # even when it's a no-op — real money at the µs-class single-query
-    # sizes (BASELINE micro grid n=64)
+    # sizes (BASELINE micro grid n=64).  Guarded by isinstance so
+    # list/tuple inputs keep working (they have no .dtype/.flags).
     q = (
         queries
-        if queries.dtype == np.float32 and queries.flags.c_contiguous
+        if isinstance(queries, np.ndarray)
+        and queries.dtype == np.float32
+        and queries.flags.c_contiguous
         else np.ascontiguousarray(queries, dtype=np.float32)
     )
     x = (
         cands
-        if cands.dtype == np.float32 and cands.flags.c_contiguous
+        if isinstance(cands, np.ndarray)
+        and cands.dtype == np.float32
+        and cands.flags.c_contiguous
         else np.ascontiguousarray(cands, dtype=np.float32)
     )
     if metric == "l2" and q.shape[0] == 1:  # squared L2, single query

@@ -113,8 +113,15 @@ def bloom_from_df(
     OR-reduces them streamingly.  ``expected`` sizes the filter (one
     extra count() pass when omitted); NULL keys are skipped (SQL
     semantics: NULL is never a member)."""
+    # NULLs are filtered Spark-side BEFORE mapInPandas: a nullable long
+    # column with any NULL in an Arrow batch round-trips to pandas as
+    # float64 (NaN for NULL), silently corrupting keys > 2^53 — fatal for
+    # 60-bit hash-prefix keys.  A null-free column stays int64 end-to-end.
+    src = df.select(F.col(col).cast("long").alias(col)).where(
+        F.col(col).isNotNull()
+    )
     if expected is None:
-        expected = df.where(F.col(col).isNotNull()).count()
+        expected = src.count()
     num_bits, num_hashes = BloomFilter.params(expected, fpp)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,16 +130,14 @@ def bloom_from_df(
         )
         seen = False
         for pdf in batches:
-            keys = pdf[col].dropna().to_numpy(dtype=np.int64)
+            keys = pdf[col].to_numpy(dtype=np.int64)
             if keys.size:
                 bf.add(keys)
                 seen = True
         if seen:
             yield pd.DataFrame({"bitmap": [bf.words.tobytes()]})
 
-    parts = df.select(F.col(col).cast("long").alias(col)).mapInPandas(
-        build, "bitmap binary"
-    )
+    parts = src.mapInPandas(build, "bitmap binary")
     out = BloomFilter(
         np.zeros(num_bits // 64, dtype=np.uint64), num_bits, num_hashes
     )
@@ -153,21 +158,33 @@ def bloom_filter_df(
         raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
     want_maybe = keep == "maybe"
     cols = df.columns
+    # Explicit broadcast (not closure capture): one torrent-distributed
+    # copy per executor regardless of task count — at 1e10-key scale the
+    # bitmap is GBs and per-task closure shipping would be the bottleneck.
+    bcast = df.sparkSession.sparkContext.broadcast(bf)
 
     def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_bf = bcast.value
         for pdf in batches:
-            keys = pdf["__bloom_key"]
-            valid = keys.notna().to_numpy()
+            keys = pdf["__bloom_key"].to_numpy(dtype=np.int64)
+            valid = ~pdf["__bloom_null"].to_numpy(dtype=bool)
             hit = np.zeros(len(pdf), dtype=bool)
             if valid.any():
-                hit[valid] = bf.might_contain(
-                    keys[valid].to_numpy(dtype=np.int64)
-                )
+                hit[valid] = local_bf.might_contain(keys[valid])
             yield pdf[hit if want_maybe else ~hit].drop(
-                columns=["__bloom_key"]
+                columns=["__bloom_key", "__bloom_null"]
             )
 
-    keyed = df.withColumn("__bloom_key", F.col(col).cast("long"))
+    # The key must never round-trip through float64: a NULL anywhere in an
+    # Arrow batch demotes a nullable long column to float64 in pandas,
+    # corrupting every key > 2^53 in that batch BEFORE might_contain sees
+    # it (a true duplicate could then skip its bits and survive — a false
+    # negative, breaking the bloom≡plain guarantee).  Ship a coalesced
+    # non-null key plus a separate null flag instead.
+    key = F.col(col).cast("long")
+    keyed = df.withColumn(
+        "__bloom_key", F.coalesce(key, F.lit(0).cast("long"))
+    ).withColumn("__bloom_null", key.isNull())
     return keyed.mapInPandas(
-        test, keyed.drop("__bloom_key").schema
+        test, keyed.drop("__bloom_key", "__bloom_null").schema
     ).select(*cols)

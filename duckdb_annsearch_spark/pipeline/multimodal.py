@@ -1151,6 +1151,13 @@ def sample_frames(
     file never kills the stage.  Frame bytes are the deterministic md5
     fake either way — documented, oracle-stable."""
 
+    # mvhd duration is UNTRUSTED input (a corrupt timescale=1 box can
+    # claim 2^60 s); cap sampled rows per payload so one adversarial file
+    # can never explode the row loop and OOM the stage.
+    MAX_SAMPLED_FRAMES = 10_000
+    step = max(1, int(every_n))
+    max_nominal = MAX_SAMPLED_FRAMES * step
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "ts_sec": [], "frame": []}
@@ -1163,10 +1170,10 @@ def sample_frames(
                         _mp4_walk(p, 0, len(p), info)
                         dur = float(info.get("duration", 0.0))
                         if dur > 0:
-                            n_frames = max(1, int(dur * fps))
+                            n_frames = max(1, min(int(dur * fps), max_nominal))
                 except Exception:
                     pass
-                for i in range(0, n_frames, max(1, int(every_n))):
+                for i in range(0, n_frames, step):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["ts_sec"].append(i / fps)

@@ -119,3 +119,19 @@ def test_probe_partitions_adc_route_matches(spark):
     a = [(r["row_id"], round(r["_distance"], 3)) for r in adc]
     g = [(r["row_id"], round(r["_distance"], 3)) for r in gemm]
     assert a == g
+
+
+def test_pairwise_distances_accepts_list_inputs():
+    # the contiguity fast-skip reads .dtype/.flags — it must be guarded so
+    # list/tuple inputs (the documented wide contract) keep working
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    x = rng.standard_normal((5, 8)).astype(np.float32)
+    ref = kernels.pairwise_distances(q, x, "l2")
+    via_list = kernels.pairwise_distances(q.tolist(), x.tolist(), "l2")
+    np.testing.assert_allclose(ref, via_list, rtol=1e-5)
+    # single-query tuple form, ip + cosine too
+    for metric in ("l2", "ip", "cosine"):
+        a = kernels.pairwise_distances(q[:1], x, metric)
+        b = kernels.pairwise_distances([tuple(q[0])], [tuple(r) for r in x], metric)
+        np.testing.assert_allclose(a, b, rtol=1e-5)

@@ -106,6 +106,52 @@ class TestDedupAgainstBloom:
         assert plain == pruned
         assert all(d >= 200 for d in plain)  # exact dups dropped
 
+    def test_null_and_dup_in_one_partition(self, spark):
+        # Regression: a NULL key anywhere in an Arrow batch used to demote
+        # the whole batch's key column to float64, corrupting keys > 2^53
+        # before might_contain — a true duplicate in the SAME partition as
+        # a NULL-text row silently survived the bloom-pruned plan.
+        new = spark.createDataFrame(
+            [(1, None), (2, "shared text here"), (3, "novel doc")],
+            "doc_id long, text string",
+        ).coalesce(1)
+        ref = spark.createDataFrame(
+            [(9, "shared text here")], "doc_id long, text string"
+        )
+        plain = sorted(
+            r["doc_id"] for r in dedup_against(new, ref, mode="exact").collect()
+        )
+        pruned = sorted(
+            r["doc_id"]
+            for r in dedup_against(
+                new, ref, mode="exact", ref_bloom_fpp=0.01
+            ).collect()
+        )
+        assert plain == pruned == [1, 3]  # dup 2 dropped in BOTH plans
+
+    def test_null_and_big_keys_one_partition_filter(self, spark):
+        # Direct bloom_filter_df shape of the same regression: NULL +
+        # >2^53 keys coalesced into one partition must not false-negative.
+        big = [2**62 + 7, 2**60 + 1, 2**53 + 3, -(2**61) - 5]
+        rows = [(i, k) for i, k in enumerate(big)] + [(99, None)]
+        df = spark.createDataFrame(rows, "id long, k long").coalesce(1)
+        bf = _local_bloom(big, *BloomFilter.params(len(big), 0.01))
+        maybe = {r["id"] for r in bloom_filter_df(df, "k", bf, "maybe").collect()}
+        assert {0, 1, 2, 3} <= maybe  # no false negatives
+        nope = {r["id"] for r in bloom_filter_df(df, "k", bf, "definitely_not").collect()}
+        assert 99 in nope  # NULL is never a member
+
+    def test_null_and_big_keys_one_partition_build(self, spark):
+        # Build side: distributed build over a NULL-bearing single
+        # partition must equal the local build over the non-null keys.
+        big = [2**62 + 7, 2**60 + 1, 2**53 + 3, -(2**61) - 5]
+        df = spark.createDataFrame(
+            [(k,) for k in big] + [(None,)], "k long"
+        ).coalesce(1)
+        bf = bloom_from_df(df, "k", expected=len(big), fpp=0.01)
+        local = _local_bloom(big, bf.num_bits, bf.num_hashes)
+        np.testing.assert_array_equal(bf.words, local.words)
+
     def test_null_text_survives_with_bloom(self, spark):
         new = spark.createDataFrame(
             [(1, None), (2, "shared text here")], "doc_id long, text string"

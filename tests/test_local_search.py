@@ -463,6 +463,28 @@ def test_local_accepts_explicit_noop_params(local_engine):
     assert "FileScan" not in plan and "Exchange" not in plan
 
 
+def test_local_rerank_false_routes_away_on_lossy_index(local_engine):
+    # On a LOSSY artifact an explicit rerank=False requests the
+    # distributed path's code-distance semantics; the exact local probe
+    # would silently substitute true distances (ADVICE r8) — so
+    # local=True raises and local='auto' serves distributed.
+    engine, rows = local_engine
+    engine.create_index("lv_sq8", "lv", "embedding", engine="faiss",
+                        description="SQ8")
+    q = rows[0][1]
+    with pytest.raises(ValueError, match="rerank"):
+        engine.ann_search("lv", "lv_sq8", q, k=3, local=True, rerank=False)
+    auto = engine.ann_search("lv", "lv_sq8", q, k=3, local="auto", rerank=False)
+    dist = engine.ann_search("lv", "lv_sq8", q, k=3, rerank=False)
+    assert [(r["id"], r["_distance"]) for r in auto.collect()] == [
+        (r["id"], r["_distance"]) for r in dist.collect()
+    ]
+    # default rerank=None still takes the local fast path on lossy indexes
+    out = engine.ann_search("lv", "lv_sq8", q, k=3, local="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Exchange" not in plan
+
+
 def test_capture_exposes_served_candidates(local_engine):
     # the capture hook hands back the PERSISTED candidate frame the
     # served result reranks — the replay-oracle export reads the same

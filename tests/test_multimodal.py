@@ -579,3 +579,18 @@ class TestMp4Boxes:
         df2 = M.make_media_df(spark, [(8, "video", b"not a video", {})])
         rows2 = M.sample_frames(df2, every_n=20, fps=10.0).collect()
         assert [r["frame_idx"] for r in rows2] == [0, 20, 40]
+
+    def test_sample_frames_clamps_corrupt_duration(self, spark):
+        # Adversarial mvhd (timescale=1, duration=2^40 "seconds") must not
+        # explode the row loop: the schedule is clamped to
+        # MAX_SAMPLED_FRAMES rows per payload, never OOMing the stage.
+        evil = self._mp4(timescale=1, duration=2**31 - 1,
+                         tracks=((b"vide", 320, 240),))
+        df = M.make_media_df(spark, [(9, "video", evil, {})])
+        rows = M.sample_frames(df, every_n=30, fps=30.0).collect()
+        assert 0 < len(rows) <= 10_000
+        # honest schedule is untouched by the clamp
+        ok = self._mp4(timescale=1000, duration=6000,
+                       tracks=((b"vide", 320, 240),))
+        df2 = M.make_media_df(spark, [(10, "video", ok, {})])
+        assert len(M.sample_frames(df2, every_n=20, fps=10.0).collect()) == 3
