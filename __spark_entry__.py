@@ -80,14 +80,32 @@ BUILD_TIMINGS: dict[str, float] = {}
 
 
 def _timed_builds(builds: list[tuple[str, object]], pool: int) -> None:
-    """Run named build thunks concurrently, recording each wall clock."""
+    """Run named build thunks concurrently, recording each wall clock.
+
+    Each build claims its own on-demand FAIR-scheduler pool (weight 1), so
+    under ``spark.scheduler.mode=FAIR`` (the session default) the cluster
+    shares cores ACROSS concurrent builds instead of queueing every
+    single-task driver job behind a sibling's 32-task stage — the FIFO
+    shape made a plain Flat build wait ~17 s behind PQ-training siblings."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.sql import SparkSession
+
+    # getActiveSession is thread-local (None in fresh pool threads);
+    # getOrCreate returns the one existing session process-wide
+    sc = (
+        SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    ).sparkContext
+
     def run(name, fn):
+        sc.setLocalProperty("spark.scheduler.pool", f"build-{name}")
         t0 = time.time()
-        fn()
-        BUILD_TIMINGS[name] = round(time.time() - t0, 3)
+        try:
+            fn()
+        finally:
+            BUILD_TIMINGS[name] = round(time.time() - t0, 3)
+            sc.setLocalProperty("spark.scheduler.pool", None)
 
     with ThreadPoolExecutor(pool) as ex:
         for f in [ex.submit(run, n, b) for n, b in builds]:

@@ -34,6 +34,15 @@ FORMAT_VERSION = 2  # mirrors the reference's versioned header (DANN v2)
 
 ROW_ID = "__row_id"
 
+
+class ConcurrentWriteError(RuntimeError):
+    """Another engine session wrote this index's meta.json since this
+    session last loaded it.  meta writes are last-writer-wins WITHIN one
+    session (one Catalog = one writer id); across sessions a stale write
+    would silently undo the other session's lifecycle op, so it fails
+    loudly instead — re-load the index (or use one engine per catalog
+    root) and retry."""
+
 TOMBSTONE_SCHEMA = T.StructType([T.StructField("row_id", T.LongType(), False)])
 
 
@@ -54,12 +63,24 @@ class IndexMeta:
     created_at: float = 0.0
     # engine-specific payload (centroids, entry points, sq8 stats, ...)
     extra: dict[str, Any] = field(default_factory=dict)
+    # optimistic-concurrency fields (round 9): monotone write counter +
+    # the writing Catalog's session id.  save() rejects a write whose
+    # in-memory counter lags a DIFFERENT session's on-disk write — two
+    # engines on one catalog root fail loudly instead of silently
+    # clobbering each other's lifecycle metadata.
+    mutation: int = 0
+    writer: str = ""
 
 
 class Catalog:
     def __init__(self, spark: SparkSession, root: str):
+        import uuid
+
         self.spark = spark
         self.root = root
+        # one writer id per engine session: within a session meta writes
+        # stay last-writer-wins; across sessions stale writes fail loudly
+        self.writer = uuid.uuid4().hex
         os.makedirs(root, exist_ok=True)
 
     # ---- paths ----
@@ -93,6 +114,33 @@ class Catalog:
         os.makedirs(self.index_dir(meta.name), exist_ok=True)
         if not meta.created_at:
             meta.created_at = time.time()
+        # optimistic concurrency: a write whose counter lags ANOTHER
+        # session's on-disk write would silently undo that session's
+        # lifecycle op (tombstones count, delta rows, covering columns...)
+        # — raise instead.  Writes from THIS session stay last-writer-wins
+        # (engine code legitimately holds several loaded copies of one
+        # index's meta; adopt the highest counter and move on).
+        if os.path.exists(self.meta_path(meta.name)):
+            try:
+                with open(self.meta_path(meta.name)) as f:
+                    disk = json.load(f)
+            except (OSError, ValueError):
+                disk = None  # racing reader of a mid-swap file: proceed
+            if disk is not None:
+                d_mut = int(disk.get("mutation", 0))
+                d_writer = disk.get("writer", "")
+                if d_mut > meta.mutation and d_writer not in ("", self.writer):
+                    raise ConcurrentWriteError(
+                        f"index {meta.name!r}: meta.json was written by "
+                        f"another engine session (writer {d_writer[:8]}..., "
+                        f"mutation {d_mut} > this session's loaded "
+                        f"{meta.mutation}) — writing would silently undo "
+                        "that session's lifecycle operation; re-load the "
+                        "index and retry, or use one engine per catalog root"
+                    )
+                meta.mutation = max(meta.mutation, d_mut)
+        meta.mutation += 1
+        meta.writer = self.writer
         tmp = self.meta_path(meta.name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(asdict(meta), f)

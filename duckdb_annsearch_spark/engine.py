@@ -1442,30 +1442,44 @@ class AnnEngine:
                 "sidecar is missing — re-run attach_covering, or use the "
                 "distributed path (local=False)"
             )
-        rows = []
-        for qi in range(qm.shape[0]):
-            d = dm[qi]
-            for j in kernels.local_topk(d, k, ids=ids):
-                rid = int(ids[j])
-                if need_cov:
-                    pos = int(np.searchsorted(cov[0], rid))
-                    if pos >= len(cov[0]) or int(cov[0][pos]) != rid:
-                        raise ValueError(
-                            f"covering sidecar of {idx.meta.name!r} has no payload "
-                            f"for row_id {rid} — re-run attach_covering, or use "
-                            "the distributed path (local=False)"
-                        )
-                vals = [qi]
-                for c in t.df.columns:
-                    if c == t.row_id:
-                        vals.append(rid)
-                    elif c == idx.meta.column:
-                        vals.append([float(v) for v in x[j]])
-                    else:  # validated to be a covered payload column
-                        vals.append(self._py_value(cov[1].at[pos, c]))
-                vals.append(float(d[j]))
-                rows.append(tuple(vals))
-        return rows
+        # Columnar assembly (round 9): one searchsorted over ALL hits and
+        # one Series.take per covered column — the per-hit scalar
+        # .at-lookup loop was ~10k pandas label probes per k=10 x batch=256
+        # call, the next GIL bottleneck after the one-GEMM probe.
+        nq = qm.shape[0]
+        topks = [
+            np.asarray(kernels.local_topk(dm[qi], k, ids=ids), dtype=np.int64)
+            for qi in range(nq)
+        ]
+        counts = [len(tj) for tj in topks]
+        all_j = (
+            np.concatenate(topks) if topks else np.zeros(0, dtype=np.int64)
+        )
+        all_qi = np.repeat(np.arange(nq), counts)
+        rid_arr = ids[all_j]
+        pos = None
+        if need_cov and rid_arr.size:
+            pos = np.searchsorted(cov[0], rid_arr)
+            safe = np.minimum(pos, len(cov[0]) - 1)
+            bad = (pos >= len(cov[0])) | (cov[0][safe] != rid_arr)
+            if bad.any():
+                raise ValueError(
+                    f"covering sidecar of {idx.meta.name!r} has no payload "
+                    f"for row_id {int(rid_arr[np.argmax(bad)])} — re-run "
+                    "attach_covering, or use the distributed path "
+                    "(local=False)"
+                )
+        columns: list[list] = [all_qi.tolist()]
+        for c in t.df.columns:
+            if c == t.row_id:
+                columns.append(rid_arr.tolist())
+            elif c == idx.meta.column:
+                columns.append(x[all_j].astype(np.float64).tolist())
+            else:  # validated to be a covered payload column
+                taken = cov[1][c].take(pos if pos is not None else [])
+                columns.append([self._py_value(v) for v in taken.tolist()])
+        columns.append(dm[all_qi, all_j].astype(np.float64).tolist())
+        return list(zip(*columns))
 
     def _ann_search_local(self, t, idx, query: Sequence[float], k: int) -> DataFrame:
         rows = self._local_topk_rows(t, idx, query, k)

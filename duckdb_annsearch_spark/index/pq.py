@@ -128,35 +128,57 @@ def residual_sample(
     return x - centroids[cids]
 
 
-def train_pq(sample: np.ndarray, m: int, iters: int = 15, seed: int = 0) -> np.ndarray:
+def train_pq(
+    sample: np.ndarray,
+    m: int,
+    iters: int = 15,
+    seed: int = 0,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
     """(m, 256, dim//m) float32 codebooks — per-subspace Lloyd k-means,
     deterministic (fixed seed, fixed iteration count, empty clusters keep
-    their previous centroid)."""
+    their previous centroid).
+
+    The centroid update is dsub bincounts per iteration (round 9) — the
+    per-cluster masked-mean loop was 256 x iters x m Python-level numpy
+    calls of driver CPU, the critical path of concurrent PQ/OPQ builds.
+    ``init`` warm-starts from existing codebooks (skips the seeded random
+    init) — OPQ alternations re-train from the previous alternation's
+    books the way FAISS's OPQMatrix does, so each needs only a few Lloyd
+    steps instead of a full from-scratch train."""
     n, dim = sample.shape
     dsub = dim // m
     rng = np.random.RandomState(seed)
-    books = np.empty((m, PQ_KSUB, dsub), dtype=np.float32)
     if n == 0:
         # zero indexable rows (empty table / vacuum after delete-all):
         # zero codebooks — nothing to encode, inserts ride the
         # full-precision delta until a vacuum retrains
-        books[:] = 0.0
-        return books
+        return np.zeros((m, PQ_KSUB, dsub), dtype=np.float32)
+    books = np.empty((m, PQ_KSUB, dsub), dtype=np.float32)
     for j in range(m):
         xs = np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub])
-        if n >= PQ_KSUB:
+        if init is not None:
+            cents = np.ascontiguousarray(init[j], dtype=np.float32).copy()
+        elif n >= PQ_KSUB:
             cents = xs[rng.choice(n, size=PQ_KSUB, replace=False)].copy()
         else:
             cents = xs[rng.choice(n, size=PQ_KSUB, replace=True)].copy()
             cents += rng.randn(PQ_KSUB, dsub).astype(np.float32) * 1e-4
+        xs64 = xs.astype(np.float64)
         for _ in range(iters):
-            d = kernels.pairwise_distances(cents, xs, "l2")  # (ksub, n)
-            assign = np.argmin(d, axis=0)
-            new = cents.copy()
-            for c in range(PQ_KSUB):
-                mask = assign == c
-                if mask.any():
-                    new[c] = xs[mask].mean(axis=0)
+            # argmin_k ||x - c_k||^2 == argmin_k (||c_k||^2 - 2 c_k.x)
+            cx = xs @ cents.T  # (n, ksub) GEMM
+            cc = np.einsum("kd,kd->k", cents, cents)
+            assign = np.argmin(cc[None, :] - 2.0 * cx, axis=1)
+            counts = np.bincount(assign, minlength=PQ_KSUB)
+            sums = np.empty((PQ_KSUB, dsub), dtype=np.float64)
+            for d in range(dsub):
+                sums[:, d] = np.bincount(
+                    assign, weights=xs64[:, d], minlength=PQ_KSUB
+                )
+            new = cents.copy()  # empty clusters keep their previous centroid
+            ne = counts > 0
+            new[ne] = (sums[ne] / counts[ne, None]).astype(np.float32)
             if np.allclose(new, cents, atol=1e-7):
                 cents = new
                 break
@@ -178,9 +200,17 @@ def train_opq(
     r = np.eye(dim, dtype=np.float32)
     if n == 0:
         return r, train_pq(sample, m, seed=seed)
+    books = None
     for _ in range(iters):
         rotated = sample @ r
-        books = train_pq(rotated, m, seed=seed)
+        # first alternation trains in full; later ones warm-start from the
+        # previous books and take a few Lloyd steps (the rotation moves
+        # slowly, so the previous codebooks are a near-converged init —
+        # FAISS OPQMatrix trains its alternations the same way)
+        books = train_pq(
+            rotated, m, seed=seed,
+            iters=4 if books is not None else 15, init=books,
+        )
         recon = decode_pq(encode_pq(rotated, books), books)
         u, _s, vt = np.linalg.svd(sample.T.astype(np.float64) @ recon.astype(np.float64))
         r_new = (u @ vt).astype(np.float32)
@@ -193,19 +223,27 @@ def train_opq(
     # returning them as-is would deploy codebooks fitted to the previous
     # rotated distribution (FAISS OPQMatrix likewise re-trains after the
     # last rotation update)
-    books = train_pq(sample @ r, m, seed=seed)
+    books = train_pq(sample @ r, m, seed=seed, init=books)
     return r, books
 
 
 def encode_pq(x: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """(n, m) uint8 codes: per-subspace nearest centroid."""
+    """(n, m) uint8 codes: per-subspace nearest centroid — one (n, ksub)
+    GEMM per subspace (||c||^2 - 2 c.x identity; the +||x||^2 constant
+    cannot move the argmin)."""
     n, dim = x.shape
     m, _ksub, dsub = books.shape
     codes = np.empty((n, m), dtype=np.uint8)
+    if n == 0:
+        return codes
     for j in range(m):
-        xs = np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub])
-        d = kernels.pairwise_distances(books[j], xs, "l2")  # (ksub, n)
-        codes[:, j] = np.argmin(d, axis=0).astype(np.uint8)
+        xs = np.ascontiguousarray(
+            x[:, j * dsub : (j + 1) * dsub], dtype=np.float32
+        )
+        bj = np.ascontiguousarray(books[j], dtype=np.float32)
+        cx = xs @ bj.T
+        cc = np.einsum("kd,kd->k", bj, bj)
+        codes[:, j] = np.argmin(cc[None, :] - 2.0 * cx, axis=1).astype(np.uint8)
     return codes
 
 

@@ -21,6 +21,24 @@ outright for inner-join semantics) and only the ~fpp false-positive
 sliver pays the shuffle — see ``dedup_against(ref_bloom_fpp=...)``,
 where the new crawl mostly does NOT overlap the reference corpus and
 the band join's left side shrinks to the actual-overlap fraction.
+
+Sizing at scale (m = -n ln p / ln^2 2, ~= 1.2 GB per 1e9 keys at 1%):
+
+=========  =========  ==========  =========
+expected   fpp 0.01   fpp 0.05    fpp 0.10
+=========  =========  ==========  =========
+1e8 keys   ~120 MiB    ~75 MiB     ~60 MiB
+1e9 keys   ~1.2 GiB   ~750 MiB    ~600 MiB
+1e10 keys  ~12 GiB    ~7.5 GiB    ~6 GiB
+=========  =========  ==========  =========
+
+A single 12 GiB broadcast is past what torrent distribution serves
+comfortably; above ~1e9 reference keys prefer (a) fpp 0.05 — the
+false-positive sliver only pays the join it would have paid anyway, so
+a looser filter trades a little pruning power for 40% of the bitmap —
+and (b) shard-level filters: partition the reference by key range,
+build one Bloom per shard, and test each new-corpus partition against
+only the shards its key range can hit.
 """
 
 from __future__ import annotations

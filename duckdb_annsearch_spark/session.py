@@ -27,6 +27,19 @@ def get_spark(app_name: str = "duckdb_annsearch_spark", cpus: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd shuffle/spill compression: measured at 20M docs as the
+        # difference between disk-infeasible and healthy on gram-hash
+        # shuffles (~30 GB scratch vs ~80 GB lz4 on the span pipeline) —
+        # the engine's common heavy shuffle shape, so it is the default;
+        # override via SPARK_GRAFT_EXTRA_CONF for lz4 A/Bs
+        .config("spark.io.compression.codec", "zstd")
+        # FAIR job scheduling: concurrent DDL (index-family warm-ups,
+        # multi-index builds from driver threads) interleaves single-task
+        # driver jobs with wide 32-task stages instead of queueing behind
+        # them — each build thread gets its own on-demand pool (see
+        # __spark_entry__._timed_builds); sequential queries see FIFO
+        # behavior unchanged (one job at a time)
+        .config("spark.scheduler.mode", "FAIR")
     )
     # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ad-hoc conf for scale runs on
     # constrained boxes (e.g. spark.io.compression.codec=zstd roughly

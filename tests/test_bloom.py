@@ -172,3 +172,24 @@ def test_bloom_test_stage_is_map_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_big_bitmap_build_and_probe(spark):
+    # 128 MiB-class bitmap (sized for 1e8 expected keys at 1% fpp): the
+    # build must OR-reduce partition bitmaps without driver blow-up and
+    # the probe must ride the explicit broadcast.  Inserted keys are a
+    # 200k sample — the mechanics under test are bitmap size, not volume.
+    num_bits, num_hashes = BloomFilter.params(100_000_000, 0.01)
+    assert num_bits // 8 >= 100 * 1024 * 1024  # genuinely >=100 MiB
+    n = 200_000
+    df = spark.range(n).selectExpr("id * 2654435761 % 9223372036854775783 AS k")
+    df = df.coalesce(2)  # 2 partition bitmaps through toLocalIterator
+    bf = bloom_from_df(df, "k", expected=100_000_000, fpp=0.01)
+    probe = spark.range(n + 1000).selectExpr(
+        "id AS id", "id * 2654435761 % 9223372036854775783 AS k"
+    ).coalesce(2)
+    maybe = bloom_filter_df(probe, "k", bf, "maybe")
+    # every inserted key must survive (no false negatives at this size);
+    # with m sized for 1e8 and only 201k keys set, false positives are
+    # ~zero, so the survivor count is exactly n (the 1000 extras drop)
+    assert maybe.count() == n

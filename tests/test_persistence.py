@@ -71,3 +71,59 @@ def test_version_mismatch_rejected(spark, tmp_path):
     json.dump(raw, open(meta_path, "w"))
     with pytest.raises(ValueError, match="format version 99"):
         _fresh_engine(spark, wd).get_index("p")
+
+
+class TestMultiSessionCatalog:
+    """Two engine sessions on ONE catalog root (round 9): meta writes are
+    optimistic-concurrency guarded — a session whose loaded meta lags
+    another SESSION's on-disk write fails loudly instead of silently
+    undoing that session's lifecycle op.  Within one session, writes stay
+    last-writer-wins (engine code holds several loaded copies)."""
+
+    def _two_engines(self, spark, tmp):
+        from duckdb_annsearch_spark.engine import AnnEngine
+
+        df = make_vectors_df(spark, ROWS, vec_col="embedding")
+        e1 = AnnEngine(spark, workdir=tmp)
+        e1.register_table("mv", df, row_id="id")
+        e1.create_index("mv_flat", "mv", "embedding",
+                        engine="faiss", index_type="Flat")
+        e2 = AnnEngine(spark, workdir=tmp)
+        e2.register_table("mv", df, row_id="id")
+        return e1, e2
+
+    def test_sequential_cross_session_lifecycle_ok(self, spark, tmp_path):
+        # fresh-load -> save flows never conflict: each engine's lifecycle
+        # op re-loads meta.json before writing
+        e1, e2 = self._two_engines(spark, str(tmp_path / "cat"))
+        e2.delete("mv", [ROWS[0][0]])
+        e1.delete("mv", [ROWS[1][0]])  # re-loads; sees e2's tombstone count
+        from duckdb_annsearch_spark.catalog import Catalog
+
+        meta = e1.catalog.load("mv_flat")
+        assert meta.num_deleted == 2
+        assert meta.mutation >= 3  # create + two tombstone writes
+
+    def test_stale_cross_session_write_is_loud(self, spark, tmp_path):
+        from duckdb_annsearch_spark.catalog import ConcurrentWriteError
+
+        e1, e2 = self._two_engines(spark, str(tmp_path / "cat"))
+        stale = e1.catalog.load("mv_flat")  # session 1 snapshot
+        e2.delete("mv", [ROWS[0][0]])  # session 2 writes meta.json
+        stale.num_deleted = 0  # would silently undo e2's tombstone count
+        with pytest.raises(ConcurrentWriteError, match="another engine session"):
+            e1.catalog.save(stale)
+        # re-load -> retry is the documented recovery
+        fresh = e1.catalog.load("mv_flat")
+        fresh.extra["note"] = 1
+        e1.catalog.save(fresh)
+
+    def test_same_session_stale_write_stays_last_writer_wins(self, spark, tmp_path):
+        e1, _ = self._two_engines(spark, str(tmp_path / "cat"))
+        a = e1.catalog.load("mv_flat")
+        b = e1.catalog.load("mv_flat")
+        a.extra["x"] = 1
+        e1.catalog.save(a)
+        b.extra["y"] = 2
+        e1.catalog.save(b)  # same writer id: allowed, adopts the counter
+        assert e1.catalog.load("mv_flat").extra["y"] == 2
