@@ -516,12 +516,23 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _entropy_end(d: bytes, i: int) -> int:
+    """Index of the first true marker (not a stuffed 0xFF00, not RSTn)
+    after entropy-coded data starting at ``i`` — the next scan/segment."""
+    while i < len(d) - 1:
+        if d[i] == 0xFF and d[i + 1] != 0x00 and not (0xD0 <= d[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(d)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from a BASELINE sequential JPEG (SOF0/SOF1,
-    8-bit, 1 or 3 components, any integer sampling factors that divide
-    the max, DRI/RSTn honored).  Raises on progressive (SOF2+),
-    arithmetic coding, 12-bit precision, or corrupt streams — callers
-    fall back to the deterministic fake."""
+    """(h, w, 3) uint8 RGB from a BASELINE sequential (SOF0/SOF1) or
+    PROGRESSIVE (SOF2, spectral selection + successive approximation,
+    T.81 G.1.2) JPEG: 8-bit, 1 or 3 components, any integer sampling
+    factors that divide the max, DRI/RSTn honored.  Raises on
+    hierarchical/lossless modes, arithmetic coding, 12-bit precision, or
+    corrupt streams — callers fall back to the deterministic fake."""
     d = payload
     if not _is_jpeg(d):
         raise ValueError("not a JPEG payload")
@@ -530,7 +541,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     ri = 0
-    scan = None
+    progressive = False
+    scan = None  # baseline: (scomp, data_pos)
+    scans: list[tuple] = []  # progressive: per-scan records
     i = 2
     while i + 2 <= len(d):
         if d[i] != 0xFF:
@@ -561,9 +574,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         seg[p:p + 128], ">u2"
                     ).astype(np.float64)
                     p += 128
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = m == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             comps = [
@@ -571,9 +585,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                  seg[7 + 3 * c] & 15, seg[8 + 3 * c])
                 for c in range(seg[5])
             ]
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError("only sequential/progressive huffman JPEG supported")
         elif m == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -587,14 +601,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif m == 0xDD:  # DRI
             ri = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows the segment
+            nsc = seg[0]
             scomp = [
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                for c in range(seg[0])
+                for c in range(nsc)
             ]
-            scan = (scomp, i + ln)
-            break
+            if not progressive:
+                scan = (scomp, i + ln)
+                break
+            ss, se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
+            ah, al = seg[3 + 2 * nsc] >> 4, seg[3 + 2 * nsc] & 15
+            # tables and DRI can be redefined between scans: snapshot now
+            scans.append((scomp, ss, se, ah, al, i + ln, dict(hts), ri))
+            i = _entropy_end(d, i + ln)
+            continue
         i += ln
-    if comps is None or scan is None or not h or not w:
+    if comps is None or not h or not w:
+        raise ValueError("missing SOF/SOS")
+    if progressive:
+        if not scans:
+            raise ValueError("missing SOF/SOS")
+        return _finish_jpeg(
+            _progressive_planes(d, comps, scans, qt, h, w), comps, h, w
+        )
+    if scan is None:
         raise ValueError("missing SOF/SOS")
     scomp, dpos = scan
     tbl = {cid: (hts[(0, td)], hts[(1, ta)]) for cid, td, ta in scomp}
@@ -646,6 +676,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     y0 = (my * cv + by) * 8
                     x0 = (mx * ch + bx) * 8
                     planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    return _finish_jpeg(planes, comps, h, w)
+
+
+def _finish_jpeg(planes: dict, comps: list, h: int, w: int) -> np.ndarray:
+    """Shared decode tail: upsample subsampled planes, crop to (h, w),
+    YCbCr -> RGB (ITU T.871 constants) or replicate grayscale."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out = []
     for cid, ch, cv, _tq in comps:
         pl = np.repeat(
@@ -666,6 +704,168 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         ]
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _ac_first_block(br, actab, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC first-scan block (T.81 G.1.2.2): run-length coded
+    band with EOBn run codes; returns the updated EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(br, actab)
+        s, r = rs & 15, rs >> 4
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break  # EOBn: rest of the band is zero
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            coef[k] = _extend(br.receive(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, actab, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement block (T.81 G.1.2.3, the libjpeg /
+    stb_image control flow): newly-nonzero coefficients arrive as +-1
+    at bit ``al``; coefficients with nonzero history consume one
+    correction bit each as the run skips over them."""
+    bit = 1 << al
+    if eobrun:
+        for k in range(ss, se + 1):
+            c = coef[k]
+            if c != 0 and br.bit() and (c & bit) == 0:
+                coef[k] = c + (bit if c > 0 else -bit)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(br, actab)
+        s, r = rs & 15, rs >> 4
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                r = 64  # no new coefficient: sweep the rest of the band
+            val = 0
+        else:
+            if s != 1:
+                raise ValueError("bad AC refinement code")
+            val = bit if br.bit() else -bit
+        while k <= se:
+            c = coef[k]
+            if c != 0:
+                if br.bit() and (c & bit) == 0:
+                    coef[k] = c + (bit if c > 0 else -bit)
+            else:
+                if r == 0:
+                    if val:
+                        coef[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eobrun
+
+
+def _progressive_planes(
+    d: bytes, comps: list, scans: list, qt: dict, h: int, w: int
+) -> dict:
+    """Accumulate every scan's spectral/approximation contribution into
+    per-component coefficient grids, then dequantize + IDCT whole planes
+    vectorized.  DC scans may be interleaved (MCU order over all scan
+    components); AC scans are single-component by construction (T.81
+    G.1.1.1.1) and walk the component's own block grid."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, ch, cv, _tq in comps:
+        if not ch or not cv or hmax % ch or vmax % cv:
+            raise ValueError("unsupported sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = {}  # cid -> (ch, cv, tq, blocks_w_noninterleaved, blocks_h)
+    coefs = {}
+    for cid, ch, cv, tq in comps:
+        comp_w = -(-(w * ch) // hmax)  # ceil(w * ch / hmax)
+        comp_h = -(-(h * cv) // vmax)
+        bw = -(-comp_w // 8)  # non-interleaved scans walk this grid
+        bh = -(-comp_h // 8)
+        geo[cid] = (ch, cv, tq, bw, bh)
+        coefs[cid] = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+    for scomp, ss, se, ah, al, dpos, tables, ri in scans:
+        br = _JpegBits(d, dpos)
+        eobrun = 0
+        if ss == 0 and se != 0:
+            # T.81 G.1.1.1.1: progressive DC scans have Se=0 — a baseline
+            # stream with its SOF marker flipped to SOF2 lands here and
+            # must refuse rather than mis-decode as DC-only
+            raise ValueError("bad progressive spectral selection")
+        if ss == 0:  # DC scan (first or refinement), possibly interleaved
+            pred = {cid: 0 for cid, _td, _ta in scomp}
+            dc_t = {cid: tables.get((0, td)) for cid, td, _ta in scomp}
+            if len(scomp) > 1:  # interleaved: MCU order over all comps
+                for mi in range(mcux * mcuy):
+                    if ri and mi and mi % ri == 0:
+                        br.restart()
+                        pred = dict.fromkeys(pred, 0)
+                    my, mx = divmod(mi, mcux)
+                    for cid, _td, _ta in scomp:
+                        ch, cv = geo[cid][0], geo[cid][1]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                coef = coefs[cid][my * cv + by, mx * ch + bx]
+                                if ah == 0:
+                                    s = _huff_read(br, dc_t[cid])
+                                    pred[cid] += _extend(br.receive(s), s)
+                                    coef[0] = pred[cid] << al
+                                elif br.bit():
+                                    coef[0] |= 1 << al
+            else:
+                cid = scomp[0][0]
+                _ch, _cv, _tq, bw, bh = geo[cid]
+                for bi in range(bw * bh):
+                    if ri and bi and bi % ri == 0:
+                        br.restart()
+                        pred[cid] = 0
+                    by, bx = divmod(bi, bw)
+                    coef = coefs[cid][by, bx]
+                    if ah == 0:
+                        s = _huff_read(br, dc_t[cid])
+                        pred[cid] += _extend(br.receive(s), s)
+                        coef[0] = pred[cid] << al
+                    elif br.bit():
+                        coef[0] |= 1 << al
+        else:  # AC scan: exactly one component
+            if len(scomp) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cid, _td, ta = scomp[0]
+            actab = tables.get((1, ta))
+            _ch, _cv, _tq, bw, bh = geo[cid]
+            block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+            for bi in range(bw * bh):
+                if ri and bi and bi % ri == 0:
+                    br.restart()
+                    eobrun = 0
+                by, bx = divmod(bi, bw)
+                eobrun = block_fn(
+                    br, actab, coefs[cid][by, bx], ss, se, al, eobrun
+                )
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        cf = coefs[cid].astype(np.float64) * qt[tq][None, None, :]
+        rows, cols = cf.shape[:2]
+        blk = np.zeros((rows, cols, 8, 8), np.float64)
+        blk[:, :, _ZZ_R, _ZZ_C] = cf
+        A = _DCT_A
+        px = np.einsum("ij,rcjk,kl->rcil", A.T, blk, A) + 128.0
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+    return planes
 
 
 class _JpegBitWriter:
@@ -844,6 +1044,228 @@ def encode_jpeg_baseline(
     sos += bytes([0, 63, 0])  # full spectral band, no approximation
     out += seg(0xDA, sos)
     out += bw.out
+    out += bytes([0xFF, 0xD9])
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, q: int = 2, subsample: bool = False, al: int = 1
+) -> bytes:
+    """Valid PROGRESSIVE (SOF2) JFIF bytes — the test-harness twin of
+    :func:`encode_jpeg_baseline` exercising :func:`decode_jpeg`'s
+    spectral-selection + successive-approximation path end-to-end.
+
+    Scan script (the common libjpeg shape): interleaved DC first scan at
+    ``Al=al``, one AC first scan per component (``Ss=1..63, Al=al``),
+    then per approximation level one DC refinement (raw bits) and one AC
+    refinement scan per component — newly-nonzero coefficients, sign
+    bits, and correction-bit buffering per T.81 G.1.2.3 (the libjpeg
+    encoder's control flow).  Decoded output must be bit-identical to
+    the baseline encoding of the same image at the same tables."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samps = [(1, 1)]
+        tq_of = [0]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            h2, w2 = (y.shape[0] + 1) // 2 * 2, (y.shape[1] + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, h2 - cb.shape[0]), (0, w2 - cb.shape[1])),
+                         mode="edge")
+            crp = np.pad(cr, ((0, h2 - cr.shape[0]), (0, w2 - cr.shape[1])),
+                         mode="edge")
+            cb = cbp.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        tq_of = [0, 1, 1]
+    h, w = img.shape[:2]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    uu, vv = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    qtabs = [
+        np.clip(1.0 + (1.0 + uu + vv) * q, 1, 255),
+        np.clip(1.0 + (1.0 + uu + vv) * q * 2.0, 1, 255),
+    ]
+    A = _DCT_A
+    # quantized zigzag coefficient grids, MCU-padded like the decoder's
+    zs = []
+    geos = []  # (sh, sv, bw, bh) — bw/bh: non-interleaved AC-scan grid
+    for ci, (pl, (sh, sv)) in enumerate(zip(planes, samps)):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
+                    mode="edge")
+        rows, cols = ph // 8, pw // 8
+        z = np.empty((rows, cols, 64), dtype=np.int64)
+        qt = qtabs[tq_of[ci]]
+        for by in range(rows):
+            for bx in range(cols):
+                blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = A @ blk @ A.T
+                z[by, bx] = np.round(
+                    coef[_ZZ_R, _ZZ_C] / qt[_ZZ_R, _ZZ_C]
+                ).astype(np.int64)
+        zs.append(z)
+        bw_c = -(-(-(-(w * sh) // hmax)) // 8)  # ceil(ceil(w*sh/hmax)/8)
+        bh_c = -(-(-(-(h * sv) // vmax)) // 8)
+        geos.append((sh, sv, bw_c, bh_c))
+    ncomp = len(planes)
+
+    # ---- build per-scan op lists; tables are pooled afterwards
+    scans: list[tuple[bytes, list]] = []  # (sos_tail_bytes, ops)
+
+    def sos_hdr(comp_ids, ss, se, ah, a_l):
+        b = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = int(ci > 0)
+            b += bytes([ci + 1, (t << 4) | t])
+        return b + bytes([ss, se, (ah << 4) | a_l])
+
+    # scan 1: interleaved DC first at Al=al
+    ops: list = []
+    pred = [0] * ncomp
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci in range(ncomp):
+            sh, sv, _bw, _bh = geos[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    v = int(zs[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                    s, extra = _mag_bits(v - pred[ci])
+                    pred[ci] = v
+                    ops.append(("sym", ("dc", int(ci > 0)), s, extra, s))
+    scans.append((sos_hdr(list(range(ncomp)), 0, 0, 0, al), ops))
+
+    # one AC first scan per component at Al=al
+    for ci in range(ncomp):
+        sh, sv, bw_c, bh_c = geos[ci]
+        hk = int(ci > 0)
+        ops = []
+        for bi in range(bw_c * bh_c):
+            by, bx = divmod(bi, bw_c)
+            zb = zs[ci][by, bx]
+            run = 0
+            for k in range(1, 64):
+                v = int(zb[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ops.append(("sym", ("ac", hk), 0xF0, 0, 0))
+                    run -= 16
+                s2, ex2 = _mag_bits(t if v > 0 else -t)
+                ops.append(("sym", ("ac", hk), (run << 4) | s2, ex2, s2))
+                run = 0
+            if run:
+                ops.append(("sym", ("ac", hk), 0x00, 0, 0))  # EOB (run of 1)
+        scans.append((sos_hdr([ci], 1, 63, 0, al), ops))
+
+    # refinement rounds: level al-1 .. 0
+    for lvl in range(al - 1, -1, -1):
+        # DC refinement: raw bits, interleaved, no huffman
+        ops = []
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for ci in range(ncomp):
+                sh, sv, _bw, _bh = geos[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bit = (int(zs[ci][my * sv + by, mx * sh + bx, 0]) >> lvl) & 1
+                        ops.append(("raw", bit, 1))
+        scans.append((sos_hdr(list(range(ncomp)), 0, 0, lvl + 1, lvl), ops))
+        # AC refinement per component (T.81 G.1.2.3 / libjpeg control flow)
+        for ci in range(ncomp):
+            sh, sv, bw_c, bh_c = geos[ci]
+            hk = int(ci > 0)
+            ops = []
+            for bi in range(bw_c * bh_c):
+                by, bx = divmod(bi, bw_c)
+                zb = zs[ci][by, bx]
+                temps = [abs(int(zb[k])) >> lvl for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if temps[k] == 1:
+                        eob = k
+                run = 0
+                br_bits: list = []  # buffered correction bits
+                for k in range(1, 64):
+                    t = temps[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        ops.append(("sym", ("ac", hk), 0xF0, 0, 0))
+                        run -= 16
+                        for cb_ in br_bits:
+                            ops.append(("raw", cb_, 1))
+                        br_bits = []
+                    if t > 1:  # nonzero history: buffer the correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    # newly-nonzero coefficient (+-1 at this level)
+                    ops.append(("sym", ("ac", hk), (run << 4) | 1, 0, 0))
+                    ops.append(("raw", 1 if int(zb[k]) > 0 else 0, 1))
+                    for cb_ in br_bits:
+                        ops.append(("raw", cb_, 1))
+                    br_bits = []
+                    run = 0
+                if run > 0 or br_bits:
+                    ops.append(("sym", ("ac", hk), 0x00, 0, 0))  # EOB
+                    for cb_ in br_bits:
+                        ops.append(("raw", cb_, 1))
+            scans.append((sos_hdr([ci], 1, 63, lvl + 1, lvl), ops))
+
+    # ---- pooled fixed-length canonical tables over every scan's symbols
+    tables: dict = {}
+    all_sym = [op for _hdr, sops in scans for op in sops if op[0] == "sym"]
+    for kind in {op[1] for op in all_sym}:
+        syms = sorted({op[2] for op in all_sym if op[1] == kind})
+        L = max(2, (len(syms) + 1).bit_length())
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        tables[kind] = (
+            counts, syms, {sym: (i, L) for i, sym in enumerate(syms)}
+        )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(JPEG_SOI)
+    for t in range(1 if gray else 2):
+        zz = qtabs[t][_ZZ_R, _ZZ_C].astype(np.uint8)
+        out += seg(0xDB, bytes([t]) + zz.tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], tq_of[ci]])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for (cls, hk), (counts, syms, _codes) in sorted(tables.items()):
+        tc = 0 if cls == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | int(hk)]) + bytes(counts) + bytes(syms))
+    for hdr, sops in scans:
+        out += seg(0xDA, hdr)
+        bwr = _JpegBitWriter()
+        for op in sops:
+            if op[0] == "raw":
+                bwr.write(op[1], op[2])
+            else:
+                _, kind, sym, extra, el = op
+                code, ln = tables[kind][2][sym]
+                bwr.write(code, ln)
+                if el:
+                    bwr.write(extra, el)
+        bwr.pad()
+        out += bwr.out
     out += bytes([0xFF, 0xD9])
     return bytes(out)
 

@@ -391,16 +391,23 @@ class TestJpeg:
         dec = M.decode_jpeg(enc)
         assert np.abs(dec.astype(float) - img.astype(float)).mean() < 2.0
 
-    def test_progressive_rejected(self):
-        # flip SOF0 (FFC0) to SOF2 (FFC2): decoder must refuse, router
-        # must fall back to the fake rather than mis-decode
+    def test_marker_flip_and_lossless_rejected(self):
+        # flip SOF0 (FFC0) to SOF2 (FFC2): the stream claims progressive
+        # but carries a baseline scan header (Ss=0, Se=63 — illegal for a
+        # progressive DC scan, T.81 G.1.1.1.1); decoder must refuse and
+        # the router must fall back to the fake rather than mis-decode
         enc = bytearray(M.encode_jpeg_baseline(self._gradient(8, 8)))
         i = enc.find(b"\xff\xc0")
         enc[i + 1] = 0xC2
         enc = bytes(enc)
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError, match="spectral"):
             M.decode_jpeg(enc)
         np.testing.assert_array_equal(M.decode_features(enc), M._fake_decode(enc))
+        # genuinely unsupported mode (SOF3 lossless) still refuses outright
+        enc3 = bytearray(enc)
+        enc3[i + 1] = 0xC3
+        with pytest.raises(ValueError, match="sequential/progressive"):
+            M.decode_jpeg(bytes(enc3))
 
     def test_truncated_falls_back(self):
         enc = M.encode_jpeg_baseline(self._gradient(16, 16))
@@ -594,3 +601,59 @@ class TestMp4Boxes:
                        tracks=((b"vide", 320, 240),))
         df2 = M.make_media_df(spark, [(10, "video", ok, {})])
         assert len(M.sample_frames(df2, every_n=20, fps=10.0).collect()) == 3
+
+
+class TestJpegProgressive:
+    """SOF2 progressive decode (round 9): spectral selection +
+    successive approximation (T.81 G.1.2).  The progressive encoding of
+    an image must decode BIT-IDENTICAL to its baseline encoding — same
+    coefficients, different scan order."""
+
+    def _img(self, h=37, w=29, seed=7):
+        return np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+
+    @pytest.mark.parametrize("al", [0, 1, 2])
+    def test_matches_baseline(self, al):
+        img = self._img()
+        base = M.decode_jpeg(M.encode_jpeg_baseline(img, q=2))
+        prog = M.decode_jpeg(M.encode_jpeg_progressive(img, q=2, al=al))
+        np.testing.assert_array_equal(base, prog)
+
+    def test_subsampled_and_gray(self):
+        img = self._img(40, 36, seed=9)
+        np.testing.assert_array_equal(
+            M.decode_jpeg(M.encode_jpeg_baseline(img, q=3, subsample=True)),
+            M.decode_jpeg(
+                M.encode_jpeg_progressive(img, q=3, subsample=True, al=1)
+            ),
+        )
+        g = np.random.RandomState(3).randint(0, 256, (17, 23), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            M.decode_jpeg(M.encode_jpeg_baseline(g)),
+            M.decode_jpeg(M.encode_jpeg_progressive(g, al=1)),
+        )
+
+    def test_odd_dims_force_eobrun_and_zrl(self):
+        # smooth gradient -> long zero runs (ZRL + EOB paths); odd dims
+        # exercise the non-interleaved AC grid != MCU-padded grid case
+        yy, xx = np.meshgrid(np.arange(21), np.arange(19), indexing="ij")
+        img = np.dstack([(yy * 3 + xx) % 256] * 3).astype(np.uint8)
+        np.testing.assert_array_equal(
+            M.decode_jpeg(M.encode_jpeg_baseline(img, q=4, subsample=True)),
+            M.decode_jpeg(
+                M.encode_jpeg_progressive(img, q=4, subsample=True, al=2)
+            ),
+        )
+
+    def test_features_route_and_fallback(self):
+        img = self._img(24, 24, seed=11)
+        p = M.encode_jpeg_progressive(img, al=1)
+        np.testing.assert_array_equal(
+            M.decode_features(p), M.jpeg_features(p)
+        )
+        # truncated progressive stream still falls back to the fake
+        np.testing.assert_array_equal(
+            M.decode_features(p[:40]), M._fake_decode(p[:40])
+        )
