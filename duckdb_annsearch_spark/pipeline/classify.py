@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
-from duckdb_annsearch_spark.pipeline.text import token_hash
+from duckdb_annsearch_spark.pipeline.text import bind, token_hash
 
 __all__ = [
     "hashed_features",
@@ -71,15 +71,19 @@ def hashed_features(
         raise ValueError(f"n_features must be >= 1, got {n_features}")
     if not ngram_ns or any(n < 1 for n in ngram_ns):
         raise ValueError(f"ngram_ns must be positive ints, got {ngram_ns!r}")
-    toks = tokenize(text)
-    parts = [
-        F.transform(_word_ngrams(toks, n), lambda g: token_hash(g) % n_features)
-        for n in ngram_ns
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = F.concat(out, p)
-    return out
+    # token array bound once (r9): each n-gram order references it ~2n
+    # times and HOF subtrees skip subexpression elimination
+    def _feats(toks: Column) -> Column:
+        parts = [
+            F.transform(_word_ngrams(toks, n), lambda g: token_hash(g) % n_features)
+            for n in ngram_ns
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.concat(out, p)
+        return out
+
+    return bind(tokenize(text), _feats)
 
 
 def score_hashed_linear(

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
-from duckdb_annsearch_spark.pipeline.text import HASH_MOD, token_hash
+from duckdb_annsearch_spark.pipeline.text import HASH_MOD, bind, token_hash
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
@@ -44,14 +44,21 @@ def word_grams(text: Column, k: int = 3) -> Column:
     START position, multiplicity preserved).
 
     Built from k-1 ``zip_with`` concats of shifted token arrays — O(k)
-    array ops per row instead of one ``slice`` per gram position."""
-    toks = tokenize(text)
-    n = F.size(toks)
-    grams = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
-        grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
-    return F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(F.array())
+    array ops per row instead of one ``slice`` per gram position.  The
+    token array is bound once (r9): the shifted slices reference it ~2k
+    times, and HOF subtrees are excluded from subexpression elimination,
+    so the inline form re-ran the tokenizer's regexp split six times per
+    row (visible verbatim in the pre-fix minhash plan)."""
+
+    def _grams(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = toks
+        for j in range(1, k):
+            shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+            grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
+        return F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(F.array())
+
+    return bind(tokenize(text), _grams)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
+from duckdb_annsearch_spark.pipeline.text import bind
 
 __all__ = ["train_ngram_counts", "lm_perplexity"]
 
@@ -40,9 +41,13 @@ def _grams(toks: Column, n: int) -> Column:
     if n == 1:
         return toks
     if n == 2:
-        left = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-        right = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-        return F.zip_with(left, right, lambda a, b: F.concat_ws(" ", a, b))
+        # token array bound once (r9): the two slices reference it 4x
+        def _pairs(ts: Column) -> Column:
+            left = F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0)))
+            right = F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0)))
+            return F.zip_with(left, right, lambda a, b: F.concat_ws(" ", a, b))
+
+        return bind(toks, _pairs)
     raise ValueError(f"n must be 1 or 2, got {n}")
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
-from duckdb_annsearch_spark.pipeline.text import token_hash
+from duckdb_annsearch_spark.pipeline.text import bind, token_hash
 
 # PII patterns — deliberately conservative, RE2-safe, and applied in a fixed
 # order (email first: its local part can contain digits a later phone pass
@@ -72,18 +72,24 @@ def pii_counts(text: Column) -> dict[str, Column]:
 def dup_line_fraction(text: Column) -> Column:
     """Fraction of non-empty lines that are duplicates of an earlier line
     (Gopher repetition rule #1): ``1 - n_distinct/n``; empty docs -> 0."""
-    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
-    n = F.size(lines).cast("double")
-    nd = F.size(F.array_distinct(lines)).cast("double")
-    return F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
+    def _frac(lines: Column) -> Column:
+        n = F.size(lines).cast("double")
+        nd = F.size(F.array_distinct(lines)).cast("double")
+        return F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
+
+    # line array bound once (r9): n + nd otherwise re-split the text twice
+    return bind(F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != ""), _frac)
 
 
 def dup_token_fraction(text: Column) -> Column:
     """Fraction of tokens that repeat an earlier token: ``1 - distinct/n``."""
-    toks = tokenize(text)
-    n = F.size(toks).cast("double")
-    nd = F.size(F.array_distinct(toks)).cast("double")
-    return F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
+
+    def _frac(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        nd = F.size(F.array_distinct(toks)).cast("double")
+        return F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
+
+    return bind(tokenize(text), _frac)
 
 
 def top_bigram_char_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -97,14 +103,17 @@ def top_bigram_char_fraction(df: DataFrame, id_col: str, text_col: str) -> DataF
     # zip_with over two shifted slices, NOT transform+element_at: an
     # element_at(tokenize(...), i) lambda re-evaluates the tokenizer per
     # element inside Generate (no subexpression elimination there) —
-    # O(tokens^2) per row, measured 10x slower at 5k docs
-    toks = tokenize(F.col(text_col))
-    npairs = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, npairs),
-        F.slice(toks, 2, npairs),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    # O(tokens^2) per row, measured 10x slower at 5k docs.  Token array
+    # bound once (r9): the two slices + npairs otherwise re-split 4x.
+    def _bigrams(toks: Column) -> Column:
+        npairs = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, npairs),
+            F.slice(toks, 2, npairs),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+
+    bigrams = bind(tokenize(F.col(text_col)), _bigrams)
     base = df.select(
         F.col(id_col).alias("__id"),
         F.length(F.col(text_col)).cast("double").alias("__chars"),
@@ -148,15 +157,20 @@ def _ngram_hashes(text: Column, n: int) -> Column:
     Built by iterated ``zip_with`` over shifted slices — n-1 linear zips —
     never ``transform``+``element_at`` into the token array, which
     re-evaluates the tokenizer expression per element inside a Generate
-    (the O(tokens^2) trap documented at :func:`top_bigram_char_fraction`)."""
-    toks = tokenize(text)
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.slice(toks, 1, cnt)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(toks, 1 + j, cnt), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.array_distinct(F.transform(grams, token_hash))
+    (the O(tokens^2) trap documented at :func:`top_bigram_char_fraction`).
+    The token array itself is bound once (r9): the n shifted slices plus
+    the shared count otherwise re-ran the tokenizer ~2n times per row."""
+
+    def _hashes(toks: Column) -> Column:
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        grams = F.slice(toks, 1, cnt)
+        for j in range(1, n):
+            grams = F.zip_with(
+                grams, F.slice(toks, 1 + j, cnt), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.array_distinct(F.transform(grams, token_hash))
+
+    return bind(tokenize(text), _hashes)
 
 
 def decontaminate(

@@ -30,6 +30,22 @@ LANG_MARKERS = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+def bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable: ``element_at(transform(array(col), fn), 1)``.
+
+    Catalyst excludes higher-order-function subtrees from common-
+    subexpression elimination, so a Column referenced N times inside
+    array lambdas is otherwise evaluated N times per row — e.g. the
+    pre-fix ``word_grams`` plan re-ran the tokenizer's regexp split six
+    times per row (r9 plan audit).  A HOF's input child, by contrast, is
+    materialized exactly once before the lambda runs, so this wrapper
+    makes "compute once, reference many" explicit.  Values are unchanged:
+    ``fn`` receives exactly the value ``col`` evaluates to (including
+    NULL)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def token_hash(tok: Column) -> Column:
     """Deterministic 60-bit token hash reproducible in DuckDB SQL."""
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
@@ -56,25 +72,34 @@ def bpe_token_count(text: Column) -> Column:
 
 def detect_language(text: Column) -> Column:
     """Best-scoring language by marker-word hits; ties break in the fixed
-    order en > es > de > fr; no hits -> 'und' (undetermined)."""
-    toks = tokenize(text)
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best = None
-    best_score = None
-    # fold in fixed priority order: strictly-greater wins, so earlier
-    # languages win ties
-    for lang in ("en", "es", "de", "fr"):
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    order en > es > de > fr; no hits -> 'und' (undetermined).
+
+    Shape (r9): the old when-chain referenced each running best twice per
+    language, doubling the expression tree per step and re-inlining the
+    tokenizer into every copy (~dozens of regexp splits per row); now the
+    token array is bound once and the argmax is an ``aggregate`` fold over
+    (score, lang) structs — the lambda runs iteratively at runtime, so the
+    tree is O(#languages).  Strictly-greater keeps the same tie order."""
+
+    def _detect(toks: Column) -> Column:
+        scores = F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(toks, lambda t: t.isin(markers))).alias("s"),
+                    F.lit(lang).alias("lang"),
+                )
+                # dict order IS the priority order: en > es > de > fr
+                for lang, markers in LANG_MARKERS.items()
+            ]
+        )
+        best = F.aggregate(
+            scores,
+            F.struct(F.lit(-2).alias("s"), F.lit("und").alias("lang")),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        )
+        return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return bind(tokenize(text), _detect)
 
 
 def quality_score(text: Column) -> Column:
@@ -82,27 +107,33 @@ def quality_score(text: Column) -> Column:
     stopword / digit ratios (double arithmetic, rounded to 6 so the SQL
     oracle hash-matches)."""
     n_chars = F.length(text).cast("double")
-    toks = tokenize(text)
-    n_tokens = F.size(toks).cast("double")
     n_punct = (
         n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     ).cast("double")
     n_digits = (
         F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
     ).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
 
-    len_score = F.least(n_tokens / 100.0, F.lit(1.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
-    digit_ratio = F.when(n_chars > 0, n_digits / n_chars).otherwise(0.0)
-    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
-    raw = (
-        0.4 * len_score
-        + 0.3 * F.least(stop_ratio * 3.0, F.lit(1.0))
-        + 0.15 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
-        + 0.15 * (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0)))
-    )
-    return F.round(raw, 6)
+    # token array bound once (r9): n_tokens + n_stop otherwise re-run the
+    # tokenizer's regexp split twice per row
+    def _score(toks: Column) -> Column:
+        n_tokens = F.size(toks).cast("double")
+        n_stop = F.size(
+            F.filter(toks, lambda t: t.isin(STOPWORDS))
+        ).cast("double")
+        len_score = F.least(n_tokens / 100.0, F.lit(1.0))
+        punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+        digit_ratio = F.when(n_chars > 0, n_digits / n_chars).otherwise(0.0)
+        stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+        raw = (
+            0.4 * len_score
+            + 0.3 * F.least(stop_ratio * 3.0, F.lit(1.0))
+            + 0.15 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+            + 0.15 * (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0)))
+        )
+        return F.round(raw, 6)
+
+    return bind(tokenize(text), _score)
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
+from duckdb_annsearch_spark.pipeline.text import bind
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,13 +40,16 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     candidate table.  Pairs are built with one zip_with of the shifted
     token array (O(tokens) per row; the transform+element_at form would
     re-inline the tokenizer per position)."""
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
+    # token array bound once (r9): the two slices otherwise re-split ~5x
+    def _pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    pairs = bind(tokenize(F.col(text_col)), _pairs)
     return (
         df.select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
