@@ -62,6 +62,17 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out for expression-heavy map-only queries: a
+    small single-split scan otherwise runs the whole md5/array pipeline
+    in ONE task (pipeline/fanout.py — no-op whenever the scan already
+    has >= defaultParallelism partitions, i.e. at any real scale).
+    Results are unchanged: round-robin repartitioning only moves rows."""
+    from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
+
+    return fan_out_small(df)
+
+
 def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     row = (
         _read(spark, sf_dir, "embeddings").where(F.col("vec_id") == vec_id).first()
@@ -1315,7 +1326,7 @@ def q_minhash_sigs(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.dedup import minhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", NUM_MINHASH)
+    sigs = minhash_signatures(_fan(docs), "text", "doc_id", NUM_MINHASH)
     return sigs.select(
         "doc_id",
         F.concat_ws(
@@ -1350,7 +1361,7 @@ def q_simhash(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.dedup import simhash
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash(docs, "text", "doc_id", SIMHASH_BITS)
+    return simhash(_fan(docs), "text", "doc_id", SIMHASH_BITS)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1596,7 +1607,7 @@ def q_doc_stats(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
+    return _fan(docs).select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
@@ -1665,7 +1676,7 @@ def q_corpus_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     q6 = F.round(quality_score(F.col("text")) * 1e6).cast("long")
     return (
-        docs.groupBy("lang")
+        _fan(docs).groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
@@ -1696,7 +1707,7 @@ def q_pii_scrub(spark, sf_dir):
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
     cnts = pii_counts(aug)
-    return docs.select(
+    return _fan(docs).select(
         "doc_id",
         scrub_pii(aug).alias("clean"),
         cnts["email"].cast("long").alias("n_email"),
@@ -1718,7 +1729,7 @@ def q_repetition_stats(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     lined = F.regexp_replace(F.col("text"), "table", "\n")
-    rep = docs.select(
+    rep = _fan(docs).select(
         "doc_id",
         dup_line_fraction(lined).alias("dup_line_frac"),
         dup_token_fraction(F.col("text")).alias("dup_token_frac"),
@@ -2046,7 +2057,7 @@ def q_chunk_documents(spark, sf_dir):
     from duckdb_annsearch_spark.pipeline.pack import chunk_documents
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return chunk_documents(docs, window=32, stride=16)
+    return chunk_documents(_fan(docs), window=32, stride=16)
 
 
 def q_pack_greedy(spark, sf_dir):
@@ -2304,7 +2315,7 @@ def q_gopher_filter(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     return gopher_filter(
-        docs, keep_stats=True, min_words=20, min_required_words=1
+        _fan(docs), keep_stats=True, min_words=20, min_required_words=1
     ).select(
         "doc_id",
         "n_words",
@@ -2341,7 +2352,7 @@ def q_c4_filter(spark, sf_dir):
             F.lit(".")
         ),
     )
-    prepared = docs.select("doc_id", aug.alias("text"))
+    prepared = _fan(docs).select("doc_id", aug.alias("text"))
     return c4_filter(prepared, keep_stats=True).select(
         "doc_id", "clean_text", "n_lines_kept", "n_sentences", "keep"
     )

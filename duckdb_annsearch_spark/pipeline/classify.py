@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
+from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
 from duckdb_annsearch_spark.pipeline.text import bind, token_hash
 
 __all__ = [
@@ -108,7 +109,9 @@ def score_hashed_linear(
     equi-join on feature, one per-doc aggregate — the dup_ngram cost
     class, linear in corpus token count.
     """
-    feats = df.select(
+    # fan the md5-per-gram feature hashing across cores when the input is
+    # a small single-split scan (no-op at scale — pipeline/fanout.py)
+    feats = fan_out_small(df).select(
         F.col(id_col),
         F.explode(
             hashed_features(F.col(text_col), n_features, ngram_ns)

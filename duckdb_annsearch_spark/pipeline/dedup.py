@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
+from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
 from duckdb_annsearch_spark.pipeline.text import HASH_MOD, bind, token_hash
 
 DEFAULT_NUM_HASHES = 16
@@ -158,8 +159,11 @@ def band_buckets(
     (self-joins, bucket-min aggregates) run it once."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # fan the md5-per-shingle signature pass across cores when the input
+    # is a small single-split scan (no-op at scale — pipeline/fanout.py);
+    # the checkpoint then materializes in parallel too
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k
+        fan_out_small(df), text_col, id_col, num_hashes, shingle_k
     ).localCheckpoint(eager=False)
     return sigs.select(
         "doc_id",
@@ -335,7 +339,9 @@ def ngram_jaccard_pairs(
     # barrier: the shingle arrays feed three consumers (sizes + both join
     # sides); recomputing the gram expression per consumer dominates cost.
     # Lazy localCheckpoint, not .persist(): see lsh_candidate_pairs.
-    sh = df.select(
+    # fan_out_small: parallelize the md5 shingle pass off a single-split
+    # scan (no-op at scale)
+    sh = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).localCheckpoint(eager=False)
@@ -902,12 +908,14 @@ def dedup_against(
         .distinct()
     )
     # exact cross-corpus Jaccard verify: shingles of each side joined on
-    # the candidate pair (cost O(|cand| * shingles/doc))
-    sh_l = df.select(
+    # the candidate pair (cost O(|cand| * shingles/doc)); fan_out_small
+    # parallelizes the shingle recompute off single-split inputs (no-op
+    # at scale)
+    sh_l = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("__sa"),
     )
-    sh_r = ref.select(
+    sh_r = fan_out_small(ref).select(
         F.col(id_col).alias("ref_id"),
         word_shingles(F.col(text_col), shingle_k).alias("__sb"),
     )
@@ -1128,7 +1136,9 @@ def dup_ngram_stats(
         ghash = F.xxhash64(F.col("_gram"))
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xx', got {hash_fn!r}")
-    grams = df.select(
+    # fan_out_small: parallelize the gram build off a single-split scan
+    # (no-op at scale); the explode feeds the _gh shuffle anyway
+    grams = fan_out_small(df).select(
         F.col(id_col),
         F.explode(word_grams(F.col(text_col), k)).alias("_gram"),
     ).select(F.col(id_col), ghash.alias("_gh"))

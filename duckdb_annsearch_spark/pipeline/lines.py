@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
+
 
 def _split(col, delimiter: str):
     """Literal-delimiter split (F.split takes a REGEX — quote it)."""
@@ -96,7 +98,9 @@ def line_dedup(
     # output text).  md5 collisions (~2^-64) would merge two distinct
     # lines' counts; acceptable for a >=min_df threshold.  Blank test
     # happens BEFORE hashing (whitespace-only lines are structural).
-    lines = docs.select(
+    # fan_out_small: parallelize the split/explode/md5 pass off a
+    # single-split scan (no-op at scale); it feeds the df-count shuffle
+    lines = fan_out_small(docs).select(
         F.col(id_col),
         F.posexplode(split_col).alias("pos", "_line"),
     ).withColumn(

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
+from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
 from duckdb_annsearch_spark.pipeline.text import bind
 
 __all__ = ["train_ngram_counts", "lm_perplexity"]
@@ -58,8 +59,10 @@ def train_ngram_counts(
     One shuffle; persist the result as parquet to reuse across corpora
     (CCNet trains on a clean reference corpus, scores the target)."""
     toks = tokenize(F.col(text_col))
+    # fan_out_small: parallelize the tokenize/explode off a single-split
+    # scan (no-op at scale); it feeds the count shuffle anyway
     return (
-        docs.select(F.explode(_grams(toks, n)).alias("gram"))
+        fan_out_small(docs).select(F.explode(_grams(toks, n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -99,7 +102,9 @@ def lm_perplexity(
     if counts is None:
         counts = train_ngram_counts(docs, text_col, n)
     toks = tokenize(F.col(text_col))
-    grams = docs.select(F.col(id_col), F.explode(_grams(toks, n)).alias("gram"))
+    grams = fan_out_small(docs).select(
+        F.col(id_col), F.explode(_grams(toks, n)).alias("gram")
+    )
 
     if n == 1:
         totals = counts.agg(

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.operators.fts import tokenize
+from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
 from duckdb_annsearch_spark.pipeline.text import bind, token_hash
 
 # PII patterns — deliberately conservative, RE2-safe, and applied in a fixed
@@ -114,7 +115,9 @@ def top_bigram_char_fraction(df: DataFrame, id_col: str, text_col: str) -> DataF
         )
 
     bigrams = bind(tokenize(F.col(text_col)), _bigrams)
-    base = df.select(
+    # fan_out_small: parallelize the bigram build off a single-split scan
+    # (no-op at scale); the explode feeds a shuffle anyway
+    base = fan_out_small(df).select(
         F.col(id_col).alias("__id"),
         F.length(F.col(text_col)).cast("double").alias("__chars"),
         F.explode(bigrams).alias("bigram"),
@@ -194,7 +197,9 @@ def decontaminate(
         benchmark.select(F.explode(_ngram_hashes(F.col(bcol), n)).alias("gram"))
         .distinct()
     )
-    doc_grams = corpus.select(
+    # fan_out_small: parallelize the corpus-side 8-gram hashing off a
+    # single-split scan (no-op at scale); the semi join is map-side either way
+    doc_grams = fan_out_small(corpus).select(
         F.col(id_col), F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram")
     )
     hits = (

@@ -56,7 +56,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_annsearch_spark.pipeline.text import token_hash
+from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
+from duckdb_annsearch_spark.pipeline.text import bind, token_hash
 
 __all__ = ["remove_dup_spans", "dup_span_starts"]
 
@@ -68,15 +69,21 @@ def _ws_tokens(text: Column) -> Column:
 
 def _ws_grams(toks: Column, k: int) -> Column:
     """Positional k-grams over a token array (zip_with shift trick —
-    O(k) array ops per row, one gram per start position)."""
-    n = F.size(toks)
-    grams = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
-        grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
-    return F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(
-        F.array().cast("array<string>")
-    )
+    O(k) array ops per row, one gram per start position).  The token
+    array is bound once (r9): the shifted slices reference it ~2k times
+    and HOF subtrees are excluded from subexpression elimination."""
+
+    def _grams(ts: Column) -> Column:
+        n = F.size(ts)
+        grams = ts
+        for j in range(1, k):
+            shifted = F.slice(ts, j + 1, F.greatest(n - j, F.lit(0)))
+            grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
+        return F.when(n >= k, F.slice(grams, 1, n - (k - 1))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind(toks, _grams)
 
 
 def dup_span_starts(
@@ -104,7 +111,10 @@ def dup_span_starts(
     gram = F.col("_gram")
     if normalize:
         gram = F.lower(gram)
-    grams = df.select(
+    # fan_out_small: parallelize the gram build off a single-split scan
+    # (no-op at scale); a round-robin exchange, so the plan-asserted
+    # "<= 1 hashpartitioning(_gh)" window shape is untouched
+    grams = fan_out_small(df).select(
         F.col(id_col),
         F.posexplode(_ws_grams(_ws_tokens(F.col(text_col)), k)).alias(
             "_gpos", "_gram"
@@ -152,16 +162,43 @@ def remove_dup_spans(
     never shuffling corpus text (see module docstring).
     """
     starts_df = dup_span_starts(df, text_col, id_col, k, scope, normalize)
-    toks = _ws_tokens(F.col(text_col))
     starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-    kept = F.filter(
-        toks,
-        lambda t, i: ~F.exists(starts, lambda s: (s <= i) & (i < s + F.lit(k))),
+
+    # token array and kept array each bound once (r9): the three output
+    # columns otherwise re-ran the whitespace split ~3x and the
+    # O(|tokens| x |starts|) coverage filter 2x per row; the struct is
+    # staged through its own projection (multi-ref + non-cheap, so
+    # CollapseProject leaves the boundary) and unpacked with cheap
+    # field gets
+    def _out(toks: Column) -> Column:
+        kept_arr = F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                starts, lambda s: (s <= i) & (i < s + F.lit(k))
+            ),
+        )
+
+        def _pack(kept: Column) -> Column:
+            n_tok = F.coalesce(F.size(toks), F.lit(0)).cast("long")
+            return F.struct(
+                F.when(
+                    F.col(text_col).isNotNull(), F.concat_ws(" ", kept)
+                ).alias("_txt"),
+                n_tok.alias("_nt"),
+                (n_tok - F.coalesce(F.size(kept), F.lit(0)))
+                .cast("long")
+                .alias("_nr"),
+            )
+
+        return bind(kept_arr, _pack)
+
+    packed = bind(_ws_tokens(F.col(text_col)), _out)
+    staged = fan_out_small(df).join(starts_df, id_col, "left").select(
+        F.col(id_col), packed.alias("__p")
     )
-    n_tok = F.coalesce(F.size(toks), F.lit(0)).cast("long")
-    return df.join(starts_df, id_col, "left").select(
+    return staged.select(
         F.col(id_col),
-        F.when(F.col(text_col).isNotNull(), F.concat_ws(" ", kept)).alias(text_col),
-        n_tok.alias("n_tokens"),
-        (n_tok - F.coalesce(F.size(kept), F.lit(0))).cast("long").alias("n_removed"),
+        F.col("__p._txt").alias(text_col),
+        F.col("__p._nt").alias("n_tokens"),
+        F.col("__p._nr").alias("n_removed"),
     )

@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_annsearch_spark.pipeline.dedup import word_grams
+from duckdb_annsearch_spark.pipeline.fanout import fan_out_small
 from duckdb_annsearch_spark.pipeline.text import token_hash
 
 __all__ = ["winnow_fingerprint_col", "winnow_fingerprints", "winnow_pairs"]
@@ -136,8 +137,11 @@ def winnow_pairs(
     # fingerprint relation — without it the map-only fingerprint pipeline
     # runs three times (lazy localCheckpoint, ContextCleaner-reclaimed,
     # same reasoning as band_buckets)
+    # fan_out_small: parallelize the gram-hash/window-min pass off a
+    # single-split scan (no-op at scale); winnow_fingerprints itself stays
+    # map-only — the fan-out is this composite caller's decision
     fps = (
-        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        winnow_fingerprints(fan_out_small(df), text_col, id_col, k=k, w=w)
         .where(F.col("n_fingerprints") > 0)
         .localCheckpoint(eager=False)
     )
