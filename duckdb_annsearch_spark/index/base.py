@@ -45,8 +45,22 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
     # NULL vectors are not indexable (the reference's FLOAT[N] rows always
     # have N floats); indexing them would zero-fill and pollute top-k
     # explicit partition count: AQE must not re-coalesce between the count
-    # job and the numbering job, or the offsets would disagree
-    n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    # job and the numbering job, or the offsets would disagree.
+    # The count is derived from the optimizer's size estimate (~64 MB per
+    # range partition, capped at defaultParallelism) rather than pinned to
+    # defaultParallelism: the label<->row_id map is invariant to n_parts,
+    # a real-scale input still gets the full core count, and a small input
+    # skips 32-task sampling/shuffle/count rounds per index build (r9 —
+    # every build paid them regardless of size).  Estimate errors only
+    # move task sizing, never results.
+    cores = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        n_parts = max(1, min(cores, -(-est_bytes // (64 << 20))))
+    except Exception:
+        n_parts = cores
     srt = (
         base.repartitionByRange(n_parts, "row_id")
         .sortWithinPartitions("row_id")
@@ -63,6 +77,17 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
         # then reads the same checkpointed blocks.
         .localCheckpoint(eager=False)
     )
+    if n_parts == 1:
+        # single range partition: every offset is 0, so the per-partition
+        # count job (and the driver cumsum) is pure overhead — number
+        # directly (empty input yields an empty result through the same
+        # window, no special case needed)
+        w = Window.partitionBy("__part").orderBy(F.col("row_id").asc())
+        return srt.select(
+            (F.row_number().over(w) - 1).cast("int").alias("label"),
+            "row_id",
+            "vector",
+        )
     counts = {
         r["__part"]: r["cnt"]
         for r in srt.groupBy("__part").agg(F.count("*").alias("cnt")).collect()

@@ -88,11 +88,14 @@ class FlatIndex(BaseIndex):
             n_rows = art.count()
             m = pq.pq_m_for(meta.dim, meta.params.get("pq_m"), n=n_rows)
             sample = pq.stride_sample(art, meta.dim, n=n_rows)
+            from duckdb_annsearch_spark.index.remote import run_remote
+
+            # train in ONE Spark task, not on the driver (index/remote.py)
             if meta.params.get("opq"):
-                rotation, books = pq.train_opq(sample, m)
+                rotation, books = run_remote(None, pq.train_opq, sample, m)
                 meta.extra["opq"] = True
             else:
-                books = pq.train_pq(sample, m)
+                books = run_remote(None, pq.train_pq, sample, m)
             art = pq.add_pq_codes(art, meta.dim, books, rotation=rotation)
             meta.quantized = True
             meta.extra["quantization"] = "pq"

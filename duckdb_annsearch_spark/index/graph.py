@@ -555,7 +555,16 @@ class GraphIndex(BaseIndex):
         rows = art.orderBy("label").collect()
         vectors = np.asarray([r["vector"] for r in rows], dtype=np.float32)
         row_ids = np.asarray([r["row_id"] for r in rows], dtype=np.int64)
-        g = build_vamana(vectors, meta.metric, max_degree, build_L, alpha)
+        # build in ONE Spark task, not on the driver: the insert rounds
+        # hold the driver GIL and serialize concurrent DDL (index/remote.py)
+        from duckdb_annsearch_spark.index.remote import run_remote
+        from duckdb_annsearch_spark.index.vamana import build_pruned_adjacency
+
+        nbrs, entry = run_remote(
+            catalog.spark, build_pruned_adjacency,
+            vectors, meta.metric, max_degree, build_L, alpha,
+        )
+        g = VamanaGraph(vectors, nbrs, entry, meta.metric)
         if p.get("quantization") == "sq8":
             # per-dim min/scale + u8 codes (diskann_quantization.test:24-90);
             # full precision kept alongside (provider.rs:25-31)

@@ -597,9 +597,13 @@ class IvfFlatIndex(BaseIndex):
                 # applies R^T before the probe adds c back, so serving
                 # stays original-space (training on residuals is the
                 # distribution the codes must cover)
-                rotation, books = pq.train_opq(res_sample, m)
+                from duckdb_annsearch_spark.index.remote import run_remote
+
+                rotation, books = run_remote(None, pq.train_opq, res_sample, m)
             else:
-                books = pq.train_pq(res_sample, m)
+                from duckdb_annsearch_spark.index.remote import run_remote
+
+                books = run_remote(None, pq.train_pq, res_sample, m)
             assigned = pq.add_pq_codes(
                 assigned, meta.dim, books,
                 residual_centroids=centroids, rotation=rotation,

@@ -106,13 +106,21 @@ def sharded_build(
 
         n_total = art.count()
         pq_m = pq_m_for(meta.dim, p.get("pq_m"), n=n_total)
+        from duckdb_annsearch_spark.index.remote import run_remote
+
+        # train in ONE Spark task, not on the driver: the Lloyd loops hold
+        # the driver GIL and serialize concurrent builds (index/remote.py)
         if p.get("opq"):
             # OPQ on the sharded path: one index-global rotation learned
             # with the codebooks; shards encode x @ R, every decode applies
             # R^T — cross-shard comparability holds exactly as for plain PQ
-            pq_rot, pq_books = train_opq(stride_sample(art, meta.dim, n=n_total), pq_m)
+            pq_rot, pq_books = run_remote(
+                spark, train_opq, stride_sample(art, meta.dim, n=n_total), pq_m
+            )
         else:
-            pq_books = train_pq(stride_sample(art, meta.dim, n=n_total), pq_m)
+            pq_books = run_remote(
+                spark, train_pq, stride_sample(art, meta.dim, n=n_total), pq_m
+            )
     centroids = None
     if by == "kmeans":
         # SPANN-style clustered shards: rows go to their nearest centroid's
@@ -204,10 +212,18 @@ def sharded_build(
     path = catalog.data_path(meta.name)
     built.write.mode("overwrite").partitionBy("shard").parquet(path)
 
-    entries = {
-        int(r["shard"]): int(r["entry"])
-        for r in spark.read.parquet(path).select("shard", "entry").distinct().collect()
-    }
+    # entries AND the total row count in ONE job (r9: these were a
+    # distinct-collect plus a separate full count — two passes over the
+    # written artifact); grouping on (shard, entry) is equivalent because
+    # entry is constant within a shard by construction
+    shard_rows = (
+        spark.read.parquet(path)
+        .groupBy("shard", "entry")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    entries = {int(r["shard"]): int(r["entry"]) for r in shard_rows}
+    n = int(sum(r["cnt"] for r in shard_rows))
     side = {"metric": metric, "shards": entries, "entry_point": 0}
     if sq8_mins is not None:
         side["sq8_mins"] = sq8_mins
@@ -253,7 +269,6 @@ def sharded_build(
             _sidecars, "shard int, ok boolean"
         ).count()
 
-    n = spark.read.parquet(path).count()
     meta.extra["shards"] = shards
     meta.extra["shard_ids"] = sorted(entries)
     if centroids is not None:
@@ -316,13 +331,19 @@ def streaming_build(
     pilot_global = np.asarray([r["label"] for r in pilot_rows], dtype=np.int64)
     pilot_vecs = np.asarray([r["vector"] for r in pilot_rows], dtype=np.float32)
     pilot_rowids = np.asarray([r["row_id"] for r in pilot_rows], dtype=np.int64)
-    g = build_vamana(pilot_vecs, metric, max_degree, build_L, alpha)
-    from duckdb_annsearch_spark.index.vamana import prune_to_degree
+    # pilot build + occlusion-order prune of the 1.3x backedge slack (must
+    # happen BEFORE the pilot is written or broadcast — truncation would
+    # drop edges in recency order) run in ONE Spark task, not on the
+    # driver: the Python-loop-heavy insert rounds otherwise hold the
+    # driver GIL and serialize concurrent index builds (index/remote.py)
+    from duckdb_annsearch_spark.index.remote import run_remote
+    from duckdb_annsearch_spark.index.vamana import build_pruned_adjacency
 
-    # occlusion-order prune of the 1.3x backedge slack BEFORE the pilot is
-    # written or broadcast — truncation would drop edges in recency order
-    prune_to_degree(g, max_degree, alpha)
-    entry_global = int(pilot_global[g.entry_point])
+    pilot_neighbors, pilot_entry = run_remote(
+        spark, build_pruned_adjacency,
+        pilot_vecs, metric, max_degree, build_L, alpha, True,
+    )
+    entry_global = int(pilot_global[pilot_entry])
 
     pilot_df = spark.createDataFrame(
         pd.DataFrame(
@@ -335,7 +356,7 @@ def streaming_build(
                 "row_id": [int(x) for x in pilot_rowids],
                 "vector": [pilot_vecs[i].tolist() for i in range(len(pilot_global))],
                 "neighbors": [
-                    [int(x) for x in pilot_global[g.neighbors[i]]]
+                    [int(x) for x in pilot_global[pilot_neighbors[i]]]
                     for i in range(len(pilot_global))
                 ],
                 "is_patch": [False] * len(pilot_global),
@@ -354,10 +375,10 @@ def streaming_build(
         from duckdb_annsearch_spark.index.vamana import NO_NEIGHBOR, pad_neighbors
 
         packed = pad_neighbors(
-            [g.neighbors[i] for i in range(len(pilot_global))], max_degree
+            [pilot_neighbors[i] for i in range(len(pilot_global))], max_degree
         )
         bc = spark.sparkContext.broadcast(
-            (pilot_vecs, packed, pilot_global, g.entry_point)
+            (pilot_vecs, packed, pilot_global, pilot_entry)
         )
         n_parts = max(1, min(2048, -(-n_rest // partition_rows)))
         n_parts = max(n_parts, spark.sparkContext.defaultParallelism)

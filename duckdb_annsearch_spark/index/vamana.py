@@ -463,3 +463,21 @@ def pad_neighbors(neighbors: list[np.ndarray], max_degree: int) -> np.ndarray:
         m = min(len(nb), max_degree)
         out[i, :m] = nb[:m]
     return out
+
+
+def build_pruned_adjacency(
+    x: np.ndarray,
+    metric: str,
+    max_degree: int,
+    build_L: int,
+    alpha: float,
+    prune: bool = False,
+) -> tuple[list, int]:
+    """``build_vamana`` (optionally + ``prune_to_degree``) returning only
+    ``(neighbors, entry_point)`` — the payload a remote builder ships back
+    (``index/remote.py``): vectors stay with the caller, and the adjacency
+    is identical to calling the two functions locally."""
+    g = build_vamana(x, metric, max_degree, build_L, alpha)
+    if prune:
+        prune_to_degree(g, max_degree, alpha)
+    return [g.neighbors[i] for i in range(x.shape[0])], g.entry_point
