@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_annsearch_spark.pipeline.text import bind
+
 # Gopher's required-word list (arXiv:2112.11446 A1.1: "contains at least
 # two of the following English words") — kept verbatim.
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -59,6 +61,81 @@ def _occurrences(text: Column, needle: str) -> Column:
     return (hole / len(needle)).cast("long")
 
 
+GOPHER_STAT_FIELDS = (
+    "n_words",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "n_required_words",
+)
+
+
+def gopher_stats_struct(text: Column) -> Column:
+    """Every Gopher rule statistic as ONE struct column computed in a
+    single pass: the word/line/lowered arrays are bound once (r9 —
+    emitting each stat as its own column re-split the text per column,
+    and the 8 required-word checks each re-split the lowered text)."""
+    t = F.coalesce(text, F.lit(""))
+    n_symbols = _occurrences(t, "#") + _occurrences(t, ELLIPSIS_SUFFIX)
+
+    def _stats(arrs: Column) -> Column:
+        words, lines, lowered = arrs["w"], arrs["ln"], arrs["lw"]
+        n_words = F.size(words).cast("long")
+        n_lines = F.size(lines).cast("long")
+        sum_word_len = F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+
+        def _is_bullet(l: Column) -> Column:
+            cond = F.lit(False)
+            for p in BULLET_PREFIXES:
+                cond = cond | l.startswith(p)
+            return cond
+
+        n_bullet = F.size(F.filter(lines, _is_bullet)).cast("long")
+        n_ellipsis = F.size(
+            F.filter(lines, lambda l: l.endswith(ELLIPSIS_SUFFIX))
+        ).cast("long")
+        # "word contains a letter" via translate-deletion — the same
+        # predicate as rlike('[a-zA-Z]') but without regex machinery per
+        # word (measured 4x at 200k docs; this rule is one check per
+        # word, the module's hottest expression)
+        letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        n_alpha = F.size(
+            F.filter(words, lambda w: F.translate(w, letters, "") != w)
+        ).cast("long")
+        n_required = sum(
+            (
+                F.array_contains(lowered, w).cast("int")
+                for w in GOPHER_REQUIRED_WORDS
+            ),
+            start=F.lit(0),
+        ).cast("int")
+        nz = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(  # noqa: E731
+            F.lit(0.0)
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            F.round(nz(sum_word_len, n_words), 6).alias("mean_word_len"),
+            F.round(nz(n_symbols, n_words), 6).alias("symbol_word_ratio"),
+            F.round(nz(n_bullet, n_lines), 6).alias("bullet_line_frac"),
+            F.round(nz(n_ellipsis, n_lines), 6).alias("ellipsis_line_frac"),
+            F.round(nz(n_alpha, n_words), 6).alias("alpha_word_frac"),
+            n_required.alias("n_required_words"),
+        )
+
+    return bind(
+        F.struct(
+            word_list(t).alias("w"),
+            line_list(t).alias("ln"),
+            F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "").alias("lw"),
+        ),
+        _stats,
+    )
+
+
 def gopher_stats(text: Column) -> dict[str, Column]:
     """The per-document statistics behind the Gopher rules, each as a
     named column expression (pure JVM):
@@ -70,56 +147,13 @@ def gopher_stats(text: Column) -> dict[str, Column]:
     - ``ellipsis_line_frac``   lines ending in '...'
     - ``alpha_word_frac``      words containing >= 1 ASCII letter
     - ``n_required_words``     distinct GOPHER_REQUIRED_WORDS present
-    """
-    t = F.coalesce(text, F.lit(""))
-    words = word_list(t)
-    lines = line_list(t)
-    n_words = F.size(words).cast("long")
-    n_lines = F.size(lines).cast("long")
-    sum_word_len = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    n_symbols = _occurrences(t, "#") + _occurrences(t, ELLIPSIS_SUFFIX)
-    def _is_bullet(l: Column) -> Column:
-        cond = F.lit(False)
-        for p in BULLET_PREFIXES:
-            cond = cond | l.startswith(p)
-        return cond
 
-    n_bullet = F.size(F.filter(lines, _is_bullet)).cast("long")
-    n_ellipsis = F.size(
-        F.filter(lines, lambda l: l.endswith(ELLIPSIS_SUFFIX))
-    ).cast("long")
-    # "word contains a letter" via translate-deletion — the same predicate
-    # as rlike('[a-zA-Z]') but without regex machinery per word (measured
-    # 4x at 200k docs; this rule is one check per word, the module's
-    # hottest expression)
-    letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    n_alpha = F.size(
-        F.filter(words, lambda w: F.translate(w, letters, "") != w)
-    ).cast("long")
-    lowered = F.filter(
-        F.split(F.lower(t), r"\s+"), lambda w: w != ""
-    )
-    n_required = sum(
-        (
-            F.array_contains(lowered, w).cast("int")
-            for w in GOPHER_REQUIRED_WORDS
-        ),
-        start=F.lit(0),
-    ).cast("int")
-    nz = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(  # noqa: E731
-        F.lit(0.0)
-    )
-    return {
-        "n_words": n_words,
-        "mean_word_len": F.round(nz(sum_word_len, n_words), 6),
-        "symbol_word_ratio": F.round(nz(n_symbols, n_words), 6),
-        "bullet_line_frac": F.round(nz(n_bullet, n_lines), 6),
-        "ellipsis_line_frac": F.round(nz(n_ellipsis, n_lines), 6),
-        "alpha_word_frac": F.round(nz(n_alpha, n_words), 6),
-        "n_required_words": n_required,
-    }
+    Each entry is a field of :func:`gopher_stats_struct`; a consumer
+    selecting SEVERAL entries as separate columns should stage the struct
+    once instead (the way :func:`gopher_filter` does) — every dict entry
+    re-evaluates the shared struct."""
+    s = gopher_stats_struct(text)
+    return {name: s[name] for name in GOPHER_STAT_FIELDS}
 
 
 def gopher_keep(
@@ -159,13 +193,32 @@ def gopher_filter(
     ``keep_stats=True`` instead RETURNS every row with the stat columns and
     a ``keep`` boolean (the audit/reporting shape — threshold tuning wants
     the marginal distributions, not the survivors)."""
-    stats = gopher_stats(F.col(text_col))
+    packed = gopher_stats_struct(F.col(text_col))
     if keep_stats:
-        out = df
-        for name, col in stats.items():
-            out = out.withColumn(name, col)
-        return out.withColumn("keep", gopher_keep(stats, **thresholds))
-    return df.where(gopher_keep(stats, **thresholds))
+        # stage the struct through its own projection (multi-ref +
+        # non-cheap, so CollapseProject keeps the boundary): the stat
+        # columns and the keep decision are then cheap field gets over
+        # ONE evaluation per row
+        out = df.withColumn("__gs", packed)
+        fields = {n: F.col("__gs")[n] for n in GOPHER_STAT_FIELDS}
+        for name in GOPHER_STAT_FIELDS:
+            out = out.withColumn(name, F.col("__gs")[name])
+        return out.withColumn(
+            "keep", gopher_keep(fields, **thresholds)
+        ).drop("__gs")
+    return df.where(gopher_keep_col(F.col(text_col), **thresholds))
+
+
+def gopher_keep_col(text: Column, **thresholds) -> Column:
+    """The Gopher keep decision as ONE bound expression: the stats struct
+    evaluates once and the rule conjunction reads its fields (a dict of
+    :func:`gopher_stats` entries would re-evaluate the struct per rule)."""
+    return bind(
+        gopher_stats_struct(text),
+        lambda s: gopher_keep(
+            {n: s[n] for n in GOPHER_STAT_FIELDS}, **thresholds
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -220,25 +273,49 @@ def c4_stats(
     line-cleaned text: C4 (1910.10683 §2.2) drops pages on raw content, so
     a page whose only offending lines the line rules removed (e.g. a code
     line ``function() {`` with no terminal punctuation) must still drop.
-    """
-    clean = c4_clean_text(text, min_words_per_line)
-    n_sent = sum(
-        (_occurrences(clean, p) for p in (".", "!", "?")),
-        start=F.lit(0).cast("long"),
-    )
+
+    Each entry is a field of :func:`c4_stats_struct`; a consumer selecting
+    SEVERAL entries should stage the struct once (as :func:`c4_filter`
+    does) — every dict entry re-evaluates the shared struct."""
+    s = c4_stats_struct(text, min_words_per_line, min_sentences)
+    return {name: s[name] for name in C4_STAT_FIELDS}
+
+
+C4_STAT_FIELDS = ("clean_text", "n_lines_kept", "n_sentences", "keep")
+
+
+def c4_stats_struct(
+    text: Column, min_words_per_line: int = 5, min_sentences: int = 3
+) -> Column:
+    """The :func:`c4_stats` fields as ONE struct computed in a single
+    pass: the cleaned text and the sentence count are bound once (r9 —
+    emitting them as separate columns re-ran the per-line word-count
+    filter up to 6x per row)."""
     low = F.lower(text)
     bad = F.lit(False)
     for s in C4_BAD_SUBSTRINGS:
         bad = bad | low.contains(s)
-    kept_lines = F.when(
-        clean == "", F.lit(0)
-    ).otherwise(F.size(F.split(clean, "\n"))).cast("long")
-    return {
-        "clean_text": clean,
-        "n_lines_kept": kept_lines,
-        "n_sentences": n_sent,
-        "keep": (n_sent >= min_sentences) & ~bad,
-    }
+
+    def _pack(clean: Column) -> Column:
+        n_sent_e = sum(
+            (_occurrences(clean, p) for p in (".", "!", "?")),
+            start=F.lit(0).cast("long"),
+        )
+
+        def _inner(n_sent: Column) -> Column:
+            kept_lines = F.when(
+                clean == "", F.lit(0)
+            ).otherwise(F.size(F.split(clean, "\n"))).cast("long")
+            return F.struct(
+                clean.alias("clean_text"),
+                kept_lines.alias("n_lines_kept"),
+                n_sent.alias("n_sentences"),
+                ((n_sent >= min_sentences) & ~bad).alias("keep"),
+            )
+
+        return bind(n_sent_e, _inner)
+
+    return bind(c4_clean_text(text, min_words_per_line), _pack)
 
 
 def c4_filter(
@@ -252,16 +329,21 @@ def c4_filter(
     text and failing documents are dropped.  ``keep_stats=True`` returns
     every row with ``clean_text``/``n_lines_kept``/``n_sentences``/``keep``
     audit columns and the original text intact."""
-    stats = c4_stats(F.col(text_col), min_words_per_line, min_sentences)
+    packed = c4_stats_struct(F.col(text_col), min_words_per_line, min_sentences)
     if keep_stats:
-        out = df
-        for name, col in stats.items():
-            out = out.withColumn(name, col)
-        return out
+        # stage the struct once (multi-ref + non-cheap keeps the
+        # projection boundary); stat columns are cheap field gets
+        out = df.withColumn("__cs", packed)
+        for name in C4_STAT_FIELDS:
+            out = out.withColumn(name, F.col("__cs")[name])
+        return out.drop("__cs")
     # filter BEFORE replacing: keep references the RAW page text, and
     # withColumn-then-where would re-resolve that reference against the
-    # already-cleaned column (page-level drops are raw-content semantics)
+    # already-cleaned column (page-level drops are raw-content semantics).
+    # The where-side struct evaluates once per row; survivors re-clean
+    # once for the replacement column (a staged column + where would be
+    # inlined 2x by predicate pushdown instead).
     return (
-        df.where(stats["keep"])
-        .withColumn(text_col, stats["clean_text"])
+        df.where(packed["keep"])
+        .withColumn(text_col, packed["clean_text"])
     )

@@ -133,16 +133,12 @@ def corpus_funnel(
     else:
         work = t
     if gopher:
-        from duckdb_annsearch_spark.pipeline.filters import (
-            gopher_keep,
-            gopher_stats,
-        )
+        from duckdb_annsearch_spark.pipeline.filters import gopher_keep_col
 
+        # single bound expression: the stats struct evaluates once per row
+        # (gopher_keep over the stats dict re-evaluated it per rule — r9)
         row_stages.append(
-            (
-                "gopher",
-                gopher_keep(gopher_stats(work), **(gopher_thresholds or {})),
-            )
+            ("gopher", gopher_keep_col(work, **(gopher_thresholds or {})))
         )
     if langs is not None:
         row_stages.append(("lang", detect_language(work).isin(list(langs))))
