@@ -159,8 +159,24 @@ def bloom_from_df(
     out = BloomFilter(
         np.zeros(num_bits // 64, dtype=np.uint64), num_bits, num_hashes
     )
-    for row in parts.toLocalIterator():
-        out.words |= np.frombuffer(bytes(row["bitmap"]), dtype=np.uint64)
+    # OR-reduce the per-partition bitmaps in ONE treeReduce job:
+    # toLocalIterator (the r8 shape) launches one sequential mini-job per
+    # partition — 32 handshakes for a 32-partition input (r9 measurement:
+    # the bloom-guarded dedup ran 62 jobs).  Memory stays bounded: an
+    # executor holds at most two partial bitmaps during the merge and the
+    # driver receives exactly one.
+
+    def _or(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint64)
+            | np.frombuffer(b, dtype=np.uint64)
+        ).tobytes()
+
+    try:
+        merged = parts.rdd.map(lambda r: bytes(r["bitmap"])).treeReduce(_or)
+    except ValueError:
+        return out  # zero-row source: nothing set, empty filter
+    out.words |= np.frombuffer(merged, dtype=np.uint64)
     return out
 
 

@@ -622,13 +622,19 @@ def duplicate_clusters(
     scale the verified-duplicate graph is orders of magnitude smaller than
     the corpus; above the cap the distributed rounds run unchanged.
     ``max_driver_edges=None`` forces the distributed loop."""
+    # lazy checkpoint (r9): eager ran a dedicated materialization job, then
+    # the cap gate ran a count job, then the fast path collected — three
+    # actions over one tiny relation.  Lazy materializes inside whichever
+    # action runs first; the loop rounds (the multi-consumer case) still
+    # reuse the same blocks.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    if max_driver_edges is not None and edges.count() <= int(max_driver_edges):
+    rows = None
+    if max_driver_edges is not None:
         # match the distributed loop exactly: labels exist only for ids, so
         # edges touching out-of-ids endpoints never propagate there — drop
         # them here too (pairs from a wider corpus than ids is a legal call)
@@ -637,7 +643,13 @@ def duplicate_clusters(
             edges.join(idsr.withColumnRenamed("__id", "src"), "src", "left_semi")
             .join(idsr.withColumnRenamed("__id", "dst"), "dst", "left_semi")
         )
-        rows = edges_in.collect()
+        # ONE capped take replaces the count-gate job + the collect job:
+        # at most cap+1 rows ever reach the driver, and > cap falls through
+        # to the distributed loop untouched
+        rows = edges_in.take(int(max_driver_edges) + 1)
+        if len(rows) > int(max_driver_edges):
+            rows = None
+    if rows is not None:
         parent: dict = {}
 
         def find(u):
@@ -742,10 +754,19 @@ def dedup_fuzzy(
     # NULL-safe key: md5(NULL) is NULL and equi-joins drop NULL keys, which
     # would silently delete NULL-text rows from the output; give each such
     # row its own key so it survives as its own singleton cluster
+    from pyspark.sql import Window
+
     hexp = _content_key(text_col, id_col).alias("__h")
-    m = df.select(F.col(id_col), hexp)
-    reps = m.groupBy("__h").agg(F.min(id_col).alias("__rep"))
-    mapping = m.join(reps, "__h").select(id_col, "__rep")
+    # per-group min via ONE window over the content-hash exchange (r9: the
+    # groupBy + join-back shape exchanged the id/hash relation twice);
+    # lazy-checkpointed because mapping feeds both the unique-text filter
+    # and the final cluster join — without it the md5 pass runs twice
+    mapping = (
+        df.select(F.col(id_col), hexp)
+        .withColumn("__rep", F.min(id_col).over(Window.partitionBy("__h")))
+        .select(id_col, "__rep")
+        .localCheckpoint(eager=False)
+    )
     uniq = df.join(
         mapping.where(F.col(id_col) == F.col("__rep")).select(id_col), id_col
     )
