@@ -571,10 +571,18 @@ def verify_jaccard_pairs(
     """Exact shingle-Jaccard verification of an (a, b) candidate-pair set —
     the second stage of the MinHash pipeline. Joins each side's shingle
     array onto the pairs and computes intersection/union per pair, so cost
-    is O(|pairs| · shingles-per-doc), never a posting-list blow-up."""
-    sh = df.select(
-        F.col(id_col).alias("__vid"),
-        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    is O(|pairs| · shingles-per-doc), never a posting-list blow-up.
+
+    The shingle relation feeds BOTH join sides — lazy-checkpointed so the
+    md5 shingle pass runs once, not once per side (the band_buckets
+    reasoning), and fanned out of single-split scans (no-op at scale)."""
+    sh = (
+        fan_out_small(df)
+        .select(
+            F.col(id_col).alias("__vid"),
+            word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     out = (
         pairs.select(a_col, b_col)

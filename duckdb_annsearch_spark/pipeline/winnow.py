@@ -148,13 +148,21 @@ def winnow_pairs(
     posts = fps.select(
         F.col(id_col), F.col("n_fingerprints"), F.explode("fingerprints").alias("_fp")
     )
-    rare = (
-        posts.groupBy("_fp")
-        .agg(F.count("*").alias("_df"))
+    # hot-hash cap as a count-over-window on the _fp exchange (r9): the
+    # groupBy + join-back shape exchanged the posting stream twice and fed
+    # the self-join two more exchanges; the window establishes ONE hash
+    # partitioning by _fp that the self-join below reuses on both sides
+    # (identical subplans -> ReusedExchange).  count over the partition is
+    # exactly the groupBy count, so the filter is unchanged.
+    from pyspark.sql import Window
+
+    posts = (
+        posts.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_fp"))
+        )
         .where(F.col("_df") <= max_df)
-        .select("_fp")
+        .drop("_df")
     )
-    posts = posts.join(rare, "_fp")
     a = posts.select(
         F.col("_fp"),
         F.col(id_col).alias("id_a"),
