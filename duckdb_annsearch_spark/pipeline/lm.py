@@ -100,7 +100,12 @@ def lm_perplexity(
     """
     counts_external = counts is not None
     if counts is None:
-        counts = train_ngram_counts(docs, text_col, n)
+        # lazy checkpoint (r9): the model table feeds BOTH the totals
+        # aggregate and the scoring join — without it the whole
+        # tokenize/explode/count training pass runs twice
+        counts = train_ngram_counts(docs, text_col, n).localCheckpoint(
+            eager=False
+        )
     toks = tokenize(F.col(text_col))
     grams = fan_out_small(docs).select(
         F.col(id_col), F.explode(_grams(toks, n)).alias("gram")
@@ -133,7 +138,9 @@ def lm_perplexity(
                     "matching `cond_counts` (unigram counts of the SAME "
                     "training corpus)"
                 )
-            cond_counts = train_ngram_counts(docs, text_col, 1)
+            cond_counts = train_ngram_counts(docs, text_col, 1).localCheckpoint(
+                eager=False
+            )
         vocab = cond_counts.agg(F.count("*").alias("_V"))
         ctx = cond_counts.select(
             F.col("gram").alias("_ctx"), F.col("cnt").alias("_ctx_cnt")
