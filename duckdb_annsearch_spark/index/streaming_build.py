@@ -324,7 +324,15 @@ def streaming_build(
     # re-serialized per stage.
     stride = n / m
     pilot_labels = sorted({min(int(i * stride), n - 1) for i in range(m)})
-    labels_df = spark.createDataFrame([(int(l),) for l in pilot_labels], "label int")
+    # one slice, not defaultParallelism slices: this tiny local relation
+    # only feeds a broadcast — 32 near-empty tasks per consuming job
+    # otherwise (r9 job profile)
+    labels_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(int(l),) for l in pilot_labels], 1
+        ),
+        "label int",
+    )
     pilot_rows = (
         art.join(F.broadcast(labels_df), "label").orderBy("label").collect()
     )
@@ -380,8 +388,14 @@ def streaming_build(
         bc = spark.sparkContext.broadcast(
             (pilot_vecs, packed, pilot_global, pilot_entry)
         )
+        # partition count derives from partition_rows ALONE (r9): the old
+        # defaultParallelism floor blew a 4-partition toy insert up to 32
+        # tasks, each paying the full pilot-graph copy + Python insert
+        # rounds for ~30 rows (8x the fixed cost, measured 2.8 s/job
+        # solo); at real scale ceil(n/partition_rows) exceeds any core
+        # count and the floor never fired anyway.  partition_rows is the
+        # documented parallelism/memory knob (reference parity: 50k).
         n_parts = max(1, min(2048, -(-n_rest // partition_rows)))
-        n_parts = max(n_parts, spark.sparkContext.defaultParallelism)
 
         def insert_partition(
             batches: Iterator[pd.DataFrame],
