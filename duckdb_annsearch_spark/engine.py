@@ -179,6 +179,18 @@ class RegisteredTable:
         self.name = name
         self.df = df
         self.row_id = row_id
+        # column -> validated vector dimension (r10): every create_index /
+        # streaming_build on one table paid its own probe job + full
+        # dim-consistency scan — a 20-index warm-up re-validated the same
+        # column ~18 times.  Cleared on insert/delete (df is rebound there),
+        # so the cache never outlives the relation it validated.  The lock
+        # serializes the first probe: concurrent builds (the warm-up shape)
+        # would otherwise all miss the cold cache at once and re-run the
+        # very jobs the cache exists to dedupe.
+        import threading
+
+        self.dim_cache: dict[str, int] = {}
+        self.dim_lock = threading.Lock()
 
 
 class AnnEngine:
@@ -221,6 +233,56 @@ class AnnEngine:
         if name not in self._tables:
             raise KeyError(f"table {name!r} is not registered with the engine")
         return self._tables[name]
+
+    def _validated_dim(self, t: RegisteredTable, column: str, expect=None) -> int:
+        """The column's vector dimension, with the one-consistent-dimension
+        check enforced (the reference's FLOAT[N] type guarantees this
+        statically; Spark arrays don't, and a mismatched row would
+        otherwise be silently indexed as the zero vector —
+        kernels.stack_vectors zero-fills bad rows).
+
+        Cached per RegisteredTable+column (r10): the probe job + the
+        consistency scan are properties of the RELATION, not of the index —
+        a multi-index warm-up on one table paid both ~18x.  insert/delete
+        clear the cache (they rebind ``t.df``).  ``expect`` pins the
+        dimension from caller metadata instead of the probe; a cached
+        validation at a DIFFERENT dim means mismatched rows exist."""
+        with t.dim_lock:
+            cached = t.dim_cache.get(column)
+            if cached is not None:
+                if expect is not None and int(expect) != cached:
+                    raise ValueError(
+                        f"ANN index column must be FLOAT[{int(expect)}]: "
+                        f"{t.name}.{column} has rows with a different dimension"
+                    )
+                return cached
+            if expect is None:
+                probe = (
+                    t.df.where(F.col(column).isNotNull())
+                    .select(F.size(F.col(column)).alias("d"))
+                    .first()
+                )
+                if probe is None:
+                    raise ValueError(
+                        f"cannot infer dimension: {t.name}.{column} has no rows"
+                    )
+                dim = int(probe["d"])
+            else:
+                dim = int(expect)
+            bad = (
+                t.df.where(
+                    F.col(column).isNotNull() & (F.size(F.col(column)) != dim)
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"ANN index column must be FLOAT[{dim}]: {t.name}.{column} "
+                    f"has rows with a different dimension"
+                )
+            t.dim_cache[column] = dim
+            return dim
 
     # ------------------------------------------------------------- index DDL
     def create_index(
@@ -342,32 +404,7 @@ class AnnEngine:
 
         # dimension: from metadata or a one-row probe (Spark arrays are not
         # fixed-size; the engine owns the dimension — SURVEY §1.2)
-        dim = params.pop("dim", None)
-        if dim is None:
-            probe = (
-                t.df.where(F.col(column).isNotNull())
-                .select(F.size(F.col(column)).alias("d"))
-                .first()
-            )
-            if probe is None:
-                raise ValueError(f"cannot infer dimension: {table}.{column} has no rows")
-            dim = int(probe["d"])
-        # enforce one consistent dimension across ALL rows — the reference's
-        # FLOAT[N] type guarantees this statically; Spark arrays don't, and
-        # a mismatched row would otherwise be silently indexed as the zero
-        # vector (kernels.stack_vectors zero-fills bad rows)
-        bad = (
-            t.df.where(
-                F.col(column).isNotNull() & (F.size(F.col(column)) != dim)
-            )
-            .limit(1)
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"ANN index column must be FLOAT[{dim}]: {table}.{column} has "
-                f"rows with a different dimension"
-            )
+        dim = self._validated_dim(t, column, expect=params.pop("dim", None))
 
         if itype == "diskann":
             # GraphIndex.build is the reference-parity in-RAM build (every
@@ -471,6 +508,7 @@ class AnnEngine:
         grows the table and its indexes together)."""
         t = self.table(table)
         t.df = t.df.unionByName(rows.select(*t.df.columns))
+        t.dim_cache.clear()  # new rows: dim must be re-validated
         for meta in self.catalog.for_table(table):
             if meta.engine == "fts":
                 continue
@@ -504,6 +542,7 @@ class AnnEngine:
                 [(int(r),) for r in row_ids], f"{t.row_id} long"
             )
         t.df = t.df.join(ids_df, on=t.row_id, how="left_anti")
+        t.dim_cache.clear()  # df rebound; a later probe must see the new relation
         for meta in self.catalog.for_table(table):
             if isinstance(row_ids, DataFrame):
                 self.catalog.add_tombstones(meta.name, row_ids)
@@ -746,13 +785,7 @@ class AnnEngine:
             raise ValueError(f"Index with name {name!r} already exists")
         t = self.table(table)
         column = column or detect_vector_column(t.df)
-        probe = (
-            t.df.where(F.col(column).isNotNull())
-            .select(F.size(F.col(column)).alias("d"))
-            .first()
-        )
-        if probe is None:
-            raise ValueError(f"cannot infer dimension: {table}.{column} has no rows")
+        dim = self._validated_dim(t, column)
         quant = str(params.get("quantization", "")).lower() or None
         if quant is not None:
             params["quantization"] = quant
@@ -774,7 +807,7 @@ class AnnEngine:
             index_type="diskann",
             table_name=table,
             column=column,
-            dim=int(probe["d"]),
+            dim=dim,
             metric=_normalize_metric(metric),
             params=params,
         )

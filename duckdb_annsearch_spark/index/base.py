@@ -58,7 +58,12 @@ def with_labels(df: DataFrame, row_id_col: str, vector_col: str) -> DataFrame:
         est_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        n_parts = max(1, min(cores, -(-est_bytes // (64 << 20))))
+        # 16 MB of ESTIMATED bytes per range partition: for parquet scans
+        # the optimizer estimate is the on-disk (compressed+encoded) size,
+        # commonly ~4x below in-memory row size — a 64 MB divisor could
+        # funnel a genuinely large input into 1-2 partitions (ADVICE r9).
+        # Estimate errors only move task sizing, never results.
+        n_parts = max(1, min(cores, -(-est_bytes // (16 << 20))))
     except Exception:
         n_parts = cores
     srt = (

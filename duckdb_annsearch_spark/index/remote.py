@@ -21,13 +21,38 @@ from __future__ import annotations
 
 __all__ = ["run_remote"]
 
+# Above this many bytes of ndarray arguments the step runs on the driver
+# instead (the r8 behavior): a large task closure pays serialization both
+# ways and the result (which scales with the input for the training steps
+# routed here) must fit spark.driver.maxResultSize (default 1g) on the
+# collect back — a big driver build that succeeded locally must never
+# start failing because its training step was shipped (ADVICE r9).  The
+# GIL-contention win this module exists for only matters for CONCURRENT
+# small/medium builds; a build with a 100+ MB training input dominates its
+# own wall anyway.
+CLOSURE_MAX_BYTES = 128 << 20
+
+
+def _args_nbytes(args, kwargs) -> int:
+    import numpy as np
+
+    total = 0
+    for a in list(args) + list(kwargs.values()):
+        if isinstance(a, np.ndarray):
+            total += a.nbytes
+    return total
+
 
 def run_remote(spark, fn, *args, **kwargs):
     """Run ``fn(*args, **kwargs)`` in ONE Spark task and return its result.
 
     ``fn`` must be a module-level function of a shipped/importable module
     (pickled by reference).  ``spark=None`` resolves the active session
-    (builder fallback for fresh driver threads, like _timed_builds)."""
+    (builder fallback for fresh driver threads, like _timed_builds).
+    Inputs above ``CLOSURE_MAX_BYTES`` run driver-local instead — see the
+    constant's rationale."""
+    if _args_nbytes(args, kwargs) > CLOSURE_MAX_BYTES:
+        return fn(*args, **kwargs)
     if spark is None:
         from pyspark.sql import SparkSession
 

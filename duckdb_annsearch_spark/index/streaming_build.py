@@ -38,8 +38,10 @@ from duckdb_annsearch_spark.index.vamana import (
     DEFAULT_ALPHA,
     DEFAULT_BUILD_COMPLEXITY,
     DEFAULT_MAX_DEGREE,
+    NO_NEIGHBOR,
     _dists,
     build_vamana,
+    pad_neighbors,
     robust_prune,
 )
 
@@ -49,6 +51,15 @@ VERTEX_SCHEMA = (
     "label int, row_id long, vector array<float>, neighbors array<int>, "
     "is_patch boolean"
 )
+
+# insert output: vertex rows plus, on patch rows, the vectors of the
+# patch's NON-PILOT neighbors aligned with ``neighbors`` (None where the
+# neighbor is a pilot — those vectors ride the pilot broadcast).  Shipping
+# the vectors with the patch lets the merge prune pilots from ONE groupBy
+# over the patch rows instead of explode + distinct + a join against the
+# full vertex relation (r10; was 3 extra exchanges carrying every dst
+# vector).
+INSERT_SCHEMA = VERTEX_SCHEMA + ", nbr_vecs array<array<float>>"
 
 SHARD_SCHEMA = (
     "shard int, label int, row_id long, vector array<float>, "
@@ -375,16 +386,15 @@ def streaming_build(
 
     rest = art.join(F.broadcast(labels_df), "label", "left_anti")
     n_rest = n - len(pilot_global)
+    # the pilot adjacency as ONE padded int64 matrix: pickling a single
+    # array is far cheaper than a python list of per-node arrays (paid
+    # once per executor worker); shared by the insert pass AND the patch
+    # merge (base edges)
+    packed = pad_neighbors(
+        [pilot_neighbors[i] for i in range(len(pilot_global))], max_degree
+    ) if len(pilot_global) else np.zeros((0, max_degree), dtype=np.int64)
     if n_rest > 0:
         # ---- pass 2: partition-parallel streaming inserts against the pilot
-        # ship the pilot adjacency as ONE padded int64 matrix: pickling a
-        # single array is far cheaper than a python list of per-node arrays
-        # (paid once per executor worker)
-        from duckdb_annsearch_spark.index.vamana import NO_NEIGHBOR, pad_neighbors
-
-        packed = pad_neighbors(
-            [pilot_neighbors[i] for i in range(len(pilot_global))], max_degree
-        )
         bc = spark.sparkContext.broadcast(
             (pilot_vecs, packed, pilot_global, pilot_entry)
         )
@@ -446,10 +456,15 @@ def streaming_build(
                     for i in range(nlocal)
                 ],
                 "is_patch": [False] * nlocal,
+                "nbr_vecs": [None] * nlocal,
             }
             yield pd.DataFrame(rows)
             if touched_pilot:
                 tp = sorted(touched_pilot)
+                # attach the vectors of non-pilot neighbors (positions >=
+                # npilot are this partition's own rows — their vectors are
+                # local); pilot neighbors carry None, the merge resolves
+                # them from the pilot broadcast
                 yield pd.DataFrame(
                     {
                         "label": [int(pglobal[q]) for q in tp],
@@ -462,56 +477,78 @@ def streaming_build(
                             for q in tp
                         ],
                         "is_patch": [True] * len(tp),
+                        "nbr_vecs": [
+                            [
+                                (x[p] if p >= npilot else None)
+                                for p in nbr_buf[q, : deg[q]]
+                            ]
+                            for q in tp
+                        ],
                     }
                 )
 
+        # eager materialization, ONE pass (r10): the write action below is
+        # one query whose independent AQE stage jobs (patch groupBy, final
+        # union scan) would otherwise race to first-touch a lazy cache and
+        # each re-run the insert pass — profiled as 3 concurrent ~2.8 s
+        # duplicate jobs at sf0.1.  localCheckpoint also truncates the
+        # lineage under the write.
         inserted = rest.repartition(n_parts).mapInPandas(
-            insert_partition, VERTEX_SCHEMA
-        )
+            insert_partition, INSERT_SCHEMA
+        ).localCheckpoint(eager=True)
     else:
-        inserted = spark.createDataFrame([], VERTEX_SCHEMA)
+        inserted = spark.createDataFrame([], INSERT_SCHEMA)
 
     # ---- merge: pilot adjacency = RobustPrune(base ∪ patches) per node.
-    # Edge volume is O(N * degree); everything below is joins + one grouped
-    # prune — no driver materialization.
-    inserted = inserted.persist()
+    # ONE groupBy over the patch rows (label, neighbors, nbr_vecs) — the
+    # base edges and every pilot vector come from the insert broadcast, and
+    # non-pilot neighbor vectors arrive attached to the patch, so no edge
+    # explode, no distinct, no join against the vertex relation (r10; the
+    # r9 shape shuffled every candidate edge + its vector through three
+    # extra exchanges).  Untouched pilots keep their build adjacency
+    # verbatim (already <= max_degree by construction — re-pruning an
+    # unpatched list could only drop edges, a pure recall loss).
     locals_df = inserted.where(~F.col("is_patch"))
-    patches = inserted.where(F.col("is_patch"))
-
-    edges = (
-        patches.select("label", F.explode("neighbors").alias("dst"))
-        .unionByName(pilot_df.select("label", F.explode("neighbors").alias("dst")))
-        .distinct()
+    patches = inserted.where(F.col("is_patch")).select(
+        "label", "neighbors", "nbr_vecs"
     )
-    verts = locals_df.select(
-        F.col("label").alias("dst"), F.col("vector").alias("dst_vec")
-    ).unionByName(
-        pilot_df.select(F.col("label").alias("dst"), F.col("vector").alias("dst_vec"))
-    )
-    cand = edges.join(verts, "dst")
 
-    pv_by_label = {int(l): pilot_vecs[i] for i, l in enumerate(pilot_global)}
-    bc_pv = spark.sparkContext.broadcast(pv_by_label)
-
-    # batch the per-node prune: aggregate each pilot node's candidate list,
-    # then prune many nodes per Arrow batch (a per-group applyInPandas would
-    # pay python-call overhead once per pilot node)
-    cand_g = cand.groupBy("label").agg(
-        F.collect_list(F.struct("dst", "dst_vec")).alias("cands")
+    cand_g = patches.groupBy("label").agg(
+        F.collect_list(F.struct("neighbors", "nbr_vecs")).alias("patches")
     )
+
+    bc_pilot = spark.sparkContext.broadcast((pilot_vecs, packed, pilot_global))
 
     def prune_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pv = bc_pv.value
+        pv, base, pglobal = bc_pilot.value
+        pos = {int(l): i for i, l in enumerate(pglobal)}
         for pdf in batches:
             labels, out_nb = [], []
             for i in range(len(pdf)):
                 src = int(pdf["label"].iloc[i])
-                cc = pdf["cands"].iloc[i]
-                cands = np.asarray([c["dst"] for c in cc], dtype=np.int64)
+                sp = pos[src]
+                vec_of: dict[int, np.ndarray] = {}
+                cands_set: set[int] = set()
+                b = base[sp]
+                for lb in b[b != NO_NEIGHBOR]:
+                    cands_set.add(int(pglobal[lb]))
+                for patch in pdf["patches"].iloc[i]:
+                    nbrs, nvecs = patch["neighbors"], patch["nbr_vecs"]
+                    for j, dst in enumerate(nbrs):
+                        dst = int(dst)
+                        cands_set.add(dst)
+                        v = nvecs[j]
+                        if v is not None and dst not in vec_of:
+                            vec_of[dst] = np.asarray(v, dtype=np.float32)
+                cands = np.fromiter(sorted(cands_set), dtype=np.int64)
                 vecs = np.asarray(
-                    [np.asarray(c["dst_vec"], dtype=np.float32) for c in cc]
+                    [
+                        vec_of[d] if d in vec_of else pv[pos[d]]
+                        for d in cands
+                    ],
+                    dtype=np.float32,
                 )
-                d = _dists(metric, vecs, pv[src])
+                d = _dists(metric, vecs, pv[sp])
                 local_ids = np.arange(len(cands), dtype=np.int64)
                 keep = robust_prune(-1, local_ids, d, vecs, alpha, max_degree, metric)
                 labels.append(src)
@@ -520,11 +557,13 @@ def streaming_build(
                 yield pd.DataFrame({"label": labels, "neighbors": out_nb})
 
     pruned = cand_g.mapInPandas(prune_batch, "label int, neighbors array<int>")
-    pilot_final = pilot_df.drop("neighbors").join(pruned, "label", "left").select(
+    pilot_final = pilot_df.withColumnRenamed("neighbors", "__base").join(
+        pruned, "label", "left"
+    ).select(
         "label",
         "row_id",
         "vector",
-        F.coalesce("neighbors", F.array().cast("array<int>")).alias("neighbors"),
+        F.coalesce("neighbors", "__base").alias("neighbors"),
     )
 
     final = locals_df.select("label", "row_id", "vector", "neighbors").unionByName(
@@ -551,7 +590,8 @@ def streaming_build(
     with open(os.path.join(path, "_graph_meta.json"), "w") as f:
         json.dump(side, f)
 
-    inserted.unpersist()
+    # `inserted` is a local checkpoint: its blocks are released by the
+    # ContextCleaner once the frame goes out of scope (no unpersist hook)
     art.unpersist()
     if persisted_pre_codes is not None:
         persisted_pre_codes.unpersist()

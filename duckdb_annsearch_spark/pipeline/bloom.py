@@ -174,8 +174,15 @@ def bloom_from_df(
 
     try:
         merged = parts.rdd.map(lambda r: bytes(r["bitmap"])).treeReduce(_or)
-    except ValueError:
-        return out  # zero-row source: nothing set, empty filter
+    except ValueError as exc:
+        # ONLY the empty-RDD case is expected (zero-row source -> empty
+        # filter).  A ValueError from the merge itself (e.g. mismatched
+        # bitmap buffer lengths) is corruption and must not masquerade as
+        # 'no rows' — the guarded dedup would silently miss everything
+        # (ADVICE r9).
+        if "empty" in str(exc).lower():
+            return out
+        raise
     out.words |= np.frombuffer(merged, dtype=np.uint64)
     return out
 

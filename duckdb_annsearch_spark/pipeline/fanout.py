@@ -30,6 +30,27 @@ __all__ = ["fan_out_small"]
 def fan_out_small(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff it is planned with
     fewer partitions than that (else returns ``df`` untouched)."""
+    # keyless repartition sorts rows before exchanging them
+    # (sortBeforeRepartition) — a MapType anywhere in the schema is
+    # unorderable and would fail plan compilation (ADVICE r9); such
+    # frames pass through untouched
+    from pyspark.sql import types as T
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    if not all(_orderable(f.dataType) for f in df.schema.fields):
+        return df
+    if getattr(df, "_fanned_out", False):
+        # nested call sites (composite operators over already-fanned
+        # inputs): skip the physical-planning probe below entirely
+        return df
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     try:
@@ -39,4 +60,6 @@ def fan_out_small(df: DataFrame) -> DataFrame:
         return df
     if cur >= cores:
         return df
-    return df.repartition(cores)
+    out = df.repartition(cores)
+    out._fanned_out = True
+    return out

@@ -27,6 +27,7 @@ def main() -> None:
     os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
         os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
         + f";spark.eventLog.enabled=true;spark.eventLog.dir=file://{evdir}"
+        + ";spark.eventLog.compress=false;spark.eventLog.rolling.enabled=false"
     ).lstrip(";")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -76,7 +77,9 @@ def main() -> None:
         print(f"# {target} solo build wall: {wall:.2f}s", file=sys.stderr)
 
     spark.stop()  # flush the event log
-    logs = [os.path.join(evdir, f) for f in os.listdir(evdir)]
+    logs = []
+    for root, _dirs, files in os.walk(evdir):
+        logs += [os.path.join(root, f) for f in files if "appstatus" not in f]
     jobs: dict[int, dict] = {}
     for fn in logs:
         with open(fn) as f:
