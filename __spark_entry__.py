@@ -2316,13 +2316,18 @@ def q_dedup_against(spark, sf_dir):
 
 
 def q_dedup_against_bloom(spark, sf_dir):
-    """The same cross-corpus dedup THROUGH the Bloom shuffle guard
+    """The same cross-corpus dedup with the Bloom shuffle guard ENABLED
     (pipeline/bloom.py, round 8): a distributed Bloom over the
     reference's content keys and band buckets lets definitely-non-dup
     rows skip the anti-join and non-matching band rows skip the
     candidate shuffle — exactness preserved (no false negatives), so
     this row shares ``dedup_against``'s oracle verbatim and must
-    hash-match it."""
+    hash-match it.  Since r10 the guard is self-gating
+    (``dedup._bloom_worth_it``): at bench scale the reference
+    broadcasts, the guarded joins are already map-side, and the guard
+    correctly declines to build — this row then certifies the
+    gate+plain path; the engaged Bloom path is pinned by
+    tests/test_bloom.py (forced) and the 20M-doc scale A/B note."""
     from duckdb_annsearch_spark.pipeline.dedup import dedup_against
 
     docs = _read(spark, sf_dir, "documents")

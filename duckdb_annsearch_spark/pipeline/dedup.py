@@ -629,7 +629,17 @@ def duplicate_clusters(
     distributed and picks up labels via a broadcast join). At training-data
     scale the verified-duplicate graph is orders of magnitude smaller than
     the corpus; above the cap the distributed rounds run unchanged.
-    ``max_driver_edges=None`` forces the distributed loop."""
+    ``max_driver_edges=None`` forces the distributed loop.
+
+    Determinism contract (ADVICE r9): ``pairs`` must be a deterministic
+    relation of its inputs (every in-repo producer is — md5/xxhash64
+    keyed joins, no sampling).  The lazy checkpoint below freezes ONE
+    execution only at first materialization; if a caller ever passes a
+    nondeterministic pair source, the ``take``-based fast-path gate and
+    the distributed loop could observe different edge sets — pass
+    ``max_driver_edges=None`` for such sources.  The gate measures
+    id-filtered edges (edges whose endpoints exist in ``ids``), which is
+    exactly the set the loop itself would propagate over."""
     # lazy checkpoint (r9): eager ran a dedicated materialization job, then
     # the cap gate ran a count job, then the fast path collected — three
     # actions over one tiny relation.  Lazy materializes inside whichever
@@ -797,6 +807,29 @@ def dedup_fuzzy(
     )
 
 
+def _bloom_worth_it(right: DataFrame) -> bool:
+    """Whether a Bloom shuffle guard pays for itself against joining
+    ``right`` directly: below the session's own broadcast threshold the
+    guarded join is ALREADY map-side (Spark broadcasts the right side —
+    no shuffle for the Bloom to save), so the guard's build passes are
+    pure overhead.  The gate reuses the exact quantity the planner uses
+    (``spark.sql.autoBroadcastJoinThreshold`` vs the optimizer's size
+    estimate), so it is environment-derived, not tuned to any core
+    count; when either number is unavailable the guard stays on
+    (exactness never depends on this decision — the Bloom has no false
+    negatives either way)."""
+    try:
+        est = int(
+            right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        thresh = int(
+            right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        return True
+    return est > thresh if thresh >= 0 else True
+
+
 def dedup_against(
     df: DataFrame,
     ref: DataFrame,
@@ -809,6 +842,7 @@ def dedup_against(
     shingle_k: int = 3,
     max_bucket: int | None = None,
     ref_bloom_fpp: float | None = None,
+    ref_bloom_force: bool = False,
 ) -> DataFrame:
     """CROSS-corpus deduplication: drop from ``df`` every document already
     present in ``ref`` (the 'dedupe the new crawl against the existing
@@ -849,14 +883,26 @@ def dedup_against(
     ~fpp false-positive sliver pays the joins, which then decide
     exactly — results are IDENTICAL with or without the Bloom (pinned
     by test and by the shared driver oracle).  Worth it when the new
-    crawl mostly does not overlap the reference — the realistic case."""
+    crawl mostly does not overlap the reference — the realistic case.
+
+    The guard is additionally SELF-GATING (r10): when the reference
+    relation's optimizer estimate fits the session's broadcast
+    threshold, the joins it would guard are already map-side broadcast
+    joins and the Bloom build passes cannot save a shuffle — the guard
+    is skipped outright (``_bloom_worth_it``; ``ref_bloom_force=True``
+    re-engages it unconditionally, for tests and for callers whose
+    estimates are unavailable-but-known-big)."""
     if mode == "exact":
         ref_keys = (
             ref.where(F.col(text_col).isNotNull())
             .select(F.md5(F.col(text_col)).alias("__k"))
             .distinct()
         )
-        if ref_bloom_fpp:
+        # r10: the guard engages only when the anti-join's right side is
+        # too big to broadcast (_bloom_worth_it) — below that threshold
+        # the anti-join is already map-side and the Bloom build passes
+        # are pure overhead.  Survivors are IDENTICAL either way.
+        if ref_bloom_fpp and (ref_bloom_force or _bloom_worth_it(ref)):
             from duckdb_annsearch_spark.pipeline.bloom import (
                 bloom_filter_df,
                 bloom_from_df,
@@ -865,13 +911,18 @@ def dedup_against(
             # 60-bit key from the md5 prefix: equal md5 => equal key, so
             # a bloom miss proves the full-key anti-join would keep the
             # row (NULL texts key NULL -> 'definitely not', kept — the
-            # same 'never a duplicate' semantics as the join path)
+            # same 'never a duplicate' semantics as the join path).
+            # Built over the NON-distinct key stream (r10): Bloom inserts
+            # are idempotent, so the pre-distinct exchange bought nothing,
+            # and the implicit sizing count becomes a map-only pass whose
+            # row count upper-bounds the distinct count (a bigger bitmap
+            # only lowers fpp).
             key64 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
                 "long"
             )
             bf = bloom_from_df(
-                ref_keys.select(
-                    F.conv(F.substring(F.col("__k"), 1, 15), 16, 10)
+                ref.where(F.col(text_col).isNotNull()).select(
+                    F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
                     .cast("long")
                     .alias("__k64")
                 ),
@@ -897,7 +948,8 @@ def dedup_against(
 
     # exact pre-pass (see docstring: what makes max_bucket safe)
     df = dedup_against(
-        df, ref, text_col, id_col, mode="exact", ref_bloom_fpp=ref_bloom_fpp
+        df, ref, text_col, id_col, mode="exact",
+        ref_bloom_fpp=ref_bloom_fpp, ref_bloom_force=ref_bloom_force,
     )
 
     nonempty = F.size(word_shingles(F.col(text_col), shingle_k)) > 0
@@ -915,7 +967,7 @@ def dedup_against(
             .select("band", "band_hash")
         )
         right = right.join(keep, ["band", "band_hash"])
-    if ref_bloom_fpp:
+    if ref_bloom_fpp and (ref_bloom_force or _bloom_worth_it(ref)):
         from duckdb_annsearch_spark.pipeline.bloom import (
             bloom_filter_df,
             bloom_from_df,
@@ -923,7 +975,10 @@ def dedup_against(
 
         # band rows that can't hit ANY (capped) reference bucket never
         # enter the candidate shuffle; false positives just join to
-        # nothing (exactness preserved)
+        # nothing (exactness preserved).  Same r10 gate as the exact
+        # pre-pass: when the reference band relation would broadcast,
+        # the candidate equi-join is already map-side and the guard
+        # cannot save a shuffle.
         bkey = F.xxhash64("band", "band_hash")
         bf = bloom_from_df(
             right.select(bkey.alias("__bk")), "__bk", fpp=ref_bloom_fpp

@@ -100,7 +100,8 @@ class TestDedupAgainstBloom:
         pruned = sorted(
             r["doc_id"]
             for r in dedup_against(
-                new, ref, mode=mode, ref_bloom_fpp=0.01
+                new, ref, mode=mode, ref_bloom_fpp=0.01,
+                ref_bloom_force=True,
             ).collect()
         )
         assert plain == pruned
@@ -124,7 +125,8 @@ class TestDedupAgainstBloom:
         pruned = sorted(
             r["doc_id"]
             for r in dedup_against(
-                new, ref, mode="exact", ref_bloom_fpp=0.01
+                new, ref, mode="exact", ref_bloom_fpp=0.01,
+                ref_bloom_force=True,
             ).collect()
         )
         assert plain == pruned == [1, 3]  # dup 2 dropped in BOTH plans
@@ -159,7 +161,9 @@ class TestDedupAgainstBloom:
         ref = spark.createDataFrame(
             [(9, "shared text here")], "doc_id long, text string"
         )
-        out = dedup_against(new, ref, mode="exact", ref_bloom_fpp=0.01).collect()
+        out = dedup_against(
+            new, ref, mode="exact", ref_bloom_fpp=0.01, ref_bloom_force=True
+        ).collect()
         assert [r["doc_id"] for r in out] == [1]
 
 
@@ -193,3 +197,31 @@ def test_big_bitmap_build_and_probe(spark):
     # with m sized for 1e8 and only 201k keys set, false positives are
     # ~zero, so the survivor count is exactly n (the 1000 extras drop)
     assert maybe.count() == n
+
+
+def test_bloom_guard_skips_broadcastable_ref(spark):
+    # r10: the guard engages only when the guarded join's right side is
+    # too big to broadcast (dedup._bloom_worth_it) — at broadcastable
+    # sizes the anti-join is already map-side and the Bloom build passes
+    # are pure overhead.  A tiny ref must therefore produce a plan with
+    # NO Python membership stage unless ref_bloom_force is set; survivors
+    # are identical either way (pinned by test_bloom_pruned_equals_plain).
+    from pyspark.sql import functions as F
+
+    from duckdb_annsearch_spark.pipeline.dedup import dedup_against
+
+    # parquet-backed ref: scan estimates are meaningful there (a Python
+    # LocalRelation reports unknown size -> the guard conservatively
+    # stays on, by design)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    auto = dedup_against(new, ref, mode="exact", ref_bloom_fpp=0.01)
+    assert "MapInPandas" not in auto._jdf.queryExecution().executedPlan().toString()
+    forced = dedup_against(
+        new, ref, mode="exact", ref_bloom_fpp=0.01, ref_bloom_force=True
+    )
+    assert "MapInPandas" in forced._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r["doc_id"] for r in auto.collect()) == sorted(
+        r["doc_id"] for r in forced.collect()
+    )
