@@ -129,12 +129,14 @@ def _timed_builds(builds: list[tuple[str, object]], pool: int) -> None:
 
     def run(name, fn):
         sc.setLocalProperty("spark.scheduler.pool", f"build-{name}")
+        sc.setJobDescription(f"index-build:{name}")  # guide §1.5
         t0 = time.time()
         try:
             fn()
         finally:
             BUILD_TIMINGS[name] = round(time.time() - t0, 3)
             sc.setLocalProperty("spark.scheduler.pool", None)
+            sc.setJobDescription(None)
 
     with ThreadPoolExecutor(pool) as ex:
         for f in [ex.submit(run, n, b) for n, b in builds]:

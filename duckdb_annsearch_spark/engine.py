@@ -209,6 +209,21 @@ class AnnEngine:
             spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         except Exception:
             pass  # conf may be immutable on some managed sessions
+        # driver/vanilla sessions ship Spark's default 200 shuffle
+        # partitions; AQE-coalescing works from that number, so on small
+        # clusters it burns planning/coalesce work and on local mode it
+        # means 200-way tiny exchanges before coalesce.  Derive the same
+        # core-based default the engine session uses — but ONLY when the
+        # host left the stock default in place (an explicit host setting
+        # wins, whatever it is).
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                cores = max(1, spark.sparkContext.defaultParallelism)
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(max(cores, 8))
+                )
+        except Exception:
+            pass
         from duckdb_annsearch_spark.shipping import ensure_shipped
 
         ensure_shipped(spark)

@@ -237,7 +237,9 @@ def _hierarchical_train_assign(
         ],
         dtype=np.float32,
     )
-    coarse = _train_kmeans(coarse_sample, k1, metric, seed=41)
+    from duckdb_annsearch_spark.index.remote import run_remote
+
+    coarse = run_remote(None, _train_kmeans, coarse_sample, k1, metric, seed=41)
     k1 = coarse.shape[0]
 
     # level 2: hash-sample ~256 rows per final cell, assign to coarse,
@@ -505,7 +507,11 @@ class IvfFlatIndex(BaseIndex):
                 [r["vector"] for r in sample_df.select("vector").collect()],
                 dtype=np.float32,
             )
-            centroids = _train_kmeans(sample, nlist, meta.metric)
+            # off-driver (r10): the Lloyd loop holds the driver GIL and
+            # serializes concurrent builds (index/remote.py rationale)
+            from duckdb_annsearch_spark.index.remote import run_remote
+
+            centroids = run_remote(None, _train_kmeans, sample, nlist, meta.metric)
 
             # -- assign every row to its nearest centroid (distributed, one GEMM per batch)
             cent = centroids

@@ -60,4 +60,10 @@ def run_remote(spark, fn, *args, **kwargs):
             SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         )
     sc = spark.sparkContext
-    return sc.parallelize([0], 1).map(lambda _: fn(*args, **kwargs)).collect()[0]
+    from duckdb_annsearch_spark.session import job_label
+
+    label = f"remote:{getattr(fn, '__name__', 'fn')}"
+    with job_label(sc, label):
+        return (
+            sc.parallelize([0], 1).map(lambda _: fn(*args, **kwargs)).collect()[0]
+        )

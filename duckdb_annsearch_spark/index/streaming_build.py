@@ -152,7 +152,11 @@ def sharded_build(
             [r["vector"] for r in sample_df.select("vector").collect()],
             dtype=np.float32,
         )
-        centroids = _train_kmeans(sample, shards, metric)
+        # off-driver (r10): the Lloyd loop holds the driver GIL and
+        # serializes concurrent index builds (index/remote.py rationale)
+        from duckdb_annsearch_spark.index.remote import run_remote
+
+        centroids = run_remote(spark, _train_kmeans, sample, shards, metric)
         cent, dim_ = centroids, meta.dim
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -221,7 +225,12 @@ def sharded_build(
     out_schema = SHARD_SCHEMA + (", codes binary" if quantized else "")
     built = sharded.groupBy("shard").applyInPandas(build_shard, out_schema)
     path = catalog.data_path(meta.name)
-    built.write.mode("overwrite").partitionBy("shard").parquet(path)
+    from duckdb_annsearch_spark.session import job_label
+
+    with job_label(
+        spark.sparkContext, f"{meta.name}: shard builds + write"
+    ):
+        built.write.mode("overwrite").partitionBy("shard").parquet(path)
 
     # entries AND the total row count in ONE job (r9: these were a
     # distinct-collect plus a separate full count — two passes over the
@@ -344,9 +353,12 @@ def streaming_build(
         ),
         "label int",
     )
-    pilot_rows = (
-        art.join(F.broadcast(labels_df), "label").orderBy("label").collect()
-    )
+    from duckdb_annsearch_spark.session import job_label
+
+    with job_label(spark.sparkContext, f"{meta.name}: pilot sample collect"):
+        pilot_rows = (
+            art.join(F.broadcast(labels_df), "label").orderBy("label").collect()
+        )
     pilot_global = np.asarray([r["label"] for r in pilot_rows], dtype=np.int64)
     pilot_vecs = np.asarray([r["vector"] for r in pilot_rows], dtype=np.float32)
     pilot_rowids = np.asarray([r["row_id"] for r in pilot_rows], dtype=np.int64)
@@ -493,9 +505,12 @@ def streaming_build(
         # each re-run the insert pass — profiled as 3 concurrent ~2.8 s
         # duplicate jobs at sf0.1.  localCheckpoint also truncates the
         # lineage under the write.
-        inserted = rest.repartition(n_parts).mapInPandas(
-            insert_partition, INSERT_SCHEMA
-        ).localCheckpoint(eager=True)
+        with job_label(
+            spark.sparkContext, f"{meta.name}: partition inserts"
+        ):
+            inserted = rest.repartition(n_parts).mapInPandas(
+                insert_partition, INSERT_SCHEMA
+            ).localCheckpoint(eager=True)
     else:
         inserted = spark.createDataFrame([], INSERT_SCHEMA)
 
@@ -586,7 +601,8 @@ def streaming_build(
         side["sq8_mins"] = mins
         side["sq8_scales"] = scales
     path = catalog.data_path(meta.name)
-    final.write.mode("overwrite").parquet(path)
+    with job_label(spark.sparkContext, f"{meta.name}: patch merge + write"):
+        final.write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "_graph_meta.json"), "w") as f:
         json.dump(side, f)
 

@@ -350,9 +350,16 @@ def ngram_jaccard_pairs(
     # posting-list shuffle moves fixed-width keys (collision odds ~2^-64
     # only perturb the candidate count, which the exact jaccard filter
     # re-checks via set sizes)
+    # the postings relation feeds BOTH self-join sides (and one side is
+    # typically broadcast, so no exchange reuse is possible) — checkpoint
+    # it so the explode+hash pass over the cached shingle arrays runs
+    # once, not once per side (r10; the r9 plan scanned the shingle
+    # checkpoint four times and re-ran Generate twice)
     exploded = sh.select(
         "doc_id", F.explode("sh").alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("shingle"))
+    ).select("doc_id", F.xxhash64("s").alias("shingle")).localCheckpoint(
+        eager=False
+    )
     if max_df is not None:
         keep = (
             exploded.groupBy("shingle")

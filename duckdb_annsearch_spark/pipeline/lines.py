@@ -89,27 +89,33 @@ def line_dedup(
     """
     if min_df < 2:
         raise ValueError(f"line_dedup: min_df must be >= 2, got {min_df}")
+    from duckdb_annsearch_spark.pipeline.text import bind
+
     split_col = _split(F.col(text_col), delimiter)
     # The df-count shuffle is keyed on md5(normalized line), not the line
     # text: boilerplate lines run hundreds of bytes and the count needs
-    # only identity — 32-char keys shrink that shuffle's rows ~20x
-    # (measured end-to-end 57s -> 20-34s across runs at 5M docs; the
-    # remaining cost is the reassembly shuffle, which must carry the
-    # output text).  md5 collisions (~2^-64) would merge two distinct
-    # lines' counts; acceptable for a >=min_df threshold.  Blank test
-    # happens BEFORE hashing (whitespace-only lines are structural).
-    # fan_out_small: parallelize the split/explode/md5 pass off a
-    # single-split scan (no-op at scale); it feeds the df-count shuffle
+    # only identity — 32-char keys shrink that shuffle's rows ~20x.
+    # md5 collisions (~2^-64) would merge two distinct lines' counts;
+    # acceptable for a >=min_df threshold.  Blank test happens BEFORE
+    # hashing (whitespace-only lines are structural).  fan_out_small:
+    # parallelize the split/explode/md5 pass off a single-split scan
+    # (no-op at scale); it feeds the df-count shuffle.
+    # keys only — the r10 drop-set shape below never needs the line TEXT
+    # off its source row, so the exploded relation is (id, pos, key) and
+    # is lazily checkpointed: it feeds the df-count aggregate AND the
+    # drop semi-join, and without the checkpoint each consumer re-ran the
+    # split+explode+md5 pass (two Generate subtrees in the r9 plan).
     lines = fan_out_small(docs).select(
         F.col(id_col),
         F.posexplode(split_col).alias("pos", "_line"),
-    ).withColumn(
-        "_key",
+    ).select(
+        F.col(id_col),
+        "pos",
         F.when(
             F.trim(F.col("_line")) != "",
             F.md5(_norm(F.col("_line"), normalize)),
-        ),
-    )
+        ).alias("_key"),
+    ).localCheckpoint(eager=False)
 
     boiler = (
         lines.where(F.col("_key").isNotNull())
@@ -118,31 +124,51 @@ def line_dedup(
         .where(F.col("_df") >= min_df)
         .select("_key")
     )
-    # blank lines carry a NULL _key, which an equi-join never matches --
-    # they pass the anti-join untouched, preserving the structural rule
-    kept = lines.join(boiler, "_key", "left_anti")
-
-    reassembled = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            delimiter,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_line"))),
-                lambda s: s["_line"],
-            ),
-        ).alias("_text_kept"),
-        F.count("*").alias("_n_kept"),
+    # r10 (guide §8 shape — decide with small rows, never move the text):
+    # instead of anti-joining every exploded line and re-assembling the
+    # survivors through a text-carrying groupBy exchange, compute only the
+    # DROPPED (id, pos) pairs — the boilerplate sliver — and rebuild each
+    # document from its OWN text with an index-aware array filter.  The
+    # document bytes never cross an exchange carrying lines: the drop
+    # relation is two integers per removed line.  Blank lines carry a
+    # NULL _key, which the semi-join never matches — structurally kept.
+    dropped = lines.join(boiler, "_key", "left_semi").groupBy(id_col).agg(
+        F.collect_list("pos").alias("__drop"),
+        F.count("*").alias("__nd"),
     )
-    base = docs.select(
+    joined = docs.join(dropped, id_col, "left")
+    drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    # one split per row: the token array is bound once (text.bind) and the
+    # kept-lines array once more — concat/size reference them many times
+    out_struct = bind(split_col, lambda toks: bind(
+        F.filter(toks, lambda x, i: ~F.array_contains(drop_arr, i)),
+        lambda kept: F.struct(
+            F.concat_ws(delimiter, kept).alias("text_kept"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.size(toks).cast("long").alias("n_lines"),
+        ),
+    ))
+    staged = joined.select(
         F.col(id_col),
         F.col(text_col).alias("_orig"),
-        F.when(F.col(text_col).isNotNull(), F.size(split_col)).alias("_n_lines"),
+        out_struct.alias("__s"),
     )
-    return base.join(reassembled, id_col, "left").select(
+    return staged.select(
         F.col(id_col),
-        F.when(F.col("_orig").isNotNull(), F.coalesce(F.col("_text_kept"), F.lit("")))
-        .alias(text_col),
-        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        (F.coalesce(F.col("_n_lines"), F.lit(0)) - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_dropped"),
+        F.when(F.col("_orig").isNotNull(), F.col("__s")["text_kept"]).alias(
+            text_col
+        ),
+        F.coalesce(
+            F.when(F.col("_orig").isNotNull(), F.col("__s")["n_kept"]), F.lit(0)
+        ).cast("long").alias("n_kept"),
+        (
+            F.coalesce(
+                F.when(F.col("_orig").isNotNull(), F.col("__s")["n_lines"]),
+                F.lit(0),
+            )
+            - F.coalesce(
+                F.when(F.col("_orig").isNotNull(), F.col("__s")["n_kept"]),
+                F.lit(0),
+            )
+        ).cast("long").alias("n_dropped"),
     )

@@ -8,9 +8,24 @@ probe operators.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def job_label(sc, text: str):
+    """Label every job submitted inside the block (guide §1.5) and restore
+    the caller's label after — descriptions are thread-local, so concurrent
+    build threads label independently and a host harness's own label (e.g.
+    qprof's) survives the engine's internal stages."""
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(text)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
 
 
 def get_spark(app_name: str = "duckdb_annsearch_spark", cpus: int | None = None) -> SparkSession:
