@@ -356,8 +356,13 @@ def streaming_build(
     from duckdb_annsearch_spark.session import job_label
 
     with job_label(spark.sparkContext, f"{meta.name}: pilot sample collect"):
-        pilot_rows = (
-            art.join(F.broadcast(labels_df), "label").orderBy("label").collect()
+        # sort the collected sample on the driver: a global orderBy of the
+        # pilot rows added a range exchange + sort stage for a relation
+        # that is about to be collect()ed anyway (pilot is O(sqrt N) rows
+        # by construction — driver-resident by design)
+        pilot_rows = sorted(
+            art.join(F.broadcast(labels_df), "label").collect(),
+            key=lambda r: r["label"],
         )
     pilot_global = np.asarray([r["label"] for r in pilot_rows], dtype=np.int64)
     pilot_vecs = np.asarray([r["vector"] for r in pilot_rows], dtype=np.float32)
