@@ -2399,70 +2399,19 @@ def q_c4_filter(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS EVIDENCE POLICY: the driver's CORRECTNESS run checks the
-    # first 50 keys of this dict.  Rounds 1-8 kept the engine/ANN surface
-    # first, so the LLM-pipeline keys (prepare_corpus..bigram_counts) never
-    # earned a driver-oracle row despite being green in tools/selfcheck.py
-    # (round-8 verdict item 1).  Round 9 rotates: the 44 previously
-    # driver-unchecked keys come FIRST, then the new exhaustive-beam graph
-    # row, then one sentinel per previously-checked family (exact-topk,
-    # index-serving, graph recall floor, dedup, hybrid) so a regression in
-    # the rotated-out surface still trips a driver row.  The full 95-key
-    # sweep stays covered by tools/selfcheck.py every round.
+    # first 50 keys of this dict, so the window ALTERNATES between the two
+    # halves of the surface on a 2-round cadence (round-9 verdict item 3).
+    # Round 9 put the 44 never-driver-checked LLM-pipeline keys first (all
+    # 45 windowed rows passed, CORRECTNESS_r09).  Round 10 rotates BACK:
+    # the 45 ANN/engine/dedup keys that have r8 green rows but no r9
+    # driver row come first — they are also the surface this optimization
+    # round touched most (qvec point lookup, local exact reference,
+    # streaming-build merge, dim-validation cache) — plus 5 pipeline
+    # sentinels, two of them the pipeline queries restructured this round
+    # (line_dedup drop-set shape, dedup_against_bloom self-gating).  The
+    # full 95-key sweep stays covered by tools/selfcheck.py every round.
     return {
-        # -- 44 keys never driver-checked through round 8 --
-        "prepare_corpus": q_prepare_corpus,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "langid": q_langid,
-        "doc_stats": q_doc_stats,
-        "stratified_sample": q_stratified_sample,
-        "quota_sample": q_quota_sample,
-        "token_budget_mix": q_token_budget_mix,
-        "corpus_stats": q_corpus_stats,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "decontaminate": q_decontaminate,
-        "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "shipping_priority": q_shipping_priority,
-        "customer_running_revenue": q_customer_running_revenue,
-        "events_top_by_user": q_events_top_by_user,
-        "events_sessionize": q_events_sessionize,
-        "event_type_stats": q_event_type_stats,
-        "events_asof": q_events_asof,
-        "events_range_agg": q_events_range_agg,
-        "lm_perplexity": q_lm_perplexity,
-        "pack_chunks": q_pack_chunks,
-        "pack_greedy": q_pack_greedy,
-        "chunk_documents": q_chunk_documents,
-        "line_dedup": q_line_dedup,
-        "dup_ngram_stats": q_dup_ngram_stats,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_pairs": q_winnow_pairs,
-        "remove_dup_spans": q_remove_dup_spans,
-        "quality_classifier": q_quality_classifier,
-        "temperature_weights": q_temperature_weights,
-        "neardup_stream_batch": q_neardup_stream_batch,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "gopher_filter": q_gopher_filter,
-        "c4_filter": q_c4_filter,
-        "dedup_against": q_dedup_against,
-        "dedup_against_bloom": q_dedup_against_bloom,
-        "url_curation": q_url_curation,
-        "url_dedup": q_url_dedup,
-        "curation_funnel": q_curation_funnel,
-        "vocab_topk": q_vocab_topk,
-        "vocab_coverage": q_vocab_coverage,
-        "bigram_counts": q_bigram_counts,
-        # -- new round 9: exhaustive-beam graph search, direct hash oracle --
-        "graph_exact_topk": q_graph_exact_topk,
-        # -- sentinels for the rotated-out (rounds 1-8 green) families --
-        "topk_l2": q_topk_l2,
-        "ann_search_flat": q_ann_search_flat,
-        "graph_topk": q_graph_topk,
-        "dedup_exact": q_dedup_exact,
-        "hybrid_rrf": q_hybrid_rrf,
-        # ---- 50-key driver window ends here ----
+        # -- 45 keys with r8 green rows but no r9 driver row --
         "topk_ip": q_topk_ip,
         "topk_cosine": q_topk_cosine,
         "vector_distances": q_vector_distances,
@@ -2508,6 +2457,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_lsh": q_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
+        # -- 5 pipeline sentinels from the round-9-checked half --
+        "line_dedup": q_line_dedup,
+        "dedup_against_bloom": q_dedup_against_bloom,
+        "doc_stats": q_doc_stats,
+        "events_sessionize": q_events_sessionize,
+        "gopher_filter": q_gopher_filter,
+        # ---- 50-key driver window ends here ----
+        "prepare_corpus": q_prepare_corpus,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "langid": q_langid,
+        "stratified_sample": q_stratified_sample,
+        "quota_sample": q_quota_sample,
+        "token_budget_mix": q_token_budget_mix,
+        "corpus_stats": q_corpus_stats,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "shipping_priority": q_shipping_priority,
+        "customer_running_revenue": q_customer_running_revenue,
+        "events_top_by_user": q_events_top_by_user,
+        "event_type_stats": q_event_type_stats,
+        "events_asof": q_events_asof,
+        "events_range_agg": q_events_range_agg,
+        "lm_perplexity": q_lm_perplexity,
+        "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
+        "chunk_documents": q_chunk_documents,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
+        "remove_dup_spans": q_remove_dup_spans,
+        "quality_classifier": q_quality_classifier,
+        "temperature_weights": q_temperature_weights,
+        "neardup_stream_batch": q_neardup_stream_batch,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "c4_filter": q_c4_filter,
+        "dedup_against": q_dedup_against,
+        "url_curation": q_url_curation,
+        "url_dedup": q_url_dedup,
+        "curation_funnel": q_curation_funnel,
+        "vocab_topk": q_vocab_topk,
+        "vocab_coverage": q_vocab_coverage,
+        "bigram_counts": q_bigram_counts,
+        "graph_exact_topk": q_graph_exact_topk,
+        "topk_l2": q_topk_l2,
+        "ann_search_flat": q_ann_search_flat,
+        "graph_topk": q_graph_topk,
+        "dedup_exact": q_dedup_exact,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
