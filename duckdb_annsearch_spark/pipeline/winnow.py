@@ -162,6 +162,12 @@ def winnow_pairs(
         )
         .where(F.col("_df") <= max_df)
         .drop("_df")
+        # r10: checkpoint the CAPPED postings — when AQE broadcasts one
+        # self-join side (the common case at small/medium per-partition
+        # sizes) there is no exchange for that side to reuse, so both
+        # sides re-ran the explode + window-cap chain; the checkpoint
+        # runs it once and both sides read blocks
+        .localCheckpoint(eager=False)
     )
     a = posts.select(
         F.col("_fp"),
