@@ -92,54 +92,55 @@ def sharded_build(
 
     art = with_labels(df, row_id_col, vector_col)
     n_total: int | None = None  # counted once, shared by PQ sizing + kmeans sampling
-    sq8_mins = sq8_scales = None
-    pq_books = pq_rot = None
     quant = str(p.get("quantization", "")).lower()
-    if quant == "sq8":
-        # GLOBAL per-dim min/scale (one map-only pass), not per-shard: codes
-        # from different shards must dequantize to comparable distances for
-        # the cross-shard top-k merge, and the reference quantizes per index
-        # (rust_lib/src/provider.rs:157-230), not per partition.
-        from duckdb_annsearch_spark.index.base import compute_sq8_stats
 
-        sq8_mins, sq8_scales = compute_sq8_stats(art, meta.dim)
-    elif quant == "pq":
-        # INDEX-GLOBAL codebooks trained on a bounded stride sample, same
-        # cross-shard comparability argument as the SQ8 stats above; the
-        # compression that actually matters at 100 TB — m bytes/vector vs
-        # 4*dim (e.g. 16x at dim=64, m=16), paged as u8 off the sidecar.
-        from duckdb_annsearch_spark.index.pq import (
-            pq_m_for,
-            stride_sample,
-            train_opq,
-            train_pq,
-        )
+    def _train_quant() -> tuple:
+        """(sq8_mins, sq8_scales, pq_books, pq_rot) for the index-GLOBAL
+        quantization parameters.  SQ8: per-dim min/scale in one map-only
+        pass — codes from different shards must dequantize to comparable
+        distances for the cross-shard top-k merge, and the reference
+        quantizes per index (rust_lib/src/provider.rs:157-230).  PQ:
+        codebooks on a bounded stride sample, same comparability
+        argument; trained in ONE Spark task, not on the driver — the
+        Lloyd loops hold the driver GIL (index/remote.py)."""
+        if quant == "sq8":
+            from duckdb_annsearch_spark.index.base import compute_sq8_stats
 
-        n_total = art.count()
-        pq_m = pq_m_for(meta.dim, p.get("pq_m"), n=n_total)
-        from duckdb_annsearch_spark.index.remote import run_remote
-
-        # train in ONE Spark task, not on the driver: the Lloyd loops hold
-        # the driver GIL and serialize concurrent builds (index/remote.py)
-        if p.get("opq"):
-            # OPQ on the sharded path: one index-global rotation learned
-            # with the codebooks; shards encode x @ R, every decode applies
-            # R^T — cross-shard comparability holds exactly as for plain PQ
-            pq_rot, pq_books = run_remote(
-                spark, train_opq, stride_sample(art, meta.dim, n=n_total), pq_m
+            mins, scales = compute_sq8_stats(art, meta.dim)
+            return mins, scales, None, None
+        if quant == "pq":
+            from duckdb_annsearch_spark.index.pq import (
+                pq_m_for,
+                stride_sample,
+                train_opq,
+                train_pq,
             )
-        else:
-            pq_books = run_remote(
+            from duckdb_annsearch_spark.index.remote import run_remote
+
+            pq_m = pq_m_for(meta.dim, p.get("pq_m"), n=n_total)
+            if p.get("opq"):
+                # OPQ on the sharded path: one index-global rotation
+                # learned with the codebooks; shards encode x @ R, every
+                # decode applies R^T — cross-shard comparability holds
+                # exactly as for plain PQ
+                rot, books = run_remote(
+                    spark, train_opq, stride_sample(art, meta.dim, n=n_total), pq_m
+                )
+                return None, None, books, rot
+            books = run_remote(
                 spark, train_pq, stride_sample(art, meta.dim, n=n_total), pq_m
             )
-    centroids = None
-    if by == "kmeans":
-        # SPANN-style clustered shards: rows go to their nearest centroid's
-        # shard; search can then prune to the nprobe_shards closest shards
-        from duckdb_annsearch_spark.index.ivf import _train_kmeans
+            return None, None, books, None
+        return None, None, None, None
 
-        if n_total is None:
-            n_total = art.count()
+    def _train_centroids() -> np.ndarray:
+        # SPANN-style clustered shards: rows go to their nearest
+        # centroid's shard; search can then prune to the nprobe_shards
+        # closest shards.  Lloyd loop off-driver (r10) — same GIL
+        # rationale as the quantization trainers.
+        from duckdb_annsearch_spark.index.ivf import _train_kmeans
+        from duckdb_annsearch_spark.index.remote import run_remote
+
         cap = max(shards * 256, 10_000)
         sample_df = art
         if n_total > cap:
@@ -152,11 +153,40 @@ def sharded_build(
             [r["vector"] for r in sample_df.select("vector").collect()],
             dtype=np.float32,
         )
-        # off-driver (r10): the Lloyd loop holds the driver GIL and
-        # serializes concurrent index builds (index/remote.py rationale)
-        from duckdb_annsearch_spark.index.remote import run_remote
+        return run_remote(spark, _train_kmeans, sample, shards, metric)
 
-        centroids = run_remote(spark, _train_kmeans, sample, shards, metric)
+    centroids = None
+    if quant in ("sq8", "pq") and by == "kmeans":
+        # overlap the two independent training phases (r10, guide §2.6):
+        # quant stats/codebooks and the shard centroids both derive from
+        # `art` alone and ran back to back — fork the quant branch onto a
+        # driver thread (propagating the caller's FAIR pool/label, both
+        # thread-local) while the kmeans sample collects and trains.  The
+        # count first also materializes art's label checkpoint ONCE so
+        # the two branches read the same blocks.
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_total = art.count()
+        sc = spark.sparkContext
+        pool = sc.getLocalProperty("spark.scheduler.pool")
+        desc = sc.getLocalProperty("spark.job.description")
+
+        def _quant_in_thread():
+            sc.setLocalProperty("spark.scheduler.pool", pool)
+            sc.setJobDescription(desc)
+            return _train_quant()
+
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(_quant_in_thread)
+            centroids = _train_centroids()
+            sq8_mins, sq8_scales, pq_books, pq_rot = fut.result()
+    else:
+        if quant == "pq" or by == "kmeans":
+            n_total = art.count()
+        sq8_mins, sq8_scales, pq_books, pq_rot = _train_quant()
+        if by == "kmeans":
+            centroids = _train_centroids()
+    if centroids is not None:
         cent, dim_ = centroids, meta.dim
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
