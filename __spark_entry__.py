@@ -753,14 +753,16 @@ def q_graph_topk(spark, sf_dir):
     eng = _engine_for(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     hits = eng.ann_search("embeddings", "emb_graph", q, k=10).select("vec_id")
-    # the exact reference side serves from the Flat index's local snapshot
-    # when eligible (r10, verdict item 7): the brute-force top-10 is
-    # IDENTICAL either way (same kernel tie-break (distance, row_id) —
-    # kernels.local_topk), but the k-row local relation replaces a whole
-    # distributed search's jobs in scaffolding that only feeds a semi-join;
-    # 'auto' falls back to the distributed path above the snapshot cap.
+    # the exact reference side serves from the COVERING Flat twin's local
+    # snapshot when eligible (r10, verdict item 7): the brute-force top-10
+    # is IDENTICAL either way (same artifact data, same (distance, row_id)
+    # tie-break — kernels.local_topk), but the k-row local relation
+    # replaces a whole distributed search's jobs in scaffolding that only
+    # feeds a semi-join.  emb_flat_cov (not emb_flat) because the table
+    # carries a payload column the bare artifact can't serve; 'auto'
+    # falls back to the distributed path above the snapshot cap.
     exact = eng.ann_search(
-        "embeddings", "emb_flat", q, k=10, local="auto"
+        "embeddings", "emb_flat_cov", q, k=10, local="auto"
     ).select("vec_id")
     return _recall_floor_certified(hits, exact, 7, "graph")
 
@@ -814,8 +816,13 @@ def _sq8_engine_for(spark, sf_dir):
     eng = AnnEngine(spark, workdir=tempfile.mkdtemp(prefix="ann_sq8_"))
     eng.register_table("embeddings", _read(spark, sf_dir, "embeddings"), row_id="vec_id")
     builds = [
+        # covering=True (r10): lets the graph replay rows' exact-reference
+        # search serve from the local snapshot (the table carries a payload
+        # column the bare artifact can't derive); the catalog row the
+        # ann_list_info oracle compares is unchanged
         ("info_flat", lambda: eng.create_index(
-            "info_flat", "embeddings", "embedding", engine="faiss", index_type="Flat"
+            "info_flat", "embeddings", "embedding", engine="faiss",
+            index_type="Flat", covering=True,
         )),
         ("info_sq8", lambda: eng.create_index(
             "info_sq8", "embeddings", "embedding", engine="faiss",
