@@ -100,8 +100,6 @@ def main() -> None:
             print(f"# pass {p} conf {name}: total_ann="
                   f"{round(sum(v for k, v in r.items() if k != 'index_build'), 2)} "
                   f"build={r['index_build']}", file=sys.stderr)
-    keys = ["index_build"] + ANN_QUERIES
-    keys = [("ann_search_local_wrapped" if k == "ann_search_local" else k) for k in keys]
     best = {
         name: {q: min(r.get(q, r.get("ann_search_local", 0.0)) for r in rs)
                for q in (["index_build"] + ANN_QUERIES)}
