@@ -670,7 +670,10 @@ def duplicate_clusters(
         )
         # ONE capped take replaces the count-gate job + the collect job:
         # at most cap+1 rows ever reach the driver, and > cap falls through
-        # to the distributed loop untouched
+        # to the distributed loop untouched.  (r10 examined: the take's 5
+        # bench jobs are AQE stage materializations of the semi-join
+        # broadcasts + the checkpoint, not a CollectLimit ramp — a
+        # coalesce(1) was A/B'd and changed nothing; left as-is.)
         rows = edges_in.take(int(max_driver_edges) + 1)
         if len(rows) > int(max_driver_edges):
             rows = None
